@@ -1,0 +1,141 @@
+"""Temporal (as-of) joins (SURVEY §2.3 J1-J3, §2.8 U1/U2).
+
+Reference semantics: a ``TemporalTableFunction`` registered over a
+versioned dimension table (time attr + key,
+``DataStreamJob.java:88-91``) probed via ``LATERAL TABLE(ttf(p.proctime))``
+(``DataStreamJob.java:98-104``) — for each probe row, join the *latest*
+dimension version whose time attribute is <= the probe's time; the
+left-outer flavor keeps probe rows with no version
+(``DataStreamJob.java:116-120``). The reference is restricted to a literal
+``ON TRUE`` predicate and a single join key
+(``DataStreamJob.java:106-115``); this implementation supports arbitrary
+key lists — a documented capability superset.
+
+Scale design (100 TB): the event-time as-of join is the *union-sort*
+algorithm — tag both inputs, union, and resolve each probe row with a
+running ``last(payload ignore nulls)`` window over (key, time, side).
+One shuffle + one sort, no row explosion — unlike the naive
+``join on key AND l.ts >= r.ts`` + re-aggregate, which multiplies every
+probe row by all earlier versions of its key (quadratic in versions per
+key). Skewed keys are handled by AQE; the sort is time-ordered within
+key, which Spark spills gracefully.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.dedup import dedup_latest
+
+
+def _norm_on(on) -> list[tuple[str, str]]:
+    if isinstance(on, str):
+        return [(on, on)]
+    pairs = []
+    for item in on:
+        pairs.append((item, item) if isinstance(item, str) else (item[0], item[1]))
+    return pairs
+
+
+def as_of_snapshot(
+    dim: DataFrame, keys: str | Sequence[str], time_col: str, tiebreakers: Sequence[str] = ()
+) -> DataFrame:
+    """Latest version per key — the ``TemporalTableFunction`` snapshot (U1)
+    evaluated at processing time "now" (every version qualifies, keep the
+    newest). Equivalent to ``table.createTemporalTableFunction($("ts"),
+    $("iso"))`` probed at proctime."""
+    return dedup_latest(dim, keys, time_col, tiebreakers)
+
+
+def temporal_join(
+    left: DataFrame,
+    dim: DataFrame,
+    on,
+    dim_time: str,
+    how: str = "inner",
+    dim_tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Processing-time temporal join (J1/J2): probe the *current* version
+    of each dimension key. Lowered to dedup-latest + equi-join — the
+    engine-level rewrite SURVEY §4 calls for; Catalyst then picks
+    broadcast vs shuffle join for the (small) snapshot side."""
+    pairs = _norm_on(on)
+    snap = as_of_snapshot(dim, [r for _, r in pairs], dim_time, dim_tiebreakers)
+    cond = None
+    for l, r in pairs:
+        c = left[l] == snap[r]
+        cond = c if cond is None else (cond & c)
+    return left.join(snap, cond, how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_time: str,
+    right_time: str,
+    how: str = "left",
+    right_tiebreakers: Sequence[str] = (),
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """Event-time as-of join (J1 generalized): for each left row, attach
+    the right row with the greatest ``right_time`` <= ``left_time`` for
+    the same key(s). ``how`` in {"left", "inner"}.
+
+    Output columns: all left columns, then right non-key columns
+    (including ``right_time``); a right column whose name collides with a
+    left column is prefixed ``right_``.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("as_of_join supports how in {'left','inner'}")
+    pairs = _norm_on(on)
+    lkeys = [l for l, _ in pairs]
+    rkeys = [r for _, r in pairs]
+
+    payload_cols = [c for c in right.columns if c not in rkeys]
+    out_names = {c: (f"right_{c}" if c in left.columns else c) for c in payload_cols}
+
+    # Common layout: key cols (left names), event time, side tag, payloads.
+    r_side = right.select(
+        *[F.col(r).alias(l) for l, r in pairs],
+        F.col(right_time).cast("timestamp_ntz").alias("__t"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__rpay"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("__lpay"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(right_tiebreakers)],
+    )
+    l_side = left.select(
+        *[F.col(l) for l in lkeys],
+        F.col(left_time).cast("timestamp_ntz").alias("__t"),
+        F.lit(None).cast(r_side.schema["__rpay"].dataType).alias("__rpay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lpay"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb{i}") for i, c in enumerate(right_tiebreakers)],
+    )
+
+    tb_order = [F.asc_nulls_last(f"__tb{i}") for i in range(len(right_tiebreakers))]
+    # Right rows sort before left rows at equal time => `<=` (exact match
+    # allowed); with allow_exact_match=False left sorts first => strict `<`.
+    side_order = F.asc("__side") if allow_exact_match else F.desc("__side")
+    w = (
+        Window.partitionBy(*lkeys)
+        .orderBy(F.asc("__t"), side_order, *tb_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = (
+        r_side.unionByName(l_side)
+        .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        # a null payload struct means this probe row found no version
+        resolved = resolved.filter(F.col("__match").isNotNull())
+    return resolved.select(
+        "__lpay.*",
+        *[F.col(f"__match.{c}").alias(out_names[c]) for c in payload_cols],
+    )

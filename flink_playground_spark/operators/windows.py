@@ -1,0 +1,64 @@
+"""Window operators: tumbling-window TVF and analytic ranking
+(SURVEY §2.5 A1, §2.6 G1, §2.7 T1).
+
+Reference semantics:
+- Tumbling window TVF ``TABLE(TUMBLE(TABLE input, DESCRIPTOR(ts),
+  INTERVAL '1' MINUTES))`` adds ``window_start, window_end, window_time``
+  columns (``WindowsProctimeAggJob.java:71-80``), grouped in the outer
+  query with ``count(*)`` (``:65-70``).
+- ``ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC)``
+  (``WithDeduplicateJoinJob.java:92-94``).
+
+Spark-first: ``F.window`` (tumbling and sliding), expanded to the TVF's
+flat column names; ``window_time`` is Flink's rowtime of the window,
+``window_end - 1ms``. Window aggregation is a hash agg with map-side
+partial combine — exactly one shuffle on (group keys, window).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumble(df: DataFrame, time_col: str, size: str, slide: str | None = None) -> DataFrame:
+    """Window TVF (T1): append ``window_start``/``window_end``/``window_time``.
+
+    ``size``/``slide`` are Spark duration strings ("1 minute", "1 hour");
+    a ``slide`` turns the tumble into Flink's HOP (sliding) window.
+    """
+    win = F.window(F.col(time_col), size, slide) if slide else F.window(F.col(time_col), size)
+    return (
+        df.withColumn("__w", win)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .withColumn("window_time", F.col("__w.end") - F.expr("INTERVAL 1 MILLISECOND"))
+        .drop("__w")
+    )
+
+
+def tumble_agg(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    slide: str | None = None,
+) -> DataFrame:
+    """Windowed group-by aggregation (G1): group on keys × window."""
+    windowed = tumble(df, time_col, size, slide)
+    return windowed.groupBy(*group_cols, "window_start", "window_end").agg(*aggs)
+
+
+def row_number_ranked(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """A1: append ``rownum`` ranking within partitions."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn("rownum", F.row_number().over(w))
+
+
+def top_k_per_group(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-k per group via ranking; Catalyst's InferWindowGroupLimit pushes
+    the k-limit below the sort at scale (rank-limit pushdown)."""
+    return row_number_ranked(df, partition_by, order_by).filter(F.col("rownum") <= k)

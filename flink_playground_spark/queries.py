@@ -1,0 +1,542 @@
+"""Named query catalog: every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the synthetic corpus (TESTDATA.md).
+
+Each ``spark_fn(spark, sf_dir) -> DataFrame`` is the engine's Spark-first
+implementation; ``oracle`` is the ANSI-SQL equivalent DuckDB runs on the
+same parquet for the driver's differential correctness gate. Column names
+are aliased identically on both sides (the comparator sorts columns by
+name before hashing). Float aggregates are ``round(x, 2)`` on both sides:
+Spark's partial aggregation sums doubles in a different order than
+DuckDB's sequential scan, so raw sums differ in the last ulp.
+
+DuckDB's raw ``events`` view carries nanosecond timestamps; oracles
+``CAST(ts AS TIMESTAMP)`` to microseconds to match the engine's exact
+integer-math conversion (sources.tables).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.dedup import dedup_latest, pk_upsert_view
+from flink_playground_spark.operators.temporal import as_of_join, temporal_join
+from flink_playground_spark.operators.unnest import unnest_outer
+from flink_playground_spark.operators.windows import top_k_per_group, tumble_agg
+from flink_playground_spark.session import tune
+from flink_playground_spark.sources.tables import load_table
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    tags: tuple[str, ...] = field(default=())
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench)
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# W1 + J5 — flagship: dedup-keep-latest CTE + left outer join
+# (WithDeduplicateJoinJob.java:88-104 re-phrased on the corpus)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH deduped AS (
+  SELECT user_id, event_type, value, ts FROM (
+    SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1)
+SELECT c.c_custkey, c.c_name, d.event_type AS last_event_type,
+       d.value AS last_value, d.ts AS last_ts
+FROM customer c LEFT OUTER JOIN deduped d ON c.c_custkey = d.user_id
+"""
+
+
+@register("flagship_dedup_join", _FLAGSHIP_ORACLE, tags=("W1", "J5", "J4"), bench=True)
+def flagship_dedup_join(spark, sf_dir):
+    """Dedup `events` to the latest row per user_id, then enrich `customer`
+    with a LEFT OUTER equi-join — the reference's flagship shape."""
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    latest = dedup_latest(events, "user_id", "ts", tiebreakers=("event_id",))
+    return customer.join(latest, customer.c_custkey == latest.user_id, "left_outer").select(
+        "c_custkey",
+        "c_name",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "dedup_latest_events",
+    """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+    tags=("W1",),
+)
+def dedup_latest_events(spark, sf_dir):
+    """Keep-latest dedup (ROW_NUMBER pattern, WithDeduplicateJoinJob.java:89-97)."""
+    events = _t(spark, sf_dir, "events")
+    return dedup_latest(events, "user_id", "ts", tiebreakers=("event_id",)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "dedup_latest_rownum",
+    """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+    tags=("W1", "A1"),
+)
+def dedup_latest_rownum(spark, sf_dir):
+    """Same dedup via the literal ROW_NUMBER()=1 strategy (reference shape)."""
+    events = _t(spark, sf_dir, "events")
+    return dedup_latest(
+        events, "user_id", "ts", tiebreakers=("event_id",), strategy="row_number"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "pk_upsert_latest",
+    """
+SELECT user_id, event_type AS current_type, value AS current_value FROM (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+    tags=("W2",),
+)
+def pk_upsert_latest(spark, sf_dir):
+    """PK-upsert view (WithStateTtlJob.java:73-77): arrival order = event_id."""
+    events = _t(spark, sf_dir, "events")
+    up = pk_upsert_view(events, "user_id", arrival_col="event_id")
+    return up.select(
+        "user_id",
+        F.col("event_type").alias("current_type"),
+        F.col("value").alias("current_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P7 — projection / filter / computed columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_filter_arith",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS net_price,
+       upper(l_returnflag) AS flag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1998-06-01'
+  AND l_quantity > 25
+""",
+    tags=("P1", "P2", "P3", "P7"),
+)
+def proj_filter_arith(spark, sf_dir):
+    """Projection + alias + filter + computed column; predicates and the
+    two-column read schema push down to the parquet scan. Money math is
+    decimal (exact, engine-order-independent), surfaced as double."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1998-06-01")
+        & (F.col("l_quantity") > 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price * (F.lit(1) - disc), 2).cast("double").alias("net_price"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 / J6 — equi outer joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer",
+    """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o LEFT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    tags=("J4", "J6"),
+    bench=True,
+)
+def join_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER equi-join shape (WithStateTtlJob.java:79-88)
+    in batch: orders ⟕ customer. Join condition authored in the join (not a
+    post-filter) to preserve outer semantics (SURVEY §4)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "left_outer").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_multiway",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    tags=("J6",),
+)
+def join_multiway(spark, sf_dir):
+    """Multi-way dimension join; nation/region are broadcast (small dims)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — correlated UNNEST (explode_outer), incl. the empty-array case
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unnest_outer_items",
+    """
+SELECT o.o_orderkey, l.l_partkey AS item
+FROM orders o LEFT OUTER JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+""",
+    tags=("J7", "J8"),
+)
+def unnest_outer_items(spark, sf_dir):
+    """LEFT OUTER JOIN UNNEST(array) ON TRUE (CrossJoinJob.java:66-73):
+    build an array column per order (empty for orders with no qualifying
+    items — the reference's `(b, [])` case), explode_outer preserves those
+    rows with NULL."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    items = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_outer").groupBy("o_orderkey").agg(
+        F.collect_list(F.when(F.col("l_quantity") > 45, F.col("l_partkey"))).alias("items")
+    )
+    return unnest_outer(items, "items").withColumnRenamed("items", "item")
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 / U1-U2 — temporal & as-of joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_join_current",
+    """
+WITH snap AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1)
+SELECT o.o_orderkey, o.o_custkey, s.event_type AS cur_event_type, s.value AS cur_value
+FROM orders o JOIN snap s ON o.o_custkey = s.user_id
+""",
+    tags=("J1", "J2", "J3", "U1", "U2"),
+)
+def temporal_join_current(spark, sf_dir):
+    """Processing-time temporal join (LATERAL TABLE(ttf), DataStreamJob.java:98-104):
+    probe the current (latest) version of each dimension key."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    joined = temporal_join(orders, events, [("o_custkey", "user_id")], "ts", "inner", ("event_id",))
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_type").alias("cur_event_type"),
+        F.col("value").alias("cur_value"),
+    )
+
+
+@register(
+    "as_of_join_events",
+    """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') t WHERE rn = 1)
+SELECT c.click_id, c.user_id, c.click_ts,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_ts >= p.ts
+""",
+    tags=("J1", "J2"),
+    bench=True,
+)
+def as_of_join_events(spark, sf_dir):
+    """Event-time as-of join: for each click, the user's most recent
+    purchase at or before it. Union-sort algorithm — one shuffle, no row
+    explosion (operators.temporal)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    # make (user_id, ts) unique so engine and oracle agree on ties
+    purchases = dedup_latest(purchases, ["user_id", "ts"], "event_id").select("user_id", "ts", "value")
+    joined = as_of_join(
+        clicks, purchases, [("user_id", "user_id")], left_time="click_ts", right_time="ts", how="left"
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — ranking / top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate, rownum FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rownum
+  FROM orders) t WHERE rownum <= 3
+""",
+    tags=("A1",),
+    bench=True,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    """ROW_NUMBER() ranking (WithDeduplicateJoinJob.java:92-94) as top-k;
+    Catalyst's window-group-limit pushes k below the sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")], 3
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "rownum")
+
+
+# ---------------------------------------------------------------------------
+# G1/G2/T1 — aggregation & tumbling windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "groupby_count",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("G2",),
+)
+def groupby_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "tumble_count_events",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    tags=("G1", "T1", "G2"),
+    bench=True,
+)
+def tumble_count_events(spark, sf_dir):
+    """Tumbling-window TVF count (WindowsProctimeAggJob.java:65-81) on event
+    time (deterministic stand-in for proctime, SURVEY §7.4)."""
+    events = _t(spark, sf_dir, "events")
+    return tumble_agg(
+        events, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
+    ).select("event_type", "window_start", "window_end", "cnt")
+
+
+@register(
+    "hop_sum_events",
+    """
+WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+x AS (
+  SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS ws FROM e
+  UNION ALL
+  SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws FROM e
+)
+SELECT event_type, ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM x GROUP BY 1, 2, 3
+""",
+    tags=("G1", "T1"),
+)
+def hop_sum_events(spark, sf_dir):
+    """Sliding (HOP) window aggregation — capability superset of the
+    reference's tumble (Flink exposes HOP via the same window TVF family)."""
+    events = _t(spark, sf_dir, "events")
+    return tumble_agg(
+        events,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")],
+        slide="30 minutes",
+    ).select("event_type", "window_start", "window_end", "cnt", "sum_value")
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("G1", "G2", "P1", "P3"),
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the engine's headline scan+agg.
+
+    Money columns are summed as decimal — exact and independent of
+    Spark's partial-aggregation order (a raw double sum differs from a
+    sequential oracle sum in the last ulp and can straddle a rounding
+    midpoint, since the data's values are discrete decimals).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1) - disc)
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (F.lit(1) + tax)), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_revenue_by_order",
+    """
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""",
+    tags=("J6", "G1"),
+    bench=True,
+)
+def q3_revenue_by_order(spark, sf_dir):
+    """TPC-H Q3-shaped: selective dim filter → fact join → agg. Customer is
+    the small filtered side; Catalyst/AQE broadcasts it."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-07-01")
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "json_props_agg",
+    """
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_k,
+       MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    tags=("P7",),
+)
+def json_props_agg(spark, sf_dir):
+    """Scalar-function surface: JSON extraction (get_json_object) + cast +
+    aggregate — exercises Spark's built-in scalar library (SURVEY §2.2
+    notes the reference needs none beyond PROCTIME; this is the superset
+    a real pipeline needs)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark_fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark_fn for name, q in REGISTRY.items() if q.bench}

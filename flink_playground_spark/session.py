@@ -1,0 +1,69 @@
+"""Engine session: SparkSession construction and scale-oriented tuning.
+
+Mirrors the reference's environment setup — every job there builds a
+``StreamExecutionEnvironment`` + ``StreamTableEnvironment`` and sets
+parallelism (``DataStreamJob.java:49-53``, ``WithStateTtlJob.java:40-44``).
+Here the equivalent knobs are shuffle partitions, AQE, and broadcast
+thresholds; state-TTL config (``WithStateTtlJob.java:43-45``) maps to the
+watermark/retention settings consumed by :mod:`flink_playground_spark.streaming`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that must be set at session build time.
+BUILD_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    # The synthetic events table carries parquet TIMESTAMP(NANOS), which
+    # Spark has no native type for; read as long and convert exactly
+    # (sources.tables.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+# Subset that is runtime-settable — applied defensively to externally
+# provided sessions (the verify driver owns its own SparkSession).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "flink-playground-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cpus`` controls local parallelism (reference: ``setParallelism``,
+    ``WithStateTtlJob.java:40-41``); default ``local[*]``.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in BUILD_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session.
+
+    Safe on sessions we don't own; ignores conf keys the running Spark
+    version refuses to set at runtime.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - version-specific static confs
+            pass
+    return spark

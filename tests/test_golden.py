@@ -1,0 +1,148 @@
+"""Golden unit fixtures — the reference's own literal datasets and their
+hand-checked expected outputs (FIXTURES.md §A; semantics recorded in the
+reference's comments, e.g. WithStateTtlJob.java:75, CrossJoinJob.java:51).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.dedup import dedup_latest, pk_upsert_view
+from flink_playground_spark.operators.temporal import as_of_join, temporal_join
+from flink_playground_spark.operators.unnest import unnest_outer
+from flink_playground_spark.operators.windows import tumble_agg
+from flink_playground_spark.operators.relational import Table, col
+from flink_playground_spark.sources.memory import from_rows
+
+
+def _people(spark):
+    # DataStreamJob.java:63-73
+    return from_rows(
+        spark,
+        [("Alice", 12, "a"), ("Bob", 5, "b"), ("Peter", 13, "c"), ("Paul", 13, "d")],
+        ["name", "age", "country"],
+        [str, int, str],
+    )
+
+
+def _countries(spark):
+    # versioned dim: two versions for 'a', one for 'b'; none for 'c'/'d'
+    return from_rows(
+        spark,
+        [
+            ("a", "old-a", datetime(2024, 1, 1, 0, 0, 0)),
+            ("a", "new-a", datetime(2024, 1, 2, 0, 0, 0)),
+            ("b", "cap-b", datetime(2024, 1, 1, 12, 0, 0)),
+        ],
+        ["iso", "capital", "ts"],
+        [str, str, "timestamp_ntz"],
+    )
+
+
+def test_dedup_latest_keeps_latest_version(spark):
+    out = dedup_latest(_countries(spark), "iso", "ts").orderBy("iso").collect()
+    assert [(r.iso, r.capital) for r in out] == [("a", "new-a"), ("b", "cap-b")]
+
+
+def test_dedup_rownum_strategy_matches(spark):
+    a = dedup_latest(_countries(spark), "iso", "ts", strategy="max_by")
+    b = dedup_latest(_countries(spark), "iso", "ts", strategy="row_number")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_flagship_dedup_join_shape(spark):
+    """WithDeduplicateJoinJob.java:88-104: people ⟕ dedup-latest(countries)."""
+    latest = dedup_latest(_countries(spark), "iso", "ts")
+    people = _people(spark)
+    out = people.join(latest, people.country == latest.iso, "left_outer").select(
+        "name", "country", "capital"
+    )
+    got = {(r.name, r.capital) for r in out.collect()}
+    assert got == {("Alice", "new-a"), ("Bob", "cap-b"), ("Peter", None), ("Paul", None)}
+
+
+def test_pk_upsert_collapses_duplicate_keys(spark):
+    """WithStateTtlJob.java:62-77: 4 rows for key 'a' behave as upserts; the
+    join must match 1 row (the latest), not 4 (comment at :75)."""
+    dim = from_rows(
+        spark,
+        [("a", "a", 1), ("a", "b", 2), ("a", "c", 3), ("a", "d", 4)],
+        ["iso", "capital", "arrival"],
+        [str, str, int],
+    )
+    upsert = pk_upsert_view(dim, "iso", "arrival")
+    people = _people(spark)
+    out = people.join(upsert, people.country == upsert.iso, "left_outer").select("name", "capital")
+    got = {(r.name, r.capital) for r in out.collect()}
+    assert got == {("Alice", "d"), ("Bob", None), ("Peter", None), ("Paul", None)}
+
+
+def test_unnest_outer_preserves_empty_array(spark):
+    """CrossJoinJob.java:47-59: (a,[{b}]) and (b,[]) -> (a,b),(b,NULL)."""
+    df = from_rows(
+        spark,
+        [("a", [("b",)]), ("b", [])],
+        ["id", "items"],
+        [str, "array<struct<item_id:string>>"],
+    )
+    out = unnest_outer(df, "items")
+    got = {(r.id, r.item_id) for r in out.collect()}
+    assert got == {("a", "b"), ("b", None)}
+
+
+def test_temporal_join_current_version(spark):
+    """DataStreamJob.java:88-120: LATERAL TABLE(ttf) probes the latest
+    version; left-outer keeps unmatched probe rows."""
+    people = _people(spark)
+    out = temporal_join(people, _countries(spark), [("country", "iso")], "ts", how="left")
+    got = {(r.name, r.capital) for r in out.collect()}
+    assert got == {("Alice", "new-a"), ("Bob", "cap-b"), ("Peter", None), ("Paul", None)}
+
+
+def test_as_of_join_event_time(spark):
+    probes = from_rows(
+        spark,
+        [
+            ("p1", "a", datetime(2024, 1, 1, 6, 0, 0)),   # after old-a only
+            ("p2", "a", datetime(2024, 1, 3, 0, 0, 0)),   # after new-a
+            ("p3", "a", datetime(2023, 12, 31, 0, 0, 0)), # before any version
+            ("p4", "b", datetime(2024, 1, 1, 12, 0, 0)),  # exact match boundary
+            ("p5", "z", datetime(2024, 1, 1, 0, 0, 0)),   # unknown key
+        ],
+        ["pid", "key", "pt"],
+        [str, str, "timestamp_ntz"],
+    )
+    out = as_of_join(probes, _countries(spark), [("key", "iso")], "pt", "ts", how="left")
+    got = {(r.pid, r.capital) for r in out.collect()}
+    assert got == {("p1", "old-a"), ("p2", "new-a"), ("p3", None), ("p4", "cap-b"), ("p5", None)}
+    inner = as_of_join(probes, _countries(spark), [("key", "iso")], "pt", "ts", how="inner")
+    assert {r.pid for r in inner.collect()} == {"p1", "p2", "p4"}
+
+
+def test_tumble_agg_counts(spark):
+    """WindowsProctimeAggJob.java:65-81 with deterministic event time."""
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 10)),
+        ("a", datetime(2024, 1, 1, 0, 0, 50)),
+        ("a", datetime(2024, 1, 1, 0, 1, 10)),
+        ("b", datetime(2024, 1, 1, 0, 2, 5)),
+    ]
+    df = from_rows(spark, rows, ["iso", "ts"], [str, "timestamp_ntz"])
+    out = tumble_agg(df, "ts", "1 minute", ["iso"], [F.count(F.lit(1)).alias("cnt")])
+    got = {(r.iso, r.window_start.minute, r.cnt) for r in out.collect()}
+    assert got == {("a", 0, 2), ("a", 1, 1), ("b", 2, 1)}
+
+
+def test_table_api_fluent(spark):
+    """TableAPIJob.java:85-90 via the fluent Table façade."""
+    _people(spark).createOrReplaceTempView("people")
+    dedup_latest(_countries(spark), "iso", "ts").createOrReplaceTempView("countries")
+    out = (
+        Table.from_(spark, "people")
+        .left_outer_join(Table.from_(spark, "countries"), col("country") == col("iso"))
+        .select("name", "country", "capital")
+    )
+    got = {(r.name, r.capital) for r in out.df.collect()}
+    assert got == {("Alice", "new-a"), ("Bob", "cap-b"), ("Peter", None), ("Paul", None)}

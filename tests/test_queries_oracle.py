@@ -1,0 +1,31 @@
+"""Oracle-differential tests: every registry query vs its DuckDB oracle at
+sf0.001 (fast; the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_playground_spark.queries import REGISTRY
+from flink_playground_spark.sources.tables import TABLES
+from tools.check import compare
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    q = REGISTRY[name]
+    spark_pdf = q.spark_fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only contract
+        return
+    oracle_pdf = oracle_con.sql(q.oracle).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
