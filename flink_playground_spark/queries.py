@@ -530,6 +530,95 @@ def json_props_agg(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# T1-T6 — Structured Streaming: the same semantics executed through the
+# micro-batch engine (state store, incremental agg), drained with
+# availableNow and checked against the *same* SQL oracles as batch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumble_count",
+    """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+""",
+    tags=("T1", "T2", "G1"),
+)
+def streaming_tumble_count(spark, sf_dir):
+    """WindowsProctimeAggJob.java:65-81 on the real streaming engine:
+    events replayed as a file stream, incremental windowed count, complete
+    output mode (the changelog view, T6)."""
+    from flink_playground_spark.streaming.runners import replay_events_stream, run_to_memory
+
+    stream = replay_events_stream(spark, sf_dir)
+    agg = tumble_agg(stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")])
+    out = run_to_memory(agg.select("event_type", "window_start", "window_end", "cnt"), "complete")
+    return out
+
+
+@register(
+    "streaming_dedup_latest",
+    """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+    tags=("W1", "T6"),
+)
+def streaming_dedup_latest(spark, sf_dir):
+    """Streaming keep-latest dedup (the Flink Deduplicate operator,
+    WithDeduplicateJoinJob.java:89-97) via applyInPandasWithState; the
+    update-mode changelog is compacted to its final table (toChangelogStream
+    → table materialization, T6)."""
+    from flink_playground_spark.streaming.runners import replay_events_stream, run_to_memory
+    from flink_playground_spark.streaming.stateful import dedup_latest_stream
+
+    stream = replay_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    latest = dedup_latest_stream(stream, "user_id", "ts", tiebreakers=("event_id",))
+    changelog = run_to_memory(latest, "update")
+    return dedup_latest(changelog, "user_id", "ts", tiebreakers=("event_id",))
+
+
+@register(
+    "streaming_enrich_join",
+    _FLAGSHIP_ORACLE,
+    tags=("J4", "J5", "T5", "T6"),
+)
+def streaming_enrich_join(spark, sf_dir):
+    """The flagship dedup-join as the reference actually runs it: an
+    unbounded dim stream folded into compacted keep-latest state per
+    micro-batch (foreachBatch), probe side joined against the final
+    snapshot — the asymmetric-TTL enrichment pattern
+    (WithStateTtlJob.java:79-88, STATE_TTL probe 1ms / build 90d)."""
+    from flink_playground_spark.streaming.enrich import enrichment_join_stream
+    from flink_playground_spark.streaming.runners import replay_events_stream
+
+    customer = _t(spark, sf_dir, "customer")
+    dim = replay_events_stream(spark, sf_dir)
+    return enrichment_join_stream(
+        customer,
+        dim,
+        on=[("c_custkey", "user_id")],
+        dim_keys=["user_id"],
+        dim_order_col="ts",
+        dim_tiebreakers=("event_id",),
+        select_cols=[
+            "c_custkey",
+            "c_name",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,59 @@
+"""Streaming runners (SURVEY §2.7 T2/T6, §5.3).
+
+The reference's jobs run unbounded queries against throttled datagen and
+print changelogs. Our test-friendly equivalent replays the bounded
+``events`` parquet as a file-source stream and drains it with an
+``availableNow`` trigger into a memory sink — the Structured Streaming
+micro-batch path (state store, watermarks, incremental aggregation) runs
+for real, then terminates deterministically.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_playground_spark.sources.tables import _NS_TO_TS_NTZ, _ensure_nanos_conf
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` table as an unbounded stream (same columns/types as
+    the batch loader, ts normalized to TIMESTAMP_NTZ µs)."""
+    _ensure_nanos_conf(spark)
+    # the file source requires a directory; filter to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+
+
+def run_to_memory(df: DataFrame, output_mode: str, query_name: str | None = None) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a memory
+    sink; returns the sink table as a batch DataFrame once the stream
+    terminates. ``output_mode``: append | update | complete."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
