@@ -1,0 +1,222 @@
+"""Large-scale document deduplication.
+
+Four families, each shaped for a 1000-executor cluster:
+
+- **exact**: md5-fingerprint hash-groupBy — one shuffle, map-side combine.
+- **n-gram Jaccard**: word-shingle inverted index self-join. Intersection
+  counts come from one equi-join on the shingle; union sizes from per-doc
+  distinct counts. Exact, but the shingle join is the scale limit —
+  mitigated by dropping ultra-frequent shingles (stop-shingles), the
+  standard trick for inverted-index joins.
+- **MinHash + LSH**: per-doc signature (K hashes), banded into buckets;
+  candidate pairs only where a band bucket collides — the sub-quadratic
+  scale path. Candidates are then *verified* with the exact Jaccard
+  join, so the output contains no false positives.
+- **SimHash**: 64-bit fingerprint; near-dups = Hamming distance <= k,
+  found by pigeonhole banding (4 x 16-bit chunks: distance <=3 implies an
+  equal chunk) — again join-on-band, verify exact distance.
+
+All hashing is ``xxhash64`` (JVM-side, vectorized). Signatures are array
+columns manipulated with built-in higher-order functions — no Python in
+the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.text import fingerprint, tokens
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint ->
+    canonical id (min) + member count. Output keeps only groups >1."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per identical fingerprint."""
+    with_fp = df.withColumn("fp", fingerprint(text_col))
+    from flink_playground_spark.operators.dedup import dedup_latest
+
+    # keep-lowest-id == keep-latest ordered by negated id; use min_by shape
+    return (
+        with_fp.groupBy("fp")
+        .agg(F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)).alias("__doc"))
+        .select("__doc.*")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles (array<string>) — built with
+    sequence/transform/slice, all JVM-side."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Inverted index: (shingle, doc id) + per-doc distinct-shingle count."""
+    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+    sh = sh.withColumn("n_sh", F.size("shingles"))
+    return sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard near-duplicate pairs over word n-gram shingle sets.
+
+    Columns: id_a < id_b, jaccard (rounded to 6).
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.first("a.n_sh").alias("n_a"), F.first("b.n_sh").alias("n_b"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 128, n: int = 3) -> DataFrame:
+    """K-permutation MinHash signature per document: sig[i] =
+    min(xxhash64(shingle, seed=i)). Array ops only; one pass."""
+    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))),
+    )
+    return sh.filter(F.size("shingles") > 0).select("doc", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding; with ``verify`` the
+    candidates are checked against exact shingle Jaccard, so the result
+    equals the exact O(n^2) answer minus LSH false negatives (probability
+    ~(1-t^r)^b, negligible at 32 bands x 4 rows for t>=0.8)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(F.slice("sig", b * rows + 1, rows), ",")).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document: sign-sum of token-hash bits,
+    folded to a long. Two projection steps so the per-bit counter array is
+    computed once (not re-expanded per output bit)."""
+    toks = tokens(text_col)
+    zero = F.array_repeat(F.lit(0), bits)
+    # bit i of xxhash64(token) as ±1, accumulated into counters
+    counters = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    with_counters = df.select(F.col(id_col).alias("doc"), counters.alias("__cnt"))
+    sh = F.lit(0).cast("long")
+    for i in range(bits):
+        sh = sh.bitwiseOR(
+            F.when(
+                F.element_at("__cnt", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return with_counters.select("doc", sh.alias("sh"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming, found
+    by 4x16-bit pigeonhole banding + exact verification."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    chunks = fp.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sh", "c.band", "c.chunk")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``: built-in higher-order functions (zip_with + aggregate),
+  double math, JVM-side — no UDF.
+- ``brute_force_topk``: exact baseline — broadcast the (small) query set,
+  score every corpus vector, rank per query. One broadcast join + one
+  shuffle for the per-query top-k window.
+- ``lsh_topk``: random-hyperplane LSH scale path — deterministic
+  hyperplanes derived from xxhash64, candidates = bucket collisions
+  (multi-probe via several tables), exact re-scoring of candidates only.
+  At 100 TB the bucket join replaces the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, sim (rounded to 6), rank.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j weight =
+    xxhash64(table, plane, j) mapped to ±[0,1); sign of <v, h>."""
+    weighted = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda x, j: x.cast("double")
+        * ((F.pmod(F.xxhash64(F.lit(table), F.lit(plane), j), F.lit(2_000_001)) - 1_000_000) / 1_000_000.0),
+    )
+    s = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, tables: int = 4, planes: int = 12) -> DataFrame:
+    """(id, table, bucket) rows: one bucket per hash table per vector."""
+    out = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes):
+            bucket = F.shiftleft(bucket, 1).bitwiseOR(
+                _hyperplane_sign(F.col("vec"), t, p).cast("long")
+            )
+        out = out.withColumn(f"__b{t}", bucket)
+    stacked = out.select(
+        "vid",
+        "vec",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket")) for t in range(tables)])
+        ).alias("tb"),
+    )
+    return stacked.select("vid", "vec", "tb.table", "tb.bucket")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    tables: int = 4,
+    planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: candidates from LSH bucket collisions across
+    `tables` hash tables, exact cosine on candidates only. Recall is
+    checked against brute force in tests."""
+    cb = lsh_buckets(corpus, id_col, vec_col, tables, planes)
+    qb = lsh_buckets(queries, id_col, vec_col, tables, planes)
+    cand = (
+        qb.alias("q")
+        .join(
+            cb.alias("c"),
+            (F.col("q.table") == F.col("c.table"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vid") != F.col("c.vid")),
+        )
+        .select(
+            F.col("q.vid").alias("query_id"),
+            F.col("c.vid").alias("neighbor_id"),
+            F.col("q.vec").alias("qvec"),
+            F.col("c.vec").alias("cvec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)).select(
+        "query_id", "neighbor_id", "sim"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

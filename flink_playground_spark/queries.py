@@ -619,6 +619,238 @@ def streaming_enrich_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Extensions: text analysis, large-scale dedup, similarity search,
+# multimodal plumbing (SURVEY §7.1 "north-star extensions"; first-class
+# components of the engine for training-data pipelines).
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@register(
+    "text_stats",
+    f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+       ROUND(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','in','that'))) / len(toks), 6) AS stop_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 6) AS punct_ratio
+FROM t
+""",
+    tags=("ext-text",),
+    bench=True,
+)
+def text_stats(spark, sf_dir):
+    """Per-document quality statistics — all JVM-side column expressions
+    (no UDF), computed inside the scan stage."""
+    from flink_playground_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    from flink_playground_spark.functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(f"len(list_filter(toks, x -> x IN ({inlist}))) AS s_{lang}")
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} > 0 AND s_{l} >= {greatest} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM t)
+SELECT doc_id, lang AS declared_lang, {case} AS pred_lang FROM s
+"""
+
+
+@register("lang_id_pred", _langid_oracle(), tags=("ext-text",))
+def lang_id_pred(spark, sf_dir):
+    """Marker-stopword language identification (n-gram heuristic)."""
+    from flink_playground_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("declared_lang"), tx.lang_id("text").alias("pred_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+    tags=("ext-text",),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    from flink_playground_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register(
+    "exact_dedup_docs",
+    r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS canonical_id, count(*) AS n_members
+FROM documents GROUP BY 1
+""",
+    tags=("ext-dedup",),
+)
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: one canonical doc per fingerprint group (hash groupBy,
+    map-side combine — one shuffle at any scale)."""
+    from flink_playground_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+_NGRAM_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+       FROM t),
+idx AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(i / (n_a + n_b - i), 6) AS jaccard
+FROM inter WHERE ROUND(i / (n_a + n_b - i), 6) >= {{thr}}
+"""
+
+
+@register(
+    "ngram_jaccard_neardup",
+    _NGRAM_PAIRS_SQL.format(thr=0.12),
+    tags=("ext-dedup",),
+    bench=True,
+)
+def ngram_jaccard_neardup(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-duplicate pairs via the shingle
+    inverted-index self-join (no O(n²) cross product)."""
+    from flink_playground_spark.functions.dedupe import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+@register(
+    "minhash_lsh_neardup",
+    _NGRAM_PAIRS_SQL.format(thr=0.8),
+    tags=("ext-dedup",),
+)
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash(128) + LSH(32 bands × 4 rows) candidates, verified with
+    exact Jaccard — equals the exact answer at t=0.8 up to LSH false
+    negatives (p < 1e-6 per pair at t≥0.8), which the oracle confirms."""
+    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+
+
+@register("simhash_neardup", None, tags=("ext-dedup",))
+def simhash_neardup(spark, sf_dir):
+    """SimHash-64 near-dups (Hamming ≤ 3) by pigeonhole banding. Hash
+    construction is xxhash64-specific → rows-only oracle; correctness is
+    pinned by golden tests (tests/test_extensions.py)."""
+    from flink_playground_spark.functions.dedupe import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(qvec, cvec), t -> t[1] * t[2]))
+               / (sqrt(list_sum(list_transform(qvec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cvec, x -> x * x)))), 6) AS sim
+  FROM q JOIN c ON query_id != neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("cosine_topk", _COSINE_TOPK_SQL, tags=("ext-sim",), bench=True)
+def cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 neighbors for 8 query vectors —
+    the ANN baseline. Broadcast queries; double math is bit-identical to
+    the oracle's sequential sum."""
+    from flink_playground_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register("ann_lsh_topk", None, tags=("ext-sim",))
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH (bucket-join instead of
+    cross product — the 100 TB path). Hyperplanes are xxhash64-derived →
+    rows-only oracle; recall vs brute force is asserted in tests."""
+    from flink_playground_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, tables=8, planes=4)
+
+
+@register(
+    "multimodal_decode_agg",
+    """
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM((octet_length(encode(text)) % 64) + 1) AS BIGINT) AS sum_width,
+       CAST(SUM(CASE WHEN octet_length(encode(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+FROM documents GROUP BY source
+""",
+    tags=("ext-multimodal",),
+)
+def multimodal_decode_agg(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + Arrow-batched
+    mapInPandas decode (deterministic fake decoder; real codecs plug in
+    via register_decoder), aggregated on extracted metadata."""
+    from flink_playground_spark.functions.multimodal import attach_blob, decode_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_metadata(attach_blob(docs))
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum("width").alias("sum_width"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("n_valid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items()}
 

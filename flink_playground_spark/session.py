@@ -59,11 +59,37 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session.
 
     Safe on sessions we don't own; ignores conf keys the running Spark
-    version refuses to set at runtime.
+    version refuses to set at runtime. Also ships this package to the
+    executors so Python-UDF closures that reference engine modules
+    resolve regardless of the driver's working directory (on a real
+    cluster this is the --py-files equivalent).
     """
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - version-specific static confs
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_fps_pyfile_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="fps_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "flink_playground_spark"),
+        "zip",
+        root_dir=pkg_root,
+        base_dir="flink_playground_spark",
+    )
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:  # pragma: no cover - e.g. repeated add under same name
+        pass
+    sc._fps_pyfile_shipped = True

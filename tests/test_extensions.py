@@ -1,0 +1,102 @@
+"""Golden tests for the training-data-pipeline extensions: planted
+near-duplicates must be found; approximate methods are checked against
+exact baselines (recall), stub boundaries raise cleanly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.dedupe import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from flink_playground_spark.functions.multimodal import attach_blob, decode_metadata
+from flink_playground_spark.functions.similarity import brute_force_topk, lsh_topk
+from flink_playground_spark.functions.text import lang_id
+from flink_playground_spark.sources.memory import from_rows
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the hunter watches "
+    "from a distance and the wind carries the scent of rain across the field"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),          # near-dup of 1
+        (3, BASE),          # exact dup of 1
+        (4, FAR),
+        (5, "unrelated tiny text"),
+    ]
+    return from_rows(spark, rows, ["doc_id", "text"], [int, str])
+
+
+def test_exact_duplicates_found(spark, docs):
+    groups = exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 1 and groups[0].n_dups == 2
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in pairs  # near-dup
+    assert (1, 3) in pairs  # exact dup (jaccard 1.0)
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_matches_exact(spark, docs):
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    want = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert got == want  # LSH recall = 1.0 on planted dups at this scale
+
+
+def test_simhash_detects_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 0  # identical text -> distance 0
+    assert (1, 2) in pairs  # near-dup within a few bits
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog went to the market"),
+        (2, "der hund und die katze sind nicht da"),
+        (3, "el perro y la casa es un lugar"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = from_rows(spark, rows, ["doc_id", "text"], [int, str])
+    got = {r.doc_id: r.pred for r in df.select("doc_id", lang_id("text").alias("pred")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, tables=8, planes=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall {recall} collapsed"  # approximate, but not broken
+    # every returned neighbor's sim must equal the exact score
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
+def test_multimodal_decode_and_stub_boundary(spark, docs):
+    decoded = decode_metadata(attach_blob(docs, "text")).collect()
+    assert all(r.valid for r in decoded)
+    assert all(r.byte_len == len(r.text.encode()) for r in decoded)
+    # unknown format must raise NotImplementedError at the stub boundary
+    bad = attach_blob(docs, "text", fmt="image/jpeg")
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        decode_metadata(bad).collect()
