@@ -94,14 +94,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 128, n: int = 3) -> DataFrame:
-    """K-permutation MinHash signature per document: sig[i] =
-    min(xxhash64(shingle, seed=i)). Array ops only; one pass."""
-    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))),
+    """K-permutation MinHash signature per document.
+
+    Shape matters: higher-order array lambdas (transform/aggregate) are
+    *interpreted* in Spark — a nested-transform formulation is ~30×
+    slower. Instead: explode shingles, string-hash each ONCE, then take
+    K mins as a single whole-stage-codegen'd hash aggregate with
+    map-side partial combine (state per doc = K longs, one shuffle)."""
+    idx = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    hashed = idx.select("doc", F.xxhash64("shingle").alias("h"))
+    mins = hashed.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"s{i}") for i in range(k)]
     )
-    return sh.filter(F.size("shingles") > 0).select("doc", sig.alias("sig"))
+    return mins.select("doc", F.array(*[f"s{i}" for i in range(k)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -151,34 +156,29 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document: sign-sum of token-hash bits,
-    folded to a long. Two projection steps so the per-bit counter array is
-    computed once (not re-expanded per output bit)."""
-    toks = tokens(text_col)
-    zero = F.array_repeat(F.lit(0), bits)
-    # bit i of xxhash64(token) as ±1, accumulated into counters
-    counters = F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for i in range(bits)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
+    folded to a long.
+
+    Codegen-friendly shape: explode tokens, hash once, then `bits`
+    conditional-sum aggregates (map-side combinable, one shuffle) —
+    array-lambda accumulation is interpreted and ~30× slower."""
+    idx = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    hashed = idx.select("doc", F.xxhash64("tok").alias("h"))
+    sums = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"c{i}")
+            for i in range(bits)
+        ]
     )
-    with_counters = df.select(F.col(id_col).alias("doc"), counters.alias("__cnt"))
     sh = F.lit(0).cast("long")
     for i in range(bits):
         sh = sh.bitwiseOR(
-            F.when(
-                F.element_at("__cnt", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"c{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return with_counters.select("doc", sh.alias("sh"))
+    return sums.select("doc", sh.alias("sh"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:

@@ -61,36 +61,35 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j weight =
-    xxhash64(table, plane, j) mapped to ±[0,1); sign of <v, h>."""
-    weighted = F.zip_with(
-        vec,
-        F.sequence(F.lit(0), F.size(vec) - 1),
-        lambda x, j: x.cast("double")
-        * ((F.pmod(F.xxhash64(F.lit(table), F.lit(plane), j), F.lit(2_000_001)) - 1_000_000) / 1_000_000.0),
-    )
-    s = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
-
-
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, tables: int = 4, planes: int = 12) -> DataFrame:
-    """(id, table, bucket) rows: one bucket per hash table per vector."""
-    out = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    """(id, table, bucket) rows: one bucket per hash table per vector.
+
+    Hyperplane weights are deterministic pseudo-random values
+    ``w(t,p,j) = xxhash64(t,p,j) → ±[0,1)``; the tables×planes dot
+    products are computed as codegen'd conditional-sum aggregates over
+    the pos-exploded vector (one shuffle on the vector id) — array
+    lambdas are interpreted and much slower."""
+    comp = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(F.col(vec_col)).alias("j", "x"),
+    )
+    aggs = []
+    for t in range(tables):
+        for p in range(planes):
+            w = (
+                F.pmod(F.xxhash64(F.lit(t), F.lit(p), F.col("j")), F.lit(2_000_001)) - 1_000_000
+            ) / 1_000_000.0
+            aggs.append(F.sum(F.col("x").cast("double") * w).alias(f"d_{t}_{p}"))
+    dots = comp.groupBy("vid").agg(F.first("vec").alias("vec"), *aggs)
+    buckets = []
     for t in range(tables):
         bucket = F.lit(0).cast("long")
         for p in range(planes):
-            bucket = F.shiftleft(bucket, 1).bitwiseOR(
-                _hyperplane_sign(F.col("vec"), t, p).cast("long")
-            )
-        out = out.withColumn(f"__b{t}", bucket)
-    stacked = out.select(
-        "vid",
-        "vec",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket")) for t in range(tables)])
-        ).alias("tb"),
-    )
+            bit = F.when(F.col(f"d_{t}_{p}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
+        buckets.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    stacked = dots.select("vid", "vec", F.explode(F.array(*buckets)).alias("tb"))
     return stacked.select("vid", "vec", "tb.table", "tb.bucket")
 
 
