@@ -1,0 +1,106 @@
+"""Plan-layer tests: executable JSON query specs (T7/E3) and plan-quality
+assertions — the properties that matter at 100 TB (pushdown, broadcast,
+shuffle counts, codegen), checked against the actual physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.dedup import dedup_latest
+from flink_playground_spark.operators.temporal import as_of_join
+from flink_playground_spark.plans.spec import QuerySpec, compile_plan, explain_str
+from flink_playground_spark.queries import REGISTRY
+from flink_playground_spark.sources.tables import load_table
+
+FLAGSHIP_SPEC = QuerySpec(
+    ops=[
+        {"op": "scan", "table": "customer"},
+        {
+            "op": "join",
+            "right": {
+                "ops": [
+                    {"op": "scan", "table": "events"},
+                    {"op": "dedup_latest", "keys": ["user_id"], "order": "ts", "tiebreakers": ["event_id"]},
+                ]
+            },
+            "on": "c_custkey = user_id",
+            "how": "left_outer",
+        },
+        {
+            "op": "select",
+            "exprs": [
+                "c_custkey",
+                "c_name",
+                "event_type AS last_event_type",
+                "value AS last_value",
+                "ts AS last_ts",
+            ],
+        },
+    ]
+)
+
+
+def test_query_spec_roundtrip_executes(spark, sf_dir):
+    """CompiledPlan parity: serialize → deserialize → execute → same result
+    as the hand-built flagship query."""
+    restored = QuerySpec.from_json(FLAGSHIP_SPEC.to_json())
+    got = restored.build(spark, sf_dir)
+    want = REGISTRY["flagship_dedup_join"].spark_fn(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_compile_plan_snapshot(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir)
+    snap = compile_plan(df)
+    assert snap["schema"]["type"] == "struct"
+    assert "HashAggregate" in snap["physical"]
+
+
+def test_filter_and_column_pushdown(spark, sf_dir):
+    """Predicates and the projected column set must reach the parquet scan."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = REGISTRY["proj_filter_arith"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:500]
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "l_returnflag" in read_schema
+    assert "l_tax" not in read_schema  # untouched column pruned from the scan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    df = REGISTRY["join_multiway"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_is_single_shuffle(spark, sf_dir):
+    """max_by dedup = one Exchange (hash agg with partial combine)."""
+    events = load_table(spark, sf_dir, "events")
+    df = dedup_latest(events, "user_id", "ts", tiebreakers=("event_id",))
+    plan = explain_str(df, "physical")
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_as_of_join_is_single_shuffle_no_explosion(spark, sf_dir):
+    """Union-sort as-of join: exactly one Exchange (on the key), one Sort,
+    zero Join nodes — no version-explosion join."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    df = as_of_join(clicks, purchases, [("user_id", "user_id")], "cts", "ts")
+    plan = explain_str(df, "physical")
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q1_partial_aggregation_single_shuffle(spark, sf_dir):
+    """The headline agg must combine map-side (partial_sum) and shuffle
+    only the per-group partials — the property that matters at 100 TB."""
+    df = REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
