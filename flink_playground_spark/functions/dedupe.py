@@ -65,10 +65,30 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
 
 
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Inverted index: (shingle, doc id) + per-doc distinct-shingle count."""
-    sh = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
-    sh = sh.withColumn("n_sh", F.size("shingles"))
-    return sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    """Inverted index: (shingle-hash, doc id) + per-doc distinct count.
+
+    Codegen shape: posexplode tokens → lead() window builds the n-grams →
+    distinct + countDistinct. Shingles are keyed by xxhash64 (8-byte
+    shuffle keys instead of strings; a collision would need 2^64 shingles).
+    The per-doc count joins back broadcast-style (one row per doc)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("j", "tok"))
+    w = Window.partitionBy("doc").orderBy("j")
+    # materialize every lead BEFORE filtering — window exprs in a
+    # post-filter projection would re-evaluate over the filtered frame
+    with_leads = toks.select(
+        "doc", "tok", *[F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, n)]
+    )
+    grams = (
+        with_leads.filter(F.col(f"__t{n-1}").isNotNull())
+        .select(
+            "doc",
+            F.xxhash64(F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)])).alias("shingle"),
+        )
+    )
+    counts = grams.groupBy("doc").agg(F.count_distinct("shingle").alias("n_sh"))
+    return grams.distinct().join(counts, "doc").select("doc", "n_sh", "shingle")
 
 
 def ngram_jaccard_pairs(
@@ -98,13 +118,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 128, 
 
     Shape matters: higher-order array lambdas (transform/aggregate) are
     *interpreted* in Spark — a nested-transform formulation is ~30×
-    slower. Instead: explode shingles, string-hash each ONCE, then take
-    K mins as a single whole-stage-codegen'd hash aggregate with
-    map-side partial combine (state per doc = K longs, one shuffle)."""
-    idx = df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle"))
-    hashed = idx.select("doc", F.xxhash64("shingle").alias("h"))
-    mins = hashed.groupBy("doc").agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"s{i}") for i in range(k)]
+    slower. Instead: the shingle inverted index (already 64-bit hashed)
+    feeds K min-aggregates in one whole-stage-codegen'd hash aggregation
+    with map-side partial combine (state per doc = K longs, one shuffle)."""
+    idx = shingle_index(df, id_col, text_col, n)
+    mins = idx.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}") for i in range(k)]
     )
     return mins.select("doc", F.array(*[f"s{i}" for i in range(k)]).alias("sig"))
 
