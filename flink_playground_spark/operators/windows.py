@@ -52,6 +52,25 @@ def tumble_agg(
     return windowed.groupBy(*group_cols, "window_start", "window_end").agg(*aggs)
 
 
+def sessionize(
+    df: DataFrame, keys: Sequence[str], time_col: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event (per key) exceeds ``gap``. Appends ``session_id``
+    (1-based per key). One shuffle+sort per key — the classic
+    lag+cumulative-sum construction; Spark's native ``F.session_window``
+    is the aggregation-shaped alternative (both are exposed as queries)."""
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    prev = F.lag(time_col).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(time_col) > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def row_number_ranked(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
     """A1: append ``rownum`` ranking within partitions."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)

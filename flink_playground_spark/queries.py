@@ -620,6 +620,255 @@ def streaming_enrich_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Capability superset: semi/anti joins, set operations, rollup, distinct
+# aggregation, window frames, sessionization. The reference exercises none
+# of these (SURVEY §2.3/§2.6 "not present") — a complete engine needs them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    tags=("superset-join",),
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers with a big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("superset-join",),
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops",
+    """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, c_custkey FROM (SELECT * FROM building UNION SELECT * FROM rich) u
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM rich) i
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM rich) e
+""",
+    tags=("superset-setop",),
+)
+def set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT in one tagged result."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(building.union(rich).distinct(), "union")
+        .unionAll(tag(building.intersect(rich), "intersect"))
+        .unionAll(tag(building.exceptAll(rich).distinct(), "except"))
+    )
+
+
+@register(
+    "rollup_pricing",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    tags=("superset-agg",),
+)
+def rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation (hierarchical subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("superset-agg",),
+)
+def distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "running_sum_frame",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+    tags=("superset-window",),
+)
+def running_sum_frame(spark, sf_dir):
+    """Explicit ROWS frame: per-customer running spend."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "lag_lead_orders",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+FROM orders
+""",
+    tags=("superset-window",),
+)
+def lag_lead_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts > LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", _SESSION_ORACLE, tags=("superset-window",), bench=True)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity): lag + cumulative
+    sum over one shuffle per key."""
+    from flink_playground_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(e, ["user_id"], "ts", "30 minutes")
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "session_window_native",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts >= LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    tags=("superset-window",),
+)
+def session_window_native(spark, sf_dir):
+    """Spark's native session_window aggregation (merge-on-overlap; an
+    event exactly `gap` after the previous one starts a new session, and
+    session_end = last event + gap — mirrored in the oracle)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "order_limit_topn",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+    tags=("superset-sort",),
+)
+def order_limit_topn(spark, sf_dir):
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extensions: text analysis, large-scale dedup, similarity search,
 # multimodal plumbing (SURVEY §7.1 "north-star extensions"; first-class
 # components of the engine for training-data pipelines).
