@@ -31,10 +31,14 @@ def main() -> None:
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
-        df = q.spark_fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: excludes one-time costs (file
+            # listing, codegen compilation) from the steady-state number
+            df = q.spark_fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
