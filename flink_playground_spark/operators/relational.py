@@ -66,6 +66,31 @@ class Table:
         self.df.show(n, truncate=False)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot left key over ``salt``
+    sub-partitions (deterministic per-row salt from a full-row hash) and
+    replicate the right side ``salt``× with an exploded salt column.
+
+    Use when one join key carries a disproportionate share of rows and
+    AQE's skew-join split isn't available (e.g. the skewed side is the
+    output of an aggregation). Result is identical to the plain join.
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).alias("__salt")
+    left2 = left.select("*", lsalt)
+    right2 = right.select("*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"))
+    cond = F.col("left.__salt") == F.col("right.__salt")
+    for l, r in on:
+        cond = cond & (F.col(f"left.{l}") == F.col(f"right.{r}"))
+    out = left2.alias("left").join(right2.alias("right"), cond, how)
+    return out.drop("__salt")
+
+
 def proctime() -> Column:
     """``PROCTIME()`` processing-time attribute (T2): wall-clock stamped
     per batch/micro-batch. For deterministic tests, inject an explicit

@@ -868,6 +868,31 @@ def order_limit_topn(spark, sf_dir):
     )
 
 
+@register(
+    "pandas_udf_bucket",
+    """
+SELECT CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bucket, count(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+    tags=("U2", "udf"),
+)
+def pandas_udf_bucket(spark, sf_dir):
+    """UDF surface (SURVEY §2.8 U2): an Arrow-vectorized pandas UDF,
+    registered in the session catalog (`spark.udf.register`) and used in
+    a grouped aggregation. The reference registers only built-in TTFs;
+    user scalar functions are the natural extension — Pandas UDFs are the
+    engine's sanctioned slow path (Arrow batches, not per-row pickle)."""
+    from flink_playground_spark.functions.udfs import value_bucket
+
+    spark.udf.register("value_bucket", value_bucket)  # SQL-callable (E1)
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(value_bucket(F.col("value")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions: text analysis, large-scale dedup, similarity search,
 # multimodal plumbing (SURVEY §7.1 "north-star extensions"; first-class

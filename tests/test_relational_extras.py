@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.relational import salted_join
+from flink_playground_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change results — only the shuffle distribution."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    salted = salted_join(orders, customer, [("o_custkey", "c_custkey")], "inner", salt=4).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = events.join(customer, events.user_id == customer.c_custkey, "left_outer")
+    salted = salted_join(events, customer, [("user_id", "c_custkey")], "left_outer", salt=4)
+    assert sorted(map(tuple, plain.select("event_id", "c_name").collect())) == sorted(
+        map(tuple, salted.select("event_id", "c_name").collect())
+    )
+
+
+def test_pandas_udf_registered_sql_callable(spark, sf_dir):
+    """U2: after registration the UDF is callable from the SQL front end."""
+    from flink_playground_spark.queries import REGISTRY
+
+    REGISTRY["pandas_udf_bucket"].spark_fn(spark, sf_dir).collect()  # registers
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    out = spark.sql("SELECT value_bucket(value) AS b FROM events_v LIMIT 5").collect()
+    assert all(r.b % 10 == 0 for r in out)
