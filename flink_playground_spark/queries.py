@@ -869,6 +869,117 @@ def order_limit_topn(spark, sf_dir):
 
 
 @register(
+    "streaming_stream_static_join",
+    """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+    tags=("J4", "T5"),
+)
+def streaming_stream_static_join(spark, sf_dir):
+    """Stream-static join: the events stream enriched against the static
+    customer dim — Spark re-evaluates the static side per micro-batch,
+    which is exactly the reference's 'probe side stateless' enrichment
+    intent (STATE_TTL 'p'='0h', WithDeduplicateJoinJob.java:98)."""
+    from flink_playground_spark.streaming.runners import replay_events_stream, run_to_memory
+
+    customer = _t(spark, sf_dir, "customer")
+    stream = replay_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    joined = stream.join(customer, stream.user_id == customer.c_custkey, "inner").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return run_to_memory(joined, "append")
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts, p.value
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.purchase_ts >= c.click_ts AND p.purchase_ts <= c.click_ts + INTERVAL '1 hour'
+""",
+    tags=("J4", "T3", "T10"),
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """True stream-stream inner join with watermarks + time-range
+    condition (the Structured Streaming joint-state path the reference's
+    TTL-bounded join approximates): purchases within 1h after each click.
+    Both sides buffer bounded state; the watermark evicts it — the
+    engine-level mapping of `table.exec.state.ttl` (T4)."""
+    from flink_playground_spark.streaming.runners import replay_events_stream, run_to_memory
+
+    ev = replay_events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "value")
+    out = run_to_memory(joined, "append")
+    # the corpus timestamps are NTZ µs; present them tz-naive like the oracle
+    return out.withColumn("click_ts", F.col("click_ts").cast("timestamp_ntz")).withColumn(
+        "purchase_ts", F.col("purchase_ts").cast("timestamp_ntz")
+    )
+
+
+@register(
+    "range_join_events",
+    """
+WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+           FROM events WHERE event_type = 'click'),
+e AS (SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS err_ts
+      FROM events WHERE event_type = 'error')
+SELECT c.click_id, e.err_id, c.user_id, c.click_ts, e.err_ts
+FROM c JOIN e ON c.user_id = e.user_id
+  AND e.err_ts > c.click_ts AND e.err_ts <= c.click_ts + INTERVAL '30 minutes'
+""",
+    tags=("superset-join",),
+)
+def range_join_events(spark, sf_dir):
+    """Interval/range join (errors within 30min after a click, per user).
+    Keyed + range predicate: Catalyst plans equi-join on the key with the
+    range as a post-condition — at 100 TB, bucket the time axis and join
+    on (key, bucket) to bound the per-key cross product; here the per-key
+    fan-in is small so the equi-join path is already the right plan."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    return clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("err_ts") > F.col("click_ts"))
+        & (F.col("err_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "err_id", "user_id", "click_ts", "err_ts")
+
+
+@register(
     "pandas_udf_bucket",
     """
 SELECT CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bucket, count(*) AS cnt,
