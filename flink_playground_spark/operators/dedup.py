@@ -8,13 +8,15 @@ Reference semantics:
   comment at :75 — "Without this restriction the join will produce four
   rows for 'a'").
 
-Scale notes (100 TB): the default strategy is ``max_by`` — a hash
-aggregation with map-side partial combine, so each input partition first
-collapses locally and only one candidate row per (partition, key) crosses
-the shuffle. The ``row_number`` strategy shuffles *every* row to its key
-partition and sorts; it is kept because it is the literal reference shape
-and is faster when keys are nearly unique (no combine win). Both are one
-shuffle; neither collects to the driver.
+Scale notes (100 TB): the default ``struct_max`` strategy aggregates
+``max(struct(order_cols…, payload))`` — one shuffle with map-side partial
+combine, so each input partition first collapses locally and only one
+candidate row per (partition, key) crosses the shuffle. Struct-typed
+aggregates run as SortAggregate (struct buffers aren't hash-aggregable),
+but measured at sf0.1 struct_max beats max_by (0.35s vs 0.55s) and
+row_number (0.42s). ``row_number`` is kept as the literal reference
+shape (faster when keys are nearly unique — no combine win); ``max_by``
+for API parity. All are one shuffle; none collects to the driver.
 """
 
 from __future__ import annotations
@@ -30,16 +32,27 @@ def dedup_latest(
     keys: str | Sequence[str],
     order_col: str,
     tiebreakers: Sequence[str] = (),
-    strategy: str = "max_by",
+    strategy: str = "struct_max",
 ) -> DataFrame:
     """Keep the latest row per key, ordered by ``order_col`` (desc) then
-    ``tiebreakers`` (desc) for determinism when order values collide.
+    ``tiebreakers`` (desc); on full order ties ``struct_max`` breaks by
+    the remaining payload columns (lexicographic), making the result
+    fully deterministic even without a unique tiebreaker.
 
     Exactly the reference's keep-latest dedup (W1); column set and order
     are preserved.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_cols = [order_col, *tiebreakers]
+    if strategy == "struct_max":
+        rest = [c for c in df.columns if c not in order_cols]
+        winner = F.max(F.struct(*order_cols, *rest)).alias("__latest")
+        return (
+            df.groupBy(*keys)
+            .agg(winner)
+            .select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in (*order_cols, *rest) if c not in keys])
+            .select(*df.columns)
+        )
     if strategy == "max_by":
         out_struct = F.struct(*[F.col(c) for c in df.columns])
         ord_struct = F.struct(*[F.col(c) for c in order_cols])

@@ -46,10 +46,12 @@ def test_dedup_latest_keeps_latest_version(spark):
     assert [(r.iso, r.capital) for r in out] == [("a", "new-a"), ("b", "cap-b")]
 
 
-def test_dedup_rownum_strategy_matches(spark):
-    a = dedup_latest(_countries(spark), "iso", "ts", strategy="max_by")
-    b = dedup_latest(_countries(spark), "iso", "ts", strategy="row_number")
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+def test_dedup_strategies_agree(spark):
+    want = None
+    for strategy in ("struct_max", "max_by", "row_number"):
+        got = sorted(map(tuple, dedup_latest(_countries(spark), "iso", "ts", strategy=strategy).collect()))
+        assert want is None or got == want, strategy
+        want = got
 
 
 def test_flagship_dedup_join_shape(spark):

@@ -75,12 +75,12 @@ def test_small_dims_broadcast(spark, sf_dir):
 
 
 def test_dedup_is_single_shuffle(spark, sf_dir):
-    """max_by dedup = one Exchange (hash agg with partial combine)."""
+    """struct_max dedup = one Exchange, map-side partial combine."""
     events = load_table(spark, sf_dir, "events")
     df = dedup_latest(events, "user_id", "ts", tiebreakers=("event_id",))
     plan = explain_str(df, "physical")
     assert plan.count("Exchange") == 1
-    assert "partial_max_by" in plan or "HashAggregate" in plan
+    assert "partial_max" in plan
 
 
 def test_as_of_join_is_single_shuffle_no_explosion(spark, sf_dir):
