@@ -33,6 +33,7 @@ def dedup_latest_stream(
     order_col: str,
     tiebreakers: Sequence[str] = (),
     ttl_ms: int | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming keep-latest dedup: emits, per micro-batch, the latest row
     for every key that received data (update semantics, mirroring Flink's
@@ -74,6 +75,8 @@ def dedup_latest_stream(
                 state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame([dict(zip(cols, best))])
 
+    # output_mode "append" emits the same changelog rows but is accepted by
+    # file sinks (which support checkpoint recovery; memory sinks do not)
     return df.groupBy(*keys).applyInPandasWithState(
-        keep_latest, out_schema, state_schema, "update", timeout
+        keep_latest, out_schema, state_schema, output_mode, timeout
     )
