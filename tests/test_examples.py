@@ -1,0 +1,24 @@
+"""Smoke: example jobs run end-to-end in a subprocess (own SparkSession).
+Two representative jobs only — each pays a full session startup."""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.parametrize("job", ["job1_temporal_join.py", "job7_cross_join_unnest.py"])
+def test_example_runs(job):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / job)],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "NULL" in proc.stdout  # both jobs print an outer-join NULL row
