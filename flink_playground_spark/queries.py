@@ -1209,6 +1209,111 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, tables=8, planes=4)
 
 
+_EMB_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 600),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1] * t[2]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4
+"""
+
+
+@register("embedding_neardup", _EMB_NEARDUP_SQL, tags=("ext-dedup", "ext-sim"))
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — exact all-pairs baseline
+    (capped to vec_id < 600: the HOF cosine is interpreted per pair, so
+    all-pairs is quadratic; the LSH bucket variant below is the scale
+    path). Bit-exact double math vs the oracle."""
+    from flink_playground_spark.functions.similarity import cosine
+
+    v = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600).select(
+        "vec_id", "embedding"
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("sim", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+@register("embedding_neardup_lsh", None, tags=("ext-dedup", "ext-sim"))
+def embedding_neardup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: hyperplane-LSH bucket join
+    produces candidates, exact cosine re-scores them — sub-quadratic.
+    Hash-derived hyperplanes → rows-only oracle; recall pinned in tests."""
+    from flink_playground_spark.functions.similarity import cosine, lsh_buckets
+
+    v = _t(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(v, "vec_id", "embedding", tables=8, planes=4)
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.vec").alias("ea"),
+            F.col("b.vec").alias("eb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+_ROLL_M = 2147483647  # 2^31 - 1: keeps acc*31 < 2^36, no ANSI overflow
+
+
+@register(
+    "token_counts",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(toks, s -> CAST(length(s) * 131 + ascii(s) AS BIGINT))),
+                        (a, b) -> (a * 31 + b) % {_ROLL_M}) AS BIGINT) AS rolling_fp
+FROM t
+""",
+    tags=("ext-text",),
+)
+def token_counts(spark, sf_dir):
+    """Token counting two ways (whitespace split; BPE-ish regex of letter
+    runs / digit runs / single punctuation) + a polynomial rolling-hash
+    document fingerprint — all folded JVM-side, byte-identical to the
+    oracle's integer math."""
+    from flink_playground_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    per_token = F.transform(toks, lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long"))
+    rolling = F.aggregate(
+        per_token, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % _ROLL_M
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        rolling.alias("rolling_fp"),
+    )
+
+
 @register(
     "multimodal_decode_agg",
     """

@@ -100,3 +100,23 @@ def test_multimodal_decode_and_stub_boundary(spark, docs):
     bad = attach_blob(docs, "text", fmt="image/jpeg")
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         decode_metadata(bad).collect()
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
+    """LSH candidates re-scored exactly: every returned pair must appear
+    in the exact all-pairs answer (no false positives), with usable recall."""
+    from flink_playground_spark.queries import REGISTRY
+
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in REGISTRY["embedding_neardup"].spark_fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.sim
+        for r in REGISTRY["embedding_neardup_lsh"].spark_fn(spark, sf_dir).collect()
+        if r.id_a < 600 and r.id_b < 600
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[p] == s for p, s in approx.items())  # same exact sims
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
