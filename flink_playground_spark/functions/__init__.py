@@ -1,1 +1,3 @@
-from flink_playground_spark.functions import text, dedupe, similarity, multimodal  # noqa: F401
+# NB: functions.udfs is imported lazily (decorating with @pandas_udf parses
+# the return-type DDL, which requires an active SparkSession)
+from flink_playground_spark.functions import dedupe, multimodal, similarity, text  # noqa: F401

@@ -53,17 +53,6 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles (array<string>) — built with
-    sequence/transform/slice, all JVM-side."""
-    toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(grams)
-
-
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Inverted index: (shingle-hash, doc id) + per-doc distinct count.
 
