@@ -81,3 +81,73 @@ def decode_metadata(df: DataFrame, blob_col: str = "blob", fmt_col: str = "media
             yield pd.concat([pdf[keep_cols].reset_index(drop=True), meta_df], axis=1)
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def extract_features(df: DataFrame, blob_col: str = "blob", bins: int = 16) -> DataFrame:
+    """Feature extraction over opaque media: a ``bins``-bucket byte
+    histogram per blob (deterministic stand-in for an image embedding;
+    swap the inner function for a real model). Arrow-batched mapInPandas;
+    appends ``features array<double>``."""
+    keep_cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", features array<double>"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf[blob_col]:
+                b = bytes(blob)
+                hist = [0] * bins
+                for byte in b:
+                    hist[byte * bins // 256] += 1
+                n = max(len(b), 1)
+                feats.append([h / n for h in hist])
+            yield pdf[keep_cols].assign(features=feats)
+
+    return df.mapInPandas(featurize, schema=out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
+    """Resize plumbing: real image resampling needs an imaging library
+    (absent here — STUB). The deterministic fake truncates/pads the
+    payload to width*height bytes so the batch shapes, schema, and
+    downstream plumbing are real and tested."""
+    keep_cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", resized binary, resized_w int, resized_h int"
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (bytes(b) * (target // max(len(bytes(b)), 1) + 1))[:target] for b in pdf[blob_col]
+            ]
+            yield pdf[keep_cols].assign(resized=out, resized_w=width, resized_h=height)
+
+    return df.mapInPandas(resize, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 4, frame_size: int = 64, blob_col: str = "blob") -> DataFrame:
+    """Video frame sampling plumbing: treat the blob as a sequence of
+    fixed-size 'frames' and keep every ``every_n``-th (real codecs —
+    ffmpeg — are absent; STUB with deterministic slicing). One output row
+    per sampled frame (explode-shaped mapInPandas)."""
+    keep_cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", frame_no int, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = bytes(row[blob_col])
+                for i in range(0, max(len(b) // frame_size, 1), every_n):
+                    frame = b[i * frame_size : (i + 1) * frame_size]
+                    rows.append({**{c: row[c] for c in keep_cols}, "frame_no": i, "frame": frame})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, schema=out_schema)

@@ -61,6 +61,71 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its ``nprobe`` nearest
+    centroids (by cosine). Centroids are broadcast (they are few); the
+    per-vector argmax is a rank window over (vector, centroid) scores —
+    fully codegen'd, one pass over the data."""
+    c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cvec"))
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    scored = v.join(F.broadcast(c)).withColumn("csim", cosine(F.col("vec"), F.col("cvec")))
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select("vid", "vec", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest centroid cell (deterministic centroids: the first
+    ``n_centroids`` corpus vectors — k-means would be an iterative
+    refinement of the same layout); queries probe their ``nprobe``
+    nearest cells and score only those cells' members. The cell join
+    replaces the full cross product — the classic IVF pruning."""
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cand = (
+        probes.alias("q")
+        .join(
+            cells.alias("c"),
+            (F.col("q.centroid_id") == F.col("c.centroid_id")) & (F.col("q.vid") != F.col("c.vid")),
+        )
+        .select(
+            F.col("q.vid").alias("query_id"),
+            F.col("c.vid").alias("neighbor_id"),
+            F.col("q.vec").alias("qvec"),
+            F.col("c.vec").alias("cvec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)).select(
+        "query_id", "neighbor_id", "sim"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, tables: int = 4, planes: int = 12) -> DataFrame:
     """(id, table, bucket) rows: one bucket per hash table per vector.
 

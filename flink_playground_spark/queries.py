@@ -1314,6 +1314,39 @@ def token_counts(spark, sf_dir):
     )
 
 
+@register("ann_ivf_topk", None, tags=("ext-sim",))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: nearest-centroid cells pruned with nprobe
+    probing (the inverted-file ANN family; LSH variant above). Centroid
+    choice is hash-free but data-dependent → rows-only oracle; recall and
+    exact-sim agreement pinned in tests."""
+    from flink_playground_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, nprobe=4)
+
+
+@register(
+    "multimodal_frames",
+    """
+SELECT source,
+       CAST(SUM(CAST(CEIL(GREATEST(octet_length(encode(text)) // 64, 1) / 4.0) AS BIGINT)) AS BIGINT) AS n_frames
+FROM documents GROUP BY source
+""",
+    tags=("ext-multimodal",),
+)
+def multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling over opaque blobs (every 4th 64-byte
+    'frame'; real codecs stubbed): one row per sampled frame, counted per
+    source — the mapInPandas explode shape, with the frame-count formula
+    as the SQL oracle."""
+    from flink_playground_spark.functions.multimodal import attach_blob, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = frame_sample(attach_blob(docs), every_n=4, frame_size=64)
+    return frames.groupBy("source").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
 @register(
     "multimodal_decode_agg",
     """

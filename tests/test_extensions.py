@@ -120,3 +120,47 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     assert all(exact[p] == s for p, s in approx.items())  # same exact sims
     if exact:
         assert len(approx) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_and_exact_sims(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    from flink_playground_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"IVF recall {recall} collapsed"
+    sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    assert all(sims[p] == r.sim for r in approx for p in [(r.query_id, r.neighbor_id)] if p in sims)
+
+
+def test_multimodal_feature_resize_frame_ops(spark, docs):
+    from flink_playground_spark.functions.multimodal import (
+        attach_blob,
+        extract_features,
+        frame_sample,
+        resize_stub,
+    )
+
+    blobs = attach_blob(docs, "text")
+    feats = extract_features(blobs).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    assert all(abs(sum(r.features) - 1.0) < 1e-9 for r in feats if len(r.text.encode()) > 0)
+
+    resized = resize_stub(blobs, 8, 4).collect()
+    assert all(len(bytes(r.resized)) == 32 and r.resized_w == 8 for r in resized)
+
+    frames = frame_sample(blobs, every_n=2, frame_size=16).collect()
+    import math
+
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += 1
+    for r in docs.collect():
+        n = len(r.text.encode())
+        want = math.ceil(max(n // 16, 1) / 2)
+        assert by_doc[r.doc_id] == want
