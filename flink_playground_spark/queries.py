@@ -851,6 +851,51 @@ def session_window_native(spark, sf_dir):
 
 
 @register(
+    "pivot_linestatus",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("superset-agg",),
+)
+def pivot_linestatus(spark, sf_dir):
+    """PIVOT: one column per linestatus value (explicit value list keeps
+    the plan a single aggregation — no distinct-values pre-pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+
+
+@register(
+    "percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("superset-agg",),
+)
+def percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont, verified bit-exact); approx_percentile is the sketch
+    path at 100 TB — same API shape, weaker guarantee."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
     "order_limit_topn",
     """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
