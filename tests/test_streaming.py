@@ -112,3 +112,24 @@ def test_stateful_v2_gated_or_working(spark, sf_dir):
         tiebreakers=("event_id",),
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_insert_into_streaming_table(spark, sf_dir, tmp_path):
+    """S7: INSERT INTO — continuous insert into a catalog table."""
+    from flink_playground_spark.sinks import insert_into
+
+    spark.sql("DROP TABLE IF EXISTS events_sink")
+    spark.sql(
+        "CREATE TABLE events_sink (event_id BIGINT, user_id BIGINT) "
+        f"USING parquet LOCATION '{tmp_path}/events_sink'"
+    )
+    stream = replay_events_stream(spark, sf_dir).select("event_id", "user_id")
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .toTable("events_sink")
+    )
+    q.awaitTermination()
+    assert spark.table("events_sink").count() == 1000  # sf0.001 events
+    spark.sql("DROP TABLE events_sink")
