@@ -530,6 +530,89 @@ def json_props_agg(spark, sf_dir):
     )
 
 
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    tags=("J6", "G1"),
+    bench=True,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped six-way join: Catalyst reorders so the region→
+    nation→supplier dim chain broadcasts and the lineitem fact shuffles
+    once for the orders join; the c_nationkey = s_nationkey condition
+    rides the join, not a post-filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    tags=("P3", "G1"),
+    bench=True,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped: pure scan → pushed filters → single global agg —
+    the scan-throughput probe (no shuffle beyond the 1-row combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # T1-T6 — Structured Streaming: the same semantics executed through the
 # micro-batch engine (state store, incremental agg), drained with
@@ -911,6 +994,46 @@ def order_limit_topn(spark, sf_dir):
         .limit(20)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "streaming_session_window",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts >= LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    tags=("T10", "T6"),
+)
+def streaming_session_window(spark, sf_dir):
+    """Session windows on the streaming engine: per-key gap-merged session
+    state maintained across micro-batches, complete-mode changelog —
+    checked against the same lag/cumsum SQL oracle as the batch variant."""
+    from flink_playground_spark.streaming.runners import replay_events_stream, run_to_memory
+
+    stream = replay_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")
 
 
 @register(
