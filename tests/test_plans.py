@@ -104,3 +104,13 @@ def test_q1_partial_aggregation_single_shuffle(spark, sf_dir):
     plan = explain_str(df, "physical")
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_q5_fact_never_shuffles_for_joins(spark, sf_dir):
+    """Six-way join: every dim side broadcasts; the only hash shuffle is
+    the final aggregation — the fact table streams through the joins."""
+    df = REGISTRY["q5_local_supplier_volume"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") == 1
