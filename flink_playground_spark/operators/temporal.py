@@ -80,6 +80,8 @@ def as_of_join(
     how: str = "left",
     right_tiebreakers: Sequence[str] = (),
     allow_exact_match: bool = True,
+    strategy: str = "union_sort",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Event-time as-of join (J1 generalized): for each left row, attach
     the right row with the greatest ``right_time`` <= ``left_time`` for
@@ -88,9 +90,26 @@ def as_of_join(
     Output columns: all left columns, then right non-key columns
     (including ``right_time``); a right column whose name collides with a
     left column is prefixed ``right_``.
+
+    Strategies:
+    - ``union_sort`` (default): one shuffle of both sides on the key,
+      running last-payload window. Right choice when both sides are big.
+    - ``broadcast``: broadcast the (small) version table, theta-join, and
+      keep the max-version row per left row — the probe side never
+      shuffles (beyond one hash agg keyed on ``left_id``, which AQE keeps
+      local post-broadcast). Requires ``left_id``, a unique left column.
     """
     if how not in ("left", "inner"):
         raise ValueError("as_of_join supports how in {'left','inner'}")
+    if strategy == "broadcast":
+        if left_id is None:
+            raise ValueError("broadcast as_of_join requires left_id (unique left column)")
+        return _as_of_broadcast(
+            left, right, _norm_on(on), left_time, right_time, how, right_tiebreakers,
+            allow_exact_match, left_id,
+        )
+    if strategy != "union_sort":
+        raise ValueError(f"unknown as_of_join strategy: {strategy}")
     pairs = _norm_on(on)
     lkeys = [l for l, _ in pairs]
     rkeys = [r for _, r in pairs]
@@ -138,4 +157,46 @@ def as_of_join(
     return resolved.select(
         "__lpay.*",
         *[F.col(f"__match.{c}").alias(out_names[c]) for c in payload_cols],
+    )
+
+
+def _as_of_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    pairs: list[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    how: str,
+    right_tiebreakers: Sequence[str],
+    allow_exact_match: bool,
+    left_id: str,
+) -> DataFrame:
+    payload_cols = [c for c in right.columns if c not in [r for _, r in pairs]]
+    out_names = {c: (f"right_{c}" if c in left.columns else c) for c in payload_cols}
+    r = right.select(
+        *[F.col(rc).alias(f"__k_{lc}") for lc, rc in pairs],
+        F.struct(
+            F.col(right_time).alias("__t"),
+            *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(right_tiebreakers)],
+            F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+        ).alias("__ver"),
+    )
+    cond = None
+    for lc, _ in pairs:
+        c = left[lc] == r[f"__k_{lc}"]
+        cond = c if cond is None else (cond & c)
+    time_pred = (
+        (r["__ver.__t"] <= left[left_time]) if allow_exact_match else (r["__ver.__t"] < left[left_time])
+    )
+    joined = left.join(F.broadcast(r), cond & time_pred, "left" if how == "left" else "inner")
+    best = (
+        joined.groupBy(left_id)
+        .agg(
+            F.max("__ver").alias("__best"),
+            *[F.first(c).alias(c) for c in left.columns if c != left_id],
+        )
+    )
+    return best.select(
+        *left.columns,
+        *[F.col(f"__best.__p.{c}").alias(out_names[c]) for c in payload_cols],
     )

@@ -148,3 +148,27 @@ def test_table_api_fluent(spark):
     )
     got = {(r.name, r.capital) for r in out.df.collect()}
     assert got == {("Alice", "new-a"), ("Bob", "cap-b"), ("Peter", None), ("Paul", None)}
+
+
+def test_as_of_join_broadcast_strategy_matches_union_sort(spark):
+    probes = from_rows(
+        spark,
+        [
+            ("p1", "a", datetime(2024, 1, 1, 6, 0, 0)),
+            ("p2", "a", datetime(2024, 1, 3, 0, 0, 0)),
+            ("p3", "a", datetime(2023, 12, 31, 0, 0, 0)),
+            ("p4", "b", datetime(2024, 1, 1, 12, 0, 0)),
+            ("p5", "z", datetime(2024, 1, 1, 0, 0, 0)),
+        ],
+        ["pid", "key", "pt"],
+        [str, str, "timestamp_ntz"],
+    )
+    for how in ("left", "inner"):
+        a = as_of_join(probes, _countries(spark), [("key", "iso")], "pt", "ts", how=how)
+        b = as_of_join(
+            probes, _countries(spark), [("key", "iso")], "pt", "ts", how=how,
+            strategy="broadcast", left_id="pid",
+        )
+        assert sorted(map(tuple, a.select("pid", "capital").collect())) == sorted(
+            map(tuple, b.select("pid", "capital").collect())
+        ), how
