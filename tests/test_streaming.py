@@ -133,3 +133,66 @@ def test_insert_into_streaming_table(spark, sf_dir, tmp_path):
     q.awaitTermination()
     assert spark.table("events_sink").count() == 1000  # sf0.001 events
     spark.sql("DROP TABLE events_sink")
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """T3/T10 late-data semantics: after the watermark advances past a
+    window, a late row for that window is dropped from the aggregation
+    (two-file replay = two micro-batches; the watermark advances between
+    them)."""
+    from datetime import datetime
+
+    from flink_playground_spark.sources.memory import from_rows
+
+    schema = "user_id bigint, ts timestamp"
+    wave1 = from_rows(
+        spark,
+        [(1, datetime(2024, 1, 1, 10, 0)), (1, datetime(2024, 1, 1, 12, 0))],
+        ["user_id", "ts"],
+        [int, "timestamp"],
+    )
+    # late row: 10:30 window, but watermark after wave1 is 12:00 - 30min = 11:30
+    wave2 = from_rows(
+        spark,
+        [(1, datetime(2024, 1, 1, 10, 30)), (1, datetime(2024, 1, 1, 12, 30))],
+        ["user_id", "ts"],
+        [int, "timestamp"],
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    wave1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w1"))
+    import shutil
+
+    shutil.copy(next((tmp_path / "w1").glob("*.parquet")), src / "w1.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "user_id", "cnt")
+    )
+    name = "late_data_test"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    wave2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w2"))
+    shutil.copy(next((tmp_path / "w2").glob("*.parquet")), src / "w2.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.ws.hour, r.cnt) for r in spark.table(name).collect()}
+    # 10:00 window emitted with cnt=1 in batch1 and was NOT updated by the
+    # late 10:30 row (watermark 11:30 had closed it); 12:00 window counts
+    # both 12:00 and 12:30 rows
+    assert (10, 1) in got and (10, 2) not in got
+    assert (12, 1) in got and (12, 2) in got
