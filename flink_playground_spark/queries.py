@@ -1482,6 +1482,52 @@ def token_counts(spark, sf_dir):
     )
 
 
+def _activity_sim_oracle() -> str:
+    cols = ", ".join(
+        f"SUM(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) = {h} THEN 1 ELSE 0 END) AS h{h}"
+        for h in range(24)
+    )
+    vec = "list_value(" + ", ".join(f"CAST(h{h} AS DOUBLE)" for h in range(24)) + ")"
+    return f"""
+WITH prof AS (SELECT user_id, {cols} FROM events GROUP BY user_id),
+v AS (SELECT user_id, {vec} AS p FROM prof),
+scored AS (
+  SELECT q.user_id AS query_user, c.user_id AS similar_user,
+         ROUND(list_sum(list_transform(list_zip(q.p, c.p), t -> t[1] * t[2]))
+               / (sqrt(list_sum(list_transform(q.p, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.p, x -> x * x)))), 6) AS sim
+  FROM v q JOIN v c ON q.user_id < 5 AND q.user_id != c.user_id),
+ranked AS (
+  SELECT query_user, similar_user, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_user ORDER BY sim DESC, similar_user ASC) AS rank
+  FROM scored)
+SELECT query_user, similar_user, sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("activity_profile_similarity", _activity_sim_oracle(), tags=("ext-sim", "G1"))
+def activity_profile_similarity(spark, sf_dir):
+    """Time-series similarity search: each user's hour-of-day activity
+    histogram (24-dim, one codegen'd aggregation) ranked by cosine against
+    query users — behavioral nearest neighbors, composed entirely from
+    engine primitives (windowed counts → vector → similarity top-k)."""
+    from flink_playground_spark.functions.similarity import brute_force_topk
+
+    events = _t(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    prof = events.groupBy("user_id").agg(
+        *[F.sum(F.when(hour == h, 1).otherwise(0)).cast("double").alias(f"h{h}") for h in range(24)]
+    )
+    vec = prof.select("user_id", F.array(*[f"h{h}" for h in range(24)]).alias("p"))
+    out = brute_force_topk(vec, vec.filter(F.col("user_id") < 5), id_col="user_id", vec_col="p", k=3)
+    return out.select(
+        F.col("query_id").alias("query_user"),
+        F.col("neighbor_id").alias("similar_user"),
+        "sim",
+        "rank",
+    )
+
+
 @register("ann_ivf_topk", None, tags=("ext-sim",))
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: nearest-centroid cells pruned with nprobe
