@@ -793,6 +793,29 @@ def rollup_pricing(spark, sf_dir):
 
 
 @register(
+    "cube_pricing",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+       count(*) AS cnt
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    tags=("superset-agg",),
+)
+def cube_pricing(spark, sf_dir):
+    """CUBE: all grouping-set combinations (rollup's superset)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "cnt",
+        )
+    )
+
+
+@register(
     "distinct_agg",
     """
 SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
