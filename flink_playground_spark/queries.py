@@ -1350,6 +1350,26 @@ def minhash_lsh_neardup(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
 
 
+@register(
+    "streaming_minhash_neardup",
+    _NGRAM_PAIRS_SQL.format(thr=0.8),
+    tags=("ext-dedup", "T6"),
+)
+def streaming_minhash_neardup(spark, sf_dir):
+    """Incremental near-dup detection: documents arrive in micro-batches;
+    each batch is MinHash-banded against the accumulated corpus state and
+    candidates are verified exactly. Every qualifying pair is emitted in
+    the batch where its later member arrives — so the drained stream
+    equals the batch answer, and the batch SQL is the oracle."""
+    from flink_playground_spark.streaming.neardup import (
+        replay_documents_stream,
+        streaming_neardup,
+    )
+
+    stream = replay_documents_stream(spark, sf_dir)  # 2 micro-batches
+    return streaming_neardup(stream, threshold=0.8)
+
+
 @register("simhash_neardup", None, tags=("ext-dedup",))
 def simhash_neardup(spark, sf_dir):
     """SimHash-64 near-dups (Hamming ≤ 3) by pigeonhole banding. Hash
