@@ -3,11 +3,11 @@
 Four families, each shaped for a 1000-executor cluster:
 
 - **exact**: md5-fingerprint hash-groupBy — one shuffle, map-side combine.
-- **n-gram Jaccard**: word-shingle inverted index self-join. Intersection
-  counts come from one equi-join on the shingle; union sizes from per-doc
-  distinct counts. Exact, but the shingle join is the scale limit —
-  mitigated by dropping ultra-frequent shingles (stop-shingles), the
-  standard trick for inverted-index joins.
+- **n-gram Jaccard**: exact set-similarity self-join done the published
+  way (SSJoin/PPJoin): prefix-filtered candidate generation over a
+  rarest-first shingle order — hot shingles never enter a prefix, so no
+  quadratic candidate blowup on skewed corpora — then exact verification
+  of candidate pairs only, against a single persisted inverted index.
 - **MinHash + LSH**: per-doc signature (K hashes), banded into buckets;
   candidate pairs only where a band bucket collides — the sub-quadratic
   scale path. Candidates are then *verified* with the exact Jaccard
@@ -80,20 +80,29 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return grams.distinct().join(counts, "doc").select("doc", "n_sh", "shingle")
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
-) -> DataFrame:
-    """Exact Jaccard near-duplicate pairs over word n-gram shingle sets.
+def verify_pairs(idx: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for *candidate pairs only* — the shared verification
+    kernel for the n-gram, MinHash-LSH and streaming near-dup paths.
 
-    Columns: id_a < id_b, jaccard (rounded to 6).
+    ``idx`` is a shingle index (doc, n_sh, shingle); ``cand`` is a set of
+    (id_a, id_b) pairs. Cost is O(|cand| x shingles/doc) — two equi-joins
+    on doc ids plus one hash aggregation — NOT a full index self-join, so
+    verification work is proportional to the candidate set, never to the
+    corpus. A candidate pair sharing zero shingles simply drops out of the
+    intersection aggregate (Jaccard 0 < threshold).
     """
-    idx = shingle_index(df, id_col, text_col, n)
-    a = idx.alias("a")
-    b = idx.alias("b")
+    ia = idx.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    ib = idx.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"), F.first("a.n_sh").alias("n_a"), F.first("b.n_sh").alias("n_b"))
+        cand.select("id_a", "id_b")
+        .join(ia, "id_a")
+        .join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
     jac = inter.withColumn(
         "jaccard",
@@ -102,15 +111,125 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 128, n: int = 3) -> DataFrame:
+def prefix_filter_candidates(idx: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs by *prefix filtering* (SSJoin / PPJoin family:
+    Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — exact, no recall loss.
+
+    Shingles get a global rarest-first total order (document frequency,
+    then hash). A doc with n_sh shingles only indexes its first
+    floor((1-t)*n_sh)+1 shingles in that order: two sets with Jaccard >= t
+    must share an element inside both prefixes, so joining on prefix
+    shingles is complete. This is *stronger* than a stop-shingle DF
+    cutoff: ultra-common shingles sort last and never enter a prefix
+    (no hot-shingle candidate blowup), yet the guarantee is exact rather
+    than heuristic. A size filter (min >= t*max, from
+    |inter| <= min(n_a,n_b) and |union| >= max(n_a,n_b)) prunes further.
+    """
+    from pyspark.sql import Window
+
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix = (
+        idx.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + F.lit(1))
+        .select("doc", "n_sh", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # -1e-9: don't let float rounding of t*max prune a boundary-exact pair
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= threshold * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
+            ),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def _all_pairs_jaccard(idx: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard for every co-occurring pair in one index self-join pass:
+    intersection counts from the equi-join on shingle, union from the
+    per-doc distinct counts. The size filter (min >= t*max) is pushed
+    into the join condition. Right shape when the threshold is low
+    enough that prefix filtering would keep ~the whole index anyway."""
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= threshold * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
+            ),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-duplicate pairs over word n-gram shingle sets.
+
+    Columns: id_a < id_b, jaccard (rounded to 6). The shingle index is
+    built ONCE and persisted (round-1 built it per join branch; plans
+    showed 7 Exchanges). Strategy is threshold-adaptive — both arms are
+    exact, they only differ in plan shape:
+
+    - t >= 0.5: prefix-filtered candidates (hot shingles never join;
+      see prefix_filter_candidates) + candidate-only verification.
+    - t < 0.5: prefix length floor((1-t)*n)+1 approaches the whole set,
+      so the DF-rank window + verify re-join would cost more than they
+      prune; a single self-join pass computes intersections directly.
+    """
+    idx = index if index is not None else shingle_index(df, id_col, text_col, n)
+    idx = idx.persist()
+    if threshold >= 0.5:
+        return verify_pairs(idx, prefix_filter_candidates(idx, threshold), threshold)
+    return _all_pairs_jaccard(idx, threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    n: int = 3,
+    index: DataFrame | None = None,
+) -> DataFrame:
     """K-permutation MinHash signature per document.
 
     Shape matters: higher-order array lambdas (transform/aggregate) are
     *interpreted* in Spark — a nested-transform formulation is ~30×
     slower. Instead: the shingle inverted index (already 64-bit hashed)
     feeds K min-aggregates in one whole-stage-codegen'd hash aggregation
-    with map-side partial combine (state per doc = K longs, one shuffle)."""
-    idx = shingle_index(df, id_col, text_col, n)
+    with map-side partial combine (state per doc = K longs, one shuffle).
+
+    Pass ``index`` to reuse an already-built (possibly persisted) shingle
+    index instead of rebuilding it."""
+    idx = index if index is not None else shingle_index(df, id_col, text_col, n)
     mins = idx.groupBy("doc").agg(
         *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}") for i in range(k)]
     )
@@ -130,9 +249,14 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding; with ``verify`` the
     candidates are checked against exact shingle Jaccard, so the result
     equals the exact O(n^2) answer minus LSH false negatives (probability
-    ~(1-t^r)^b, negligible at 32 bands x 4 rows for t>=0.8)."""
+    ~(1-t^r)^b, negligible at 32 bands x 4 rows for t>=0.8).
+
+    The shingle index is built once (persisted) and shared between the
+    signature aggregation and the exact verification of candidates —
+    verification cost is O(candidates), not a second full index join."""
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    idx = shingle_index(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k, n, index=idx)
     banded = sigs.select(
         "doc",
         F.explode(
@@ -158,8 +282,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return verify_pairs(idx, cand, threshold)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
