@@ -79,8 +79,17 @@ def salted_join(
 
     Use when one join key carries a disproportionate share of rows and
     AQE's skew-join split isn't available (e.g. the skewed side is the
-    output of an aggregation). Result is identical to the plain join.
+    output of an aggregation). Result is identical to the plain join for
+    ``how`` in {inner, left/left_outer, left_semi, left_anti} — the only
+    flavors allowed: the right side is replicated ``salt``×, so
+    right/full outer would emit each unmatched right row ``salt`` times.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; the replicated right "
+            f"side would duplicate unmatched right rows under {how!r}"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).alias("__salt")
     left2 = left.select("*", lsalt)
     right2 = right.select("*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"))

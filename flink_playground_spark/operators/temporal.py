@@ -117,6 +117,20 @@ def as_of_join(
     payload_cols = [c for c in right.columns if c not in rkeys]
     out_names = {c: (f"right_{c}" if c in left.columns else c) for c in payload_cols}
 
+    # SQL join semantics: NULL keys never match. Window.partitionBy would
+    # group NULL keys together (a NULL-key probe row would "match" a
+    # NULL-key version row), so: version rows with any NULL key are
+    # dropped up front, and probe rows with any NULL key carry a flag
+    # that nulls their resolved match (left => emitted unmatched,
+    # inner => filtered) — one pass, no plan split.
+    r_null = None
+    l_null = None
+    for l, r in pairs:
+        rn, ln = F.col(r).isNull(), F.col(l).isNull()
+        r_null = rn if r_null is None else (r_null | rn)
+        l_null = ln if l_null is None else (l_null | ln)
+    right = right.filter(~r_null)
+
     # Common layout: key cols (left names), event time, side tag, payloads.
     r_side = right.select(
         *[F.col(r).alias(l) for l, r in pairs],
@@ -135,7 +149,9 @@ def as_of_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__lpay"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb{i}") for i, c in enumerate(right_tiebreakers)],
+        l_null.alias("__nullkey"),
     )
+    r_side = r_side.withColumn("__nullkey", F.lit(False))
 
     tb_order = [F.asc_nulls_last(f"__tb{i}") for i in range(len(right_tiebreakers))]
     # Right rows sort before left rows at equal time => `<=` (exact match
@@ -148,7 +164,10 @@ def as_of_join(
     )
     resolved = (
         r_side.unionByName(l_side)
-        .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+        .withColumn(
+            "__match",
+            F.when(~F.col("__nullkey"), F.last("__rpay", ignorenulls=True).over(w)),
+        )
         .filter(F.col("__side") == 1)
     )
     if how == "inner":
@@ -173,10 +192,13 @@ def _as_of_broadcast(
 ) -> DataFrame:
     payload_cols = [c for c in right.columns if c not in [r for _, r in pairs]]
     out_names = {c: (f"right_{c}" if c in left.columns else c) for c in payload_cols}
+    # cast to timestamp_ntz to match the union_sort strategy — otherwise
+    # inputs with differing time column types (string vs timestamp,
+    # ntz vs ltz) could produce strategy-dependent results
     r = right.select(
         *[F.col(rc).alias(f"__k_{lc}") for lc, rc in pairs],
         F.struct(
-            F.col(right_time).alias("__t"),
+            F.col(right_time).cast("timestamp_ntz").alias("__t"),
             *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(right_tiebreakers)],
             F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
         ).alias("__ver"),
@@ -185,9 +207,8 @@ def _as_of_broadcast(
     for lc, _ in pairs:
         c = left[lc] == r[f"__k_{lc}"]
         cond = c if cond is None else (cond & c)
-    time_pred = (
-        (r["__ver.__t"] <= left[left_time]) if allow_exact_match else (r["__ver.__t"] < left[left_time])
-    )
+    lt = left[left_time].cast("timestamp_ntz")
+    time_pred = (r["__ver.__t"] <= lt) if allow_exact_match else (r["__ver.__t"] < lt)
     joined = left.join(F.broadcast(r), cond & time_pred, "left" if how == "left" else "inner")
     best = (
         joined.groupBy(left_id)

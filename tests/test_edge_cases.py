@@ -46,6 +46,37 @@ def test_as_of_join_empty_right(spark):
     assert as_of_join(left, right, ["k"], "lts", "rts", how="inner").count() == 0
 
 
+def test_as_of_join_null_keys_never_match(spark):
+    """SQL join semantics: a NULL key matches nothing — not even a
+    NULL-keyed version row. Both strategies must agree (ADVICE r1)."""
+    left = from_rows(
+        spark,
+        [(1, None, datetime(2024, 1, 5)), (2, "a", datetime(2024, 1, 5))],
+        ["id", "k", "lts"],
+        [int, str, "timestamp_ntz"],
+    )
+    right = from_rows(
+        spark,
+        [(None, datetime(2024, 1, 1), 10), ("a", datetime(2024, 1, 2), 20)],
+        ["k", "rts", "v"],
+        [str, "timestamp_ntz", int],
+    )
+    for kwargs in (
+        {"strategy": "union_sort"},
+        {"strategy": "broadcast", "left_id": "id"},
+    ):
+        out = {
+            (r.id, r.v)
+            for r in as_of_join(left, right, ["k"], "lts", "rts", how="left", **kwargs).collect()
+        }
+        assert out == {(1, None), (2, 20)}, kwargs
+        inner = {
+            (r.id, r.v)
+            for r in as_of_join(left, right, ["k"], "lts", "rts", how="inner", **kwargs).collect()
+        }
+        assert inner == {(2, 20)}, kwargs
+
+
 def test_temporal_join_empty_dim(spark):
     left = from_rows(spark, [("a", 1)], ["k", "x"], [str, int])
     dim = _empty(spark, "k string, ts timestamp_ntz, payload string")

@@ -29,6 +29,18 @@ def test_salted_join_left_outer(spark, sf_dir):
     )
 
 
+def test_salted_join_rejects_right_and_full_outer(spark, sf_dir):
+    """The replicated right side would duplicate unmatched right rows
+    under right/full outer — salted_join must refuse, not corrupt."""
+    import pytest
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(events, customer, [("user_id", "c_custkey")], how, salt=4)
+
+
 def test_pandas_udf_registered_sql_callable(spark, sf_dir):
     """U2: after registration the UDF is callable from the SQL front end."""
     from flink_playground_spark.queries import REGISTRY

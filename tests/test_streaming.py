@@ -71,8 +71,9 @@ def test_datagen_stream_matches_batch(spark):
     q.stop()
     got = {tuple(r) for r in spark.table("dg").collect()}
     want = {tuple(r) for r in batch.collect()}
-    assert want & got  # same synthesis for overlapping ordinals
-    assert len(got - want) == 0 or all(True for _ in got)  # stream may have extra ordinals
+    # every batch ordinal (0..19) must appear in the drained stream with
+    # identical synthesized values; the stream may carry extra ordinals
+    assert want <= got
 
 
 def test_datagen_batch_deterministic(spark):
