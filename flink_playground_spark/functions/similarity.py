@@ -45,10 +45,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_salt: int = 32,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: query_id, neighbor_id, sim (rounded to 6), rank.
+
+    Two-level rank: corpus scores first rank inside ``(query_id, salt)``
+    groups (salt = hash(neighbor_id) % n_salt), keeping ≤ k per group,
+    then the survivors (≤ k·n_salt rows per query) re-rank globally.
+    A query's global top-k rows are each top-k within their salt group,
+    so the result is identical to the single-window rank — but no single
+    partition ever holds a query's full corpus scores, removing the
+    per-query funnel that capped scale-out when the corpus grows.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
@@ -57,8 +66,17 @@ def brute_force_topk(
         .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
         .select("query_id", "neighbor_id", "sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    order = [F.desc("sim"), F.asc("neighbor_id")]
+    local_w = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    pruned = (
+        scored.withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= k)
+        .drop("lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_assign(
@@ -83,6 +101,45 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame aggregations (no UDF, no driver
+    math): seed = the first ``n_centroids`` corpus vectors (deterministic),
+    then ``iters`` rounds of assign-to-nearest (broadcast centroids, rank
+    window) and recompute-mean (posexplode → per-(centroid, dim) avg →
+    array_sort rebuild). Each round is one corpus scan + one shuffle on
+    (centroid_id, pos) — the textbook distributed k-means layout. A cell
+    that loses all members drops out (its id simply stops matching)."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    for _ in range(iters):
+        assign = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        exploded = assign.select(
+            "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
+        )
+        means = exploded.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias(vec_col),
+            )
+        )
+        # small (n_centroids × dim): materialize so each round's plan
+        # doesn't re-run every previous round's corpus scan
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,18 +148,15 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned
-    to their nearest centroid cell (deterministic centroids: the first
-    ``n_centroids`` corpus vectors — k-means would be an iterative
-    refinement of the same layout); queries probe their ``nprobe``
-    nearest cells and score only those cells' members. The cell join
-    replaces the full cross product — the classic IVF pruning."""
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-    )
+    to their nearest centroid cell (centroids = deterministic seed
+    refined by ``kmeans_iters`` Lloyd iterations, see
+    ``kmeans_centroids``); queries probe their ``nprobe`` nearest cells
+    and score only those cells' members. The cell join replaces the full
+    cross product — the classic IVF pruning."""
+    centroids = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
     probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
     cand = (

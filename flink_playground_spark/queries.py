@@ -110,24 +110,6 @@ def dedup_latest_events(spark, sf_dir):
 
 
 @register(
-    "dedup_latest_rownum",
-    """
-SELECT event_id, ts, user_id, event_type, value FROM (
-  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events) t WHERE rn = 1
-""",
-    tags=("W1", "A1"),
-)
-def dedup_latest_rownum(spark, sf_dir):
-    """Same dedup via the literal ROW_NUMBER()=1 strategy (reference shape)."""
-    events = _t(spark, sf_dir, "events")
-    return dedup_latest(
-        events, "user_id", "ts", tiebreakers=("event_id",), strategy="row_number"
-    ).select("event_id", "ts", "user_id", "event_type", "value")
-
-
-@register(
     "pk_upsert_latest",
     """
 SELECT user_id, event_type AS current_type, value AS current_value FROM (
@@ -362,41 +344,7 @@ def topk_orders_per_customer(spark, sf_dir):
 
 
 @register(
-    "groupby_count",
-    """
-SELECT l_returnflag, l_linestatus, count(*) AS cnt
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-""",
-    tags=("G2",),
-)
-def groupby_count(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@register(
-    "tumble_count_events",
-    """
-SELECT event_type,
-       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
-       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
-       count(*) AS cnt
-FROM events GROUP BY 1, 2, 3
-""",
-    tags=("G1", "T1", "G2"),
-    bench=True,
-)
-def tumble_count_events(spark, sf_dir):
-    """Tumbling-window TVF count (WindowsProctimeAggJob.java:65-81) on event
-    time (deterministic stand-in for proctime, SURVEY §7.4)."""
-    events = _t(spark, sf_dir, "events")
-    return tumble_agg(
-        events, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
-    ).select("event_type", "window_start", "window_end", "cnt")
-
-
-@register(
-    "hop_sum_events",
+    "tumble_hop_events",
     """
 WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
 x AS (
@@ -404,24 +352,47 @@ x AS (
   UNION ALL
   SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws FROM e
 )
-SELECT event_type, ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+SELECT 'tumble' AS op, event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       count(*) AS cnt, NULL AS sum_value
+FROM e GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'hop' AS op, event_type, ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
        count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
-FROM x GROUP BY 1, 2, 3
+FROM x GROUP BY 1, 2, 3, 4
 """,
-    tags=("G1", "T1"),
+    tags=("G1", "T1", "G2"),
+    bench=True,
 )
-def hop_sum_events(spark, sf_dir):
-    """Sliding (HOP) window aggregation — capability superset of the
-    reference's tumble (Flink exposes HOP via the same window TVF family)."""
+def tumble_hop_events(spark, sf_dir):
+    """Tumbling-window TVF count (WindowsProctimeAggJob.java:65-81, event
+    time as the deterministic proctime stand-in, SURVEY §7.4) plus the
+    sliding (HOP) window superset — Flink exposes HOP via the same window
+    TVF family — tagged in one result. Tumble is one shuffle; hop expands
+    each row into overlap (=2) windows map-side, then one shuffle."""
     events = _t(spark, sf_dir, "events")
-    return tumble_agg(
+    tumble = tumble_agg(
+        events, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
+    ).select(
+        F.lit("tumble").alias("op"),
+        "event_type",
+        "window_start",
+        "window_end",
+        "cnt",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    hop = tumble_agg(
         events,
         "ts",
         "1 hour",
         ["event_type"],
         [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")],
         slide="30 minutes",
-    ).select("event_type", "window_start", "window_end", "cnt", "sum_value")
+    ).select(
+        F.lit("hop").alias("op"), "event_type", "window_start", "window_end", "cnt", "sum_value"
+    )
+    return tumble.unionAll(hop)
 
 
 @register(
@@ -702,6 +673,49 @@ def streaming_enrich_join(spark, sf_dir):
     )
 
 
+_CHANGELOG_ORACLE = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+w1 AS (SELECT event_id, ts, user_id, event_type, value FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM e WHERE event_id % 2 = 0) t WHERE rn = 1),
+wa AS (SELECT event_id, ts, user_id, event_type, value FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM e) t WHERE rn = 1)
+SELECT '+I' AS op, CAST(0 AS BIGINT) AS batch_id, user_id, event_id, ts, event_type, value FROM w1
+UNION ALL
+SELECT '+I', 1, user_id, event_id, ts, event_type, value FROM wa
+WHERE user_id NOT IN (SELECT user_id FROM w1)
+UNION ALL
+SELECT '-U', 1, w1.user_id, w1.event_id, w1.ts, w1.event_type, w1.value
+FROM w1 JOIN wa ON w1.user_id = wa.user_id AND w1.event_id <> wa.event_id
+UNION ALL
+SELECT '+U', 1, wa.user_id, wa.event_id, wa.ts, wa.event_type, wa.value
+FROM wa JOIN w1 ON w1.user_id = wa.user_id AND w1.event_id <> wa.event_id
+"""
+
+
+@register("streaming_changelog_dedup", _CHANGELOG_ORACLE, tags=("T6", "W1", "W2"))
+def streaming_changelog_dedup(spark, sf_dir):
+    """Retraction-aware changelog of the keep-latest view — Flink's
+    ``toChangelogStream`` semantics (WithStateTtlJob.java:90): events
+    replayed in two deterministic micro-batches (event_id parity);
+    batch 0 emits +I per key, batch 1 emits -U/+U pairs where the
+    winner changed (and +I for keys first seen) — every op carries the
+    full before/after row, so the oracle reconstructs the exact
+    changelog from the parity split in SQL. Per-batch state IO is
+    bucket-proportional (streaming.state_store)."""
+    from flink_playground_spark.streaming.changelog import keep_latest_changelog_stream
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    stream = replay_events_waves(spark, sf_dir, waves=2).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    log = keep_latest_changelog_stream(
+        stream, "user_id", "ts", tiebreakers=("event_id",), n_buckets=16
+    )
+    return log.select("op", "batch_id", "user_id", "event_id", "ts", "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Capability superset: semi/anti joins, set operations, rollup, distinct
 # aggregation, window frames, sessionization. The reference exercises none
@@ -710,33 +724,29 @@ def streaming_enrich_join(spark, sf_dir):
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     """
-SELECT c_custkey, c_name FROM customer c
+SELECT 'semi' AS op, c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-""",
-    tags=("superset-join",),
-)
-def join_semi(spark, sf_dir):
-    """LEFT SEMI join (EXISTS): customers with a big order."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti",
-    """
-SELECT c_custkey, c_name FROM customer c
+UNION ALL
+SELECT 'anti' AS op, c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
     tags=("superset-join",),
 )
-def join_anti(spark, sf_dir):
-    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+def join_semi_anti(spark, sf_dir):
+    """LEFT SEMI (EXISTS: customers with a big order) and LEFT ANTI
+    (NOT EXISTS: customers with no orders) in one tagged result."""
     c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name"
+    )
+    return semi.unionAll(anti)
 
 
 @register(
@@ -766,123 +776,111 @@ def set_ops(spark, sf_dir):
 
 
 @register(
-    "rollup_pricing",
+    "rollup_cube_pricing",
     """
-SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+SELECT 'rollup' AS op, COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS op, COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+       NULL AS sum_qty, count(*) AS cnt
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
-    tags=("superset-agg",),
+    tags=("superset-agg", "G2"),
 )
-def rollup_pricing(spark, sf_dir):
-    """ROLLUP aggregation (hierarchical subtotals + grand total)."""
+def rollup_cube_pricing(spark, sf_dir):
+    """ROLLUP (hierarchical subtotals + grand total) and CUBE (all
+    grouping-set combinations), tagged in one result. The rollup branch's
+    finest grouping set is exactly the plain GROUP BY count (G2). Each
+    branch is ONE shuffle — Spark expands grouping sets map-side."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    rollup = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .select(
+            F.lit("rollup").alias("op"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
             "sum_qty",
             "cnt",
         )
     )
-
-
-@register(
-    "cube_pricing",
-    """
-SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
-       count(*) AS cnt
-FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-""",
-    tags=("superset-agg",),
-)
-def cube_pricing(spark, sf_dir):
-    """CUBE: all grouping-set combinations (rollup's superset)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
+    cube = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            F.lit("cube").alias("op"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            F.lit(None).cast("double").alias("sum_qty"),
             "cnt",
         )
     )
+    return rollup.unionAll(cube)
 
 
 @register(
-    "distinct_agg",
+    "agg_distinct_percentiles",
     """
 SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
-       count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+       count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag
 """,
     tags=("superset-agg",),
 )
-def distinct_agg(spark, sf_dir):
+def agg_distinct_percentiles(spark, sf_dir):
+    """Multi-DISTINCT aggregation + exact interpolated percentiles in one
+    grouped agg (Spark `percentile` ≡ DuckDB quantile_cont, bit-exact;
+    approx_percentile is the sketch path at 100 TB — same API shape,
+    weaker guarantee). Two count-distincts expand rows (Spark's
+    expand-and-partial strategy) but stay at two shuffles total."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
     )
 
 
 @register(
-    "running_sum_frame",
+    "window_frames_lag_lead",
     """
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-FROM orders
-""",
-    tags=("superset-window",),
-)
-def running_sum_frame(spark, sf_dir):
-    """Explicit ROWS frame: per-customer running spend."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("running_total"),
-    )
-
-
-@register(
-    "lag_lead_orders",
-    """
-SELECT o_custkey, o_orderkey, o_orderdate,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
        LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
        LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
 FROM orders
 """,
     tags=("superset-window",),
 )
-def lag_lead_orders(spark, sf_dir):
+def window_frames_lag_lead(spark, sf_dir):
+    """Explicit ROWS frame (per-customer running spend) + LAG/LEAD in one
+    pass: all three window expressions share a partitioning and sort, so
+    the plan is a single shuffle + single sort, one Window node."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = wo.rowsBetween(Window.unboundedPreceding, 0)
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.lag("o_orderdate").over(w).alias("prev_date"),
-        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("running_total"),
+        F.lag("o_orderdate").over(wo).alias("prev_date"),
+        F.lead("o_orderdate").over(wo).alias("next_date"),
     )
 
 
@@ -898,62 +896,69 @@ sessions AS (
          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked)
-SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-       count(*) AS n_events
+SELECT 'gaps' AS op, user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id
+UNION ALL
+SELECT 'native' AS op, user_id, NULL AS session_id, session_start, session_end, n_events
+FROM (
+  WITH e2 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+  marked2 AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w2 IS NULL
+                     OR ts >= LAG(ts) OVER w2 + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+    FROM e2 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)),
+  sess2 AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked2)
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+  FROM sess2 GROUP BY user_id, sid)
 """
 
 
 @register("sessionize_events", _SESSION_ORACLE, tags=("superset-window",), bench=True)
 def sessionize_events(spark, sf_dir):
-    """Gap-based sessionization (30-minute inactivity): lag + cumulative
-    sum over one shuffle per key."""
+    """Sessionization, both strategies tagged in one result:
+
+    - ``gaps``: lag + cumulative-sum over one shuffle per key (30-minute
+      inactivity gap; strictly-greater boundary), emitting session_id.
+    - ``native``: Spark's built-in ``F.session_window`` aggregation
+      (merge-on-overlap; an event exactly `gap` after the previous one
+      starts a new session, session_end = last event + gap — both
+      mirrored in the oracle's second branch).
+    """
     from flink_playground_spark.operators.windows import sessionize
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts")
     s = sessionize(e, ["user_id"], "ts", "30 minutes")
-    return s.groupBy("user_id", "session_id").agg(
+    gaps = s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.lit("gaps").alias("op"),
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
     )
-
-
-@register(
-    "session_window_native",
-    """
-WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-marked AS (
-  SELECT user_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts >= LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-sess AS (
-  SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM marked)
-SELECT user_id, MIN(ts) AS session_start,
-       MAX(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
-FROM sess GROUP BY user_id, sid
-""",
-    tags=("superset-window",),
-)
-def session_window_native(spark, sf_dir):
-    """Spark's native session_window aggregation (merge-on-overlap; an
-    event exactly `gap` after the previous one starts a new session, and
-    session_end = last event + gap — mirrored in the oracle)."""
-    e = _t(spark, sf_dir, "events").select("user_id", "ts")
-    return (
+    native = (
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
+            F.lit("native").alias("op"),
             "user_id",
+            F.lit(None).cast("bigint").alias("session_id"),
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
         )
     )
+    return gaps.unionAll(native)
 
 
 @register(
@@ -974,30 +979,6 @@ def pivot_linestatus(spark, sf_dir):
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
-    )
-
-
-@register(
-    "percentiles",
-    """
-SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.5) AS p50_qty,
-       quantile_cont(l_extendedprice, 0.95) AS p95_price,
-       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
-FROM lineitem GROUP BY l_returnflag
-""",
-    tags=("superset-agg",),
-)
-def percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    quantile_cont, verified bit-exact); approx_percentile is the sketch
-    path at 100 TB — same API shape, weaker guarantee."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
     )
 
 
@@ -1204,38 +1185,7 @@ def pandas_udf_bucket(spark, sf_dir):
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
-@register(
-    "text_stats",
-    f"""
-WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents)
-SELECT doc_id, lang,
-       len(toks) AS n_tokens,
-       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
-       ROUND(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','in','that'))) / len(toks), 6) AS stop_ratio,
-       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text), 6) AS punct_ratio
-FROM t
-""",
-    tags=("ext-text",),
-    bench=True,
-)
-def text_stats(spark, sf_dir):
-    """Per-document quality statistics — all JVM-side column expressions
-    (no UDF), computed inside the scan stage."""
-    from flink_playground_spark.functions import text as tx
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = tx.tokens("text")
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
-        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
-    )
-
-
-def _langid_oracle() -> str:
+def _text_analysis_oracle() -> str:
     from flink_playground_spark.functions.text import LANG_MARKERS
 
     score_exprs = []
@@ -1247,38 +1197,42 @@ def _langid_oracle() -> str:
     case = "CASE " + " ".join(
         f"WHEN s_{l} > 0 AND s_{l} >= {greatest} THEN '{l}'" for l in langs
     ) + " ELSE 'und' END"
-    return f"""
-WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
-s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM t)
-SELECT doc_id, lang AS declared_lang, {case} AS pred_lang FROM s
+    return rf"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang, text, toks, {", ".join(score_exprs)} FROM t)
+SELECT doc_id, lang AS declared_lang,
+       len(toks) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+       ROUND(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','in','that'))) / len(toks), 6) AS stop_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text), 6) AS punct_ratio,
+       {case} AS pred_lang,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM s
 """
 
 
-@register("lang_id_pred", _langid_oracle(), tags=("ext-text",))
-def lang_id_pred(spark, sf_dir):
-    """Marker-stopword language identification (n-gram heuristic)."""
+@register("text_analysis", _text_analysis_oracle(), tags=("ext-text",), bench=True)
+def text_analysis(spark, sf_dir):
+    """Per-document text analysis in ONE scan-stage projection (no UDF,
+    no shuffle): quality statistics (token counts, mean token length,
+    stopword/punctuation ratios), marker-stopword language identification
+    (n-gram heuristic), and the deterministic md5 fingerprint of the
+    normalized text. Everything is a JVM-side column expression, so the
+    whole query is a single WholeStageCodegen span over the parquet scan."""
     from flink_playground_spark.functions import text as tx
 
     docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
     return docs.select(
-        "doc_id", F.col("lang").alias("declared_lang"), tx.lang_id("text").alias("pred_lang")
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.size(toks).alias("n_tokens"),
+        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        tx.lang_id("text").alias("pred_lang"),
+        tx.fingerprint("text").alias("fp"),
     )
-
-
-@register(
-    "doc_fingerprint",
-    r"""
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-FROM documents
-""",
-    tags=("ext-text",),
-)
-def doc_fingerprint(spark, sf_dir):
-    """Deterministic document fingerprint (md5 of normalized text)."""
-    from flink_playground_spark.functions.text import fingerprint
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
 @register(
@@ -1584,51 +1538,43 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
-    "multimodal_frames",
+    "multimodal_pipeline",
     """
-SELECT source,
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM((octet_length(encode(text)) % 64) + 1) AS BIGINT) AS sum_width,
+       CAST(SUM(CASE WHEN octet_length(encode(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        CAST(SUM(CAST(CEIL(GREATEST(octet_length(encode(text)) // 64, 1) / 4.0) AS BIGINT)) AS BIGINT) AS n_frames
 FROM documents GROUP BY source
 """,
     tags=("ext-multimodal",),
 )
-def multimodal_frames(spark, sf_dir):
-    """Video-style frame sampling over opaque blobs (every 4th 64-byte
-    'frame'; real codecs stubbed): one row per sampled frame, counted per
-    source — the mapInPandas explode shape, with the frame-count formula
-    as the SQL oracle."""
-    from flink_playground_spark.functions.multimodal import attach_blob, frame_sample
+def multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end, per source: opaque binary column +
+    Arrow-batched mapInPandas decode (deterministic fake decoder; real
+    codecs plug in via register_decoder) aggregated on extracted
+    metadata, joined with video-style frame sampling (every 4th 64-byte
+    'frame', one exploded row per sampled frame — the mapInPandas explode
+    shape). Both branches aggregate to one row per source before the
+    join, so the join input is tiny regardless of corpus size."""
+    from flink_playground_spark.functions.multimodal import (
+        attach_blob,
+        decode_metadata,
+        frame_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    frames = frame_sample(attach_blob(docs), every_n=4, frame_size=64)
-    return frames.groupBy("source").agg(F.count(F.lit(1)).alias("n_frames"))
-
-
-@register(
-    "multimodal_decode_agg",
-    """
-SELECT source, count(*) AS n_docs,
-       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       CAST(SUM((octet_length(encode(text)) % 64) + 1) AS BIGINT) AS sum_width,
-       CAST(SUM(CASE WHEN octet_length(encode(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
-FROM documents GROUP BY source
-""",
-    tags=("ext-multimodal",),
-)
-def multimodal_decode_agg(spark, sf_dir):
-    """Multimodal plumbing: opaque binary column + Arrow-batched
-    mapInPandas decode (deterministic fake decoder; real codecs plug in
-    via register_decoder), aggregated on extracted metadata."""
-    from flink_playground_spark.functions.multimodal import attach_blob, decode_metadata
-
-    docs = _t(spark, sf_dir, "documents")
-    decoded = decode_metadata(attach_blob(docs))
-    return decoded.groupBy("source").agg(
+    blobs = attach_blob(docs)
+    decoded = decode_metadata(blobs).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("byte_len").alias("total_bytes"),
         F.sum("width").alias("sum_width"),
         F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("n_valid"),
     )
+    frames = frame_sample(blobs, every_n=4, frame_size=64).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return decoded.join(frames, "source")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

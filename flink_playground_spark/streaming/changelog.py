@@ -1,0 +1,131 @@
+"""Retraction-aware changelog emission (Flink ``toChangelogStream``).
+
+The reference prints an *updating* query as a changelog of row kinds
+(``WithStateTtlJob.java:90``: ``tableEnv.toChangelogStream(outerJoin)
+.print()``): ``+I`` insert, ``-U`` update-before (retraction), ``+U``
+update-after, ``-D`` delete. Round 1 mapped updating queries to Spark's
+update/complete modes, which re-emit new versions but never retract old
+ones — this module closes that last semantic gap.
+
+Design: a changelog is the diff between successive *consistent
+snapshots* of an updating query's result. ``changelog_ops`` computes
+that diff as one full-outer join + one explode — fully distributed, no
+driver loop. ``keep_latest_changelog_stream`` folds a micro-batch stream
+through the bucketed keep-latest state (streaming.state_store) and
+appends each batch's ops, yielding exactly the Flink sequence: a key's
+first row is ``+I``; every overwrite is a ``-U``/``+U`` pair carrying
+the old and new row; a key eviction is ``-D``.
+
+Reference fixture (``WithStateTtlJob.java:62-77``): four rows for
+iso='a' (capitals a,b,c,d) with ``primaryKey("iso")`` collapse to an
+upsert history — changelog ``+I(a,a); -U(a,a) +U(a,b); -U(a,b) +U(a,c);
+-U(a,c) +U(a,d)`` — reproduced bit-for-bit by
+``tests/test_changelog.py``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.dedup import dedup_latest
+from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+OP_COL = "op"
+BATCH_COL = "batch_id"
+
+
+def changelog_ops(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Row-kind diff between two snapshots keyed by ``keys``.
+
+    Emits ``(op, <row columns>)`` where op ∈ {+I, -U, +U, -D}: keys only
+    in ``new`` → +I(new row); keys in both with any non-key column
+    changed → -U(old row) and +U(new row); keys only in ``old`` →
+    -D(old row). Unchanged keys emit nothing. One full-outer join, one
+    explode — no driver-side iteration.
+    """
+    keys = list(keys)
+    cols = new.columns
+    payload = [c for c in cols if c not in keys]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+            F.struct(*payload).alias(f"{tag}_row"),
+        )
+
+    o, n = side(old, "o"), side(new, "n")
+    cond = None
+    for k in keys:
+        c = o[f"o_{k}"].eqNullSafe(n[f"n_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+
+    def entry(op: str, tag: str):
+        return F.struct(
+            F.lit(op).alias(OP_COL),
+            *[F.col(f"{tag}_{k}").alias(k) for k in keys],
+            F.col(f"{tag}_row").alias("__row"),
+        )
+
+    old_missing = F.col("o_row").isNull()
+    new_missing = F.col("n_row").isNull()
+    changed = ~F.col("o_row").eqNullSafe(F.col("n_row"))
+    ops = j.filter(old_missing | new_missing | changed).select(
+        F.explode(
+            F.when(old_missing, F.array(entry("+I", "n")))
+            .when(new_missing, F.array(entry("-D", "o")))
+            .otherwise(F.array(entry("-U", "o"), entry("+U", "n")))
+        ).alias("e")
+    )
+    return ops.select(
+        F.col(f"e.{OP_COL}").alias(OP_COL),
+        *[F.col(f"e.{k}").alias(k) for k in keys],
+        *[F.col(f"e.__row.{c}").alias(c) for c in payload],
+    )
+
+
+def keep_latest_changelog_stream(
+    stream: DataFrame,
+    keys: str | Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+    n_buckets: int = 16,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Drain ``stream`` (availableNow) through keep-latest dedup and
+    return the full retraction changelog ``(op, batch_id, <columns>)``.
+
+    Per micro-batch: collapse the batch to its per-key winners (one
+    shuffle, map-side combine), merge into the bucketed state (IO ∝
+    touched buckets), diff old vs new touched buckets, append the ops.
+    A later row that LOSES to the current state winner emits nothing —
+    matching Flink's Deduplicate changelog, which only speaks when the
+    kept row changes.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    spark = stream.sparkSession
+    work = work_dir or tempfile.mkdtemp(prefix="fps_changelog_")
+    state = BucketedKeyState(f"{work}/state", keys, n_buckets)
+    out_path = f"{work}/ops"
+    emitted = {"any": False}
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        winners = dedup_latest(batch, keys, order_col, tiebreakers)
+        old_touched, new_touched = state.merge_keep_latest(
+            winners, order_col, tiebreakers
+        )
+        ops = changelog_ops(old_touched, new_touched, keys).withColumn(
+            BATCH_COL, F.lit(int(epoch_id)).cast("long")
+        )
+        ops.write.mode("append").parquet(out_path)
+        emitted["any"] = True
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if not emitted["any"]:
+        raise RuntimeError("stream produced no data")
+    return spark.read.parquet(out_path)

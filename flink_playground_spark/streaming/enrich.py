@@ -8,21 +8,22 @@ faithful-and-simpler mapping (SURVEY §7.4) is ``foreachBatch``: per
 micro-batch, fold the batch into a compacted keep-latest dim state, then
 join the probe side against the refreshed snapshot.
 
-State lives in a parquet directory compacted per batch (MERGE INTO with
-Delta/Iceberg when available; plain parquet rewrite here — the state is
-O(distinct keys), not O(stream)).
+State is the key-bucketed parquet store (streaming.state_store): each
+micro-batch reads and dynamically overwrites ONLY the hash buckets its
+keys touch, so per-batch IO is proportional to touched buckets — not to
+total state (round 1 rewrote the whole state directory every batch). On
+a cluster the same layout is a Delta/Iceberg MERGE INTO over a
+bucket-partitioned table. The state is O(distinct keys), not O(stream).
 """
 
 from __future__ import annotations
 
-import shutil
 import tempfile
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-from flink_playground_spark.operators.dedup import dedup_latest
+from flink_playground_spark.streaming.state_store import BucketedKeyState
 
 
 def enrichment_join_stream(
@@ -43,26 +44,15 @@ def enrichment_join_stream(
     """
     spark = probe.sparkSession
     state_dir = state_dir or tempfile.mkdtemp(prefix="fps_dim_state_")
-    state_path = f"{state_dir}/latest"
-    marker = {"has_state": False}
+    state = BucketedKeyState(f"{state_dir}/latest", list(dim_keys), n_buckets=16)
 
     def fold_batch(batch: DataFrame, epoch_id: int) -> None:
-        if marker["has_state"]:
-            old = batch.sparkSession.read.parquet(state_path)
-            merged = old.unionByName(batch.select(*old.columns))
-        else:
-            merged = batch
-        latest = dedup_latest(merged, list(dim_keys), dim_order_col, dim_tiebreakers)
-        tmp = f"{state_dir}/tmp_{epoch_id}_{uuid.uuid4().hex[:6]}"
-        latest.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(state_path, ignore_errors=True)
-        shutil.move(tmp, state_path)
-        marker["has_state"] = True
+        state.merge_keep_latest(batch, dim_order_col, dim_tiebreakers)
 
     q = dim_stream.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
     q.awaitTermination()
 
-    snapshot = spark.read.parquet(state_path) if marker["has_state"] else None
+    snapshot = state.read(spark)
     if snapshot is None:
         raise RuntimeError("dim stream produced no data")
     cond = None

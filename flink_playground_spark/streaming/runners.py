@@ -43,6 +43,38 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
 
 
+def replay_events_waves(spark: SparkSession, sf_dir: str, waves: int = 2) -> DataFrame:
+    """The ``events`` table as a stream of ``waves`` deterministic
+    micro-batches: wave i carries the rows with ``event_id % waves == i``
+    (one file per wave, ``maxFilesPerTrigger=1``). The parity split is
+    what lets an oracle reconstruct each batch's contents in SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flink_playground_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="fps_evsrc_")
+    events = load_table(spark, sf_dir, "events")
+    src = f"{work}/src"
+    os.makedirs(src)
+    for i in range(waves):
+        part = f"{work}/w{i}"
+        events.filter(F.col("event_id") % waves == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        # strictly increasing mtimes pin the file-source batch order
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    return (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
 def run_to_memory(df: DataFrame, output_mode: str, query_name: str | None = None) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a memory
     sink; returns the sink table as a batch DataFrame once the stream

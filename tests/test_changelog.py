@@ -1,0 +1,140 @@
+"""Retraction-aware changelog (Flink toChangelogStream semantics).
+
+Replays the reference's upsert fixture — four rows for iso='a'
+(``WithStateTtlJob.java:62-77``, comment at :75: "Without this
+restriction the join will produce four rows for 'a'") — and asserts the
+exact Flink row-kind sequence, plus the bucketed-state IO property.
+"""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_playground_spark.streaming.changelog import (
+    changelog_ops,
+    keep_latest_changelog_stream,
+)
+from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+
+def _wave_stream(spark, rows_per_wave, schema):
+    """One parquet file per wave, drained one file per micro-batch."""
+    work = tempfile.mkdtemp(prefix="fps_clsrc_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    for i, rows in enumerate(rows_per_wave):
+        part = f"{work}/w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(part)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    first = spark.read.parquet(f"{work}/w0")
+    return (
+        spark.readStream.schema(first.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+
+def test_flink_fixture_changelog_sequence(spark):
+    """+I(a,a); -U(a,a)+U(a,b); -U(a,b)+U(a,c); -U(a,c)+U(a,d) — the
+    changelog Flink prints for the PK'd countries view."""
+    waves = [
+        [("a", "a", 1)],
+        [("a", "b", 2)],
+        [("a", "c", 3)],
+        [("a", "d", 4)],
+    ]
+    stream = _wave_stream(spark, waves, "iso string, capital string, seq long")
+    log = keep_latest_changelog_stream(stream, "iso", "seq", n_buckets=4)
+    got = [
+        (r["batch_id"], r["op"], r["iso"], r["capital"])
+        for r in log.orderBy("batch_id", "op").collect()
+    ]
+    assert got == [
+        (0, "+I", "a", "a"),
+        (1, "+U", "a", "b"),
+        (1, "-U", "a", "a"),
+        (2, "+U", "a", "c"),
+        (2, "-U", "a", "b"),
+        (3, "+U", "a", "d"),
+        (3, "-U", "a", "c"),
+    ]
+    # final upsert state = keep-latest oracle: exactly one row, capital 'd'
+    final = {}
+    for b, op, iso, cap in got:
+        if op in ("+I", "+U"):
+            final[iso] = cap
+        elif op == "-D":
+            final.pop(iso, None)
+    assert final == {"a": "d"}
+
+
+def test_late_loser_emits_nothing(spark):
+    """A row that loses to the current state winner produces no ops
+    (Flink's Deduplicate only speaks when the kept row changes)."""
+    waves = [
+        [("a", "new", 10), ("b", "x", 1)],
+        [("a", "stale", 5)],  # older than seq 10 — must be silent
+    ]
+    stream = _wave_stream(spark, waves, "iso string, capital string, seq long")
+    log = keep_latest_changelog_stream(stream, "iso", "seq", n_buckets=4)
+    rows = log.collect()
+    assert sorted((r["op"], r["iso"]) for r in rows) == [("+I", "a"), ("+I", "b")]
+
+
+def test_changelog_ops_delete(spark):
+    """Keys present only in the old snapshot emit -D."""
+    old = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    new = spark.createDataFrame([("b", 3)], "k string, v long")
+    got = {(r["op"], r["k"], r["v"]) for r in changelog_ops(old, new, ["k"]).collect()}
+    assert got == {("-D", "a", 1), ("-U", "b", 2), ("+U", "b", 3)}
+
+
+def test_bucketed_state_leaves_untouched_buckets_alone(spark, tmp_path):
+    """Merging a batch that touches one bucket must not rewrite the
+    parquet files of other buckets (per-batch IO ∝ touched buckets)."""
+    path = str(tmp_path / "state")
+    st = BucketedKeyState(path, ["k"], n_buckets=8)
+    seed = spark.createDataFrame(
+        [(f"k{i}", i, f"v{i}") for i in range(64)], "k string, seq long, payload string"
+    )
+    st.merge_keep_latest(seed, "seq")
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/__bucket=*/*.parquet")
+    }
+    assert len({os.path.dirname(f) for f in before}) > 1  # multiple buckets exist
+
+    one = spark.createDataFrame([("k0", 100, "updated")], "k string, seq long, payload string")
+    old_t, new_t = st.merge_keep_latest(one, "seq")
+    bucket_of_k0 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("k0")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/__bucket=*/*.parquet")}
+    untouched_dirs = {
+        os.path.dirname(f)
+        for f in before
+        if os.path.basename(os.path.dirname(f)) != f"__bucket={bucket_of_k0}"
+    }
+    surviving = {f for f in before if os.path.dirname(f) in untouched_dirs}
+    assert surviving, "expected untouched buckets"
+    for f in surviving:
+        assert f in after and after[f] == before[f], f"untouched bucket rewritten: {f}"
+    # and the diff is confined to the touched bucket
+    assert {r["k"] for r in old_t.collect()} <= {f"k{i}" for i in range(64)}
+    assert ("k0", 100, "updated") in {
+        (r["k"], r["seq"], r["payload"]) for r in new_t.collect()
+    }
+
+
+def test_state_read_roundtrip(spark, tmp_path):
+    st = BucketedKeyState(str(tmp_path / "s"), ["k"], n_buckets=4)
+    assert st.read(spark) is None
+    st.merge_keep_latest(
+        spark.createDataFrame([("a", 1, "x"), ("a", 2, "y")], "k string, seq long, p string"),
+        "seq",
+    )
+    rows = {(r["k"], r["seq"], r["p"]) for r in st.read(spark).collect()}
+    assert rows == {("a", 2, "y")}

@@ -137,6 +137,32 @@ def test_ivf_topk_recall_and_exact_sims(spark, sf_dir):
     assert all(sims[p] == r.sim for r in approx for p in [(r.query_id, r.neighbor_id)] if p in sims)
 
 
+def test_ivf_kmeans_refinement_improves_recall(spark):
+    """Lloyd refinement improves recall@5 over the raw first-N seed at
+    sf0.1 (2000 vectors; measured 0.760 → 0.787 over 30 queries). On
+    uniform random embeddings the gain comes from balancing the Voronoi
+    cells, not from finding clusters — at tiny scale (sf0.01) it is noise,
+    so this test pins the sf0.1 corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 30)
+    from flink_playground_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    exact_set = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(iters):
+        approx = ivf_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=4, kmeans_iters=iters
+        ).collect()
+        return len(exact_set & {(r.query_id, r.neighbor_id) for r in approx}) / len(exact_set)
+
+    r_seed, r_kmeans = recall(0), recall(2)
+    assert r_kmeans >= r_seed, f"k-means hurt recall: seed={r_seed} kmeans={r_kmeans}"
+    assert r_kmeans >= 0.5, f"IVF+kmeans recall {r_kmeans} collapsed"
+    print(f"recall@5 seed={r_seed:.3f} kmeans(2)={r_kmeans:.3f}")
+
+
 def test_multimodal_feature_resize_frame_ops(spark, docs):
     from flink_playground_spark.functions.multimodal import (
         attach_blob,
