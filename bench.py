@@ -32,7 +32,7 @@ def main() -> None:
         if not q.bench:
             continue
         best = float("inf")
-        for _ in range(2):  # min-of-2: excludes one-time costs (file
+        for _ in range(3):  # min-of-3: excludes one-time costs (file
             # listing, codegen compilation) from the steady-state number
             df = q.spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
@@ -41,18 +41,67 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    prev = _load_previous_round()
+    if prev:
+        out["vs_prev"] = _compare(times, prev)
+    print(json.dumps(out))
     spark.stop()
+
+
+# Registry entries renamed/merged since BENCH_r01 (consolidation): map the
+# old recorded name to its successor so round-over-round stays comparable.
+_RENAMES = {
+    "tumble_count_events": "tumble_hop_events",
+    "text_stats": "text_analysis",
+}
+
+# Queries whose DEFINITION grew this round (consolidation merged several
+# registry entries into one): their ratio vs the previous round compares
+# different work, so they are reported but not flagged as regressions.
+_CHANGED = {
+    "tumble_hop_events",  # was tumble only; now tumble + hop branches
+    "sessionize_events",  # was gap-strategy only; now gaps + native
+    "text_analysis",  # was stats only; now stats + lang-id + fingerprint
+}
+
+
+def _load_previous_round() -> dict | None:
+    here = pathlib.Path(__file__).resolve().parent
+    rounds = sorted(here.glob("BENCH_r*.json"))
+    if not rounds:
+        return None
+    try:
+        data = json.loads(rounds[-1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver wraps our JSON line under "parsed"
+    queries = data.get("queries") or (data.get("parsed") or {}).get("queries") or {}
+    return {"file": rounds[-1].name, "queries": queries}
+
+
+def _compare(times: dict[str, float], prev: dict) -> dict:
+    old = {_RENAMES.get(k, k): v for k, v in prev["queries"].items()}
+    ratios = {
+        name: round(times[name] / old[name], 2)
+        for name in times
+        if name in old and old[name] > 0
+    }
+    return {
+        "against": prev["file"],
+        "ratios": ratios,  # this round / previous round, per query
+        "regressions": {
+            n: r for n, r in ratios.items() if r > 1.5 and n not in _CHANGED
+        },
+        "changed_definition": sorted(_CHANGED & set(ratios)),
+        "new_queries": sorted(set(times) - set(old)),
+    }
 
 
 if __name__ == "__main__":

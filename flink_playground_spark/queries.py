@@ -584,6 +584,84 @@ def q6_forecast_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "q18_large_volume_customer",
+    """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+""",
+    tags=("superset-join", "superset-agg"),
+    bench=True,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume-customer query: the big-agg-join
+    bench shape. Lineitem aggregates ONCE on l_orderkey (one shuffle,
+    map-side combine, decimal-exact); the surviving orders (~0.3%) are
+    broadcast to both orders and customer, so neither big table
+    shuffles for a join; TakeOrderedAndProject caps the sort at 100
+    rows. Q18's textbook plan re-joins lineitem a second time — the
+    per-order sum is already in hand, so this plan skips that scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    j = j.join(customer, j.o_custkey == customer.c_custkey)
+    return (
+        j.select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "skewed_join_salted",
+    """
+WITH s AS (SELECT CASE WHEN value < 90 THEN 1 ELSE user_id + 2 END AS k, value FROM events)
+SELECT c_mktsegment, count(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s LEFT JOIN customer ON k = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("superset-join",),
+    bench=True,
+)
+def skewed_join_salted(spark, sf_dir):
+    """Deliberately skewed join exercising the salted-join operator: ~84%
+    of events collapse onto one hot key (1), the rest spread over
+    user_id+2 — a plain hash join would funnel the hot key into a single
+    shuffle partition. ``salted_join`` spreads it over 8 sub-partitions
+    (replicating the dim 8×), restoring parallelism without AQE; the
+    post-join aggregation collapses to ≤6 rows."""
+    from flink_playground_spark.operators.relational import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    skewed = events.select(
+        F.when(F.col("value") < 90, F.lit(1))
+        .otherwise(F.col("user_id") + 2)
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    joined = salted_join(skewed, customer, on=[("k", "c_custkey")], how="left_outer", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T1-T6 — Structured Streaming: the same semantics executed through the
 # micro-batch engine (state store, incremental agg), drained with
