@@ -129,3 +129,85 @@ def keep_latest_changelog_stream(
     if not emitted["any"]:
         raise RuntimeError("stream produced no data")
     return spark.read.parquet(out_path)
+
+
+def outer_join_changelog_stream(
+    probe: DataFrame,
+    dim_stream: DataFrame,
+    on: Sequence[tuple[str, str]],
+    dim_keys: Sequence[str],
+    dim_order_col: str,
+    dim_tiebreakers: Sequence[str] = (),
+    probe_keys: Sequence[str] | None = None,
+    n_buckets: int = 16,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Changelog of ``probe ⟕ latest(dim)`` as the dim stream arrives —
+    the exact query the reference prints (``WithStateTtlJob.java:79-90``:
+    LEFT OUTER JOIN against the PK'd upsert view, ``toChangelogStream``).
+
+    Batch 0 of the log is the probe's arrival: ``+I(p, NULL…)`` for every
+    probe row (no dim matched yet — Flink's outer join emits exactly
+    these). Each dim micro-batch then updates only the probe rows whose
+    join key's dim row changed: ``-U(p, old_dim)`` / ``+U(p, new_dim)``
+    pairs — the first dim row for a key retracts the null-extended row,
+    later upserts retract the previous join row. Probe rows whose keys
+    never arrive keep their ``+I(p, NULL…)`` — "four rows for 'a'" stays
+    one row per probe key throughout.
+
+    ``probe_keys`` (default: first ``on`` left column) must uniquely
+    identify probe rows — they key the snapshot diff.
+    """
+    spark = probe.sparkSession
+    probe_keys = list(probe_keys or [on[0][0]])
+    work = work_dir or tempfile.mkdtemp(prefix="fps_ojlog_")
+    state = BucketedKeyState(f"{work}/state", list(dim_keys), n_buckets)
+    out_path = f"{work}/ops"
+    # probe is re-joined every batch against only the touched dim rows;
+    # pin it so each batch doesn't re-run the probe's upstream plan
+    probe = probe.localCheckpoint(eager=True)
+    dim_cols_holder: dict[str, list] = {}
+
+    def joined(p: DataFrame, dim_rows: DataFrame) -> DataFrame:
+        cond = None
+        for l, r in on:
+            c = p[l] == dim_rows[r]
+            cond = c if cond is None else (cond & c)
+        out = p.join(dim_rows, cond, "left_outer")
+        keep = [F.col(c) for c in p.columns] + [
+            F.col(c) for c in dim_rows.columns if c not in [r for _, r in on]
+        ]
+        return out.select(*keep)
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        dim_cols_holder.setdefault("cols", batch.columns)
+        old_touched, new_touched = state.merge_keep_latest(
+            batch, dim_order_col, dim_tiebreakers
+        )
+        # only probe rows whose join key sits in a touched bucket can
+        # change; restrict the before/after snapshots to them
+        keys_touched = new_touched.select(
+            *[F.col(r).alias(l) for l, r in on]
+        ).distinct()
+        affected = probe.join(keys_touched, [l for l, _ in on], "left_semi")
+        ops = changelog_ops(
+            joined(affected, old_touched), joined(affected, new_touched), probe_keys
+        ).withColumn(BATCH_COL, F.lit(int(epoch_id) + 1).cast("long"))
+        ops.write.mode("append").parquet(out_path)
+
+    q = dim_stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if "cols" not in dim_cols_holder:
+        raise RuntimeError("dim stream produced no data")
+    # batch 0: the probe arrival — every probe row null-extended
+    dim_cols = dim_cols_holder["cols"]
+    empty_dim = spark.createDataFrame(
+        [], state.read(spark).select(*dim_cols).schema
+    )
+    arrival = (
+        joined(probe, empty_dim)
+        .select(F.lit("+I").alias(OP_COL), "*")
+        .withColumn(BATCH_COL, F.lit(0).cast("long"))
+    )
+    log = spark.read.parquet(out_path)
+    return arrival.select(*log.columns).unionByName(log)

@@ -129,6 +129,65 @@ def test_bucketed_state_leaves_untouched_buckets_alone(spark, tmp_path):
     }
 
 
+def test_outer_join_changelog_reference_fixture(spark):
+    """The reference's printed query (WithStateTtlJob.java:79-90): people
+    LEFT OUTER JOIN the PK'd countries view, as a changelog. Four dim
+    rows for iso='a' arrive one per batch; only Alice (country 'a') ever
+    updates — Bob/Peter/Paul keep their +I null rows ("four rows for 'a'"
+    stays one row per person)."""
+    from flink_playground_spark.streaming.changelog import outer_join_changelog_stream
+
+    people = spark.createDataFrame(
+        [("Alice", 12, "a"), ("Bob", 5, "b"), ("Peter", 13, "c"), ("Paul", 13, "d")],
+        "name string, age int, country string",
+    )
+    waves = [
+        [("a", "a", 1)],
+        [("a", "b", 2)],
+        [("a", "c", 3)],
+        [("a", "d", 4)],
+    ]
+    dim = _wave_stream(spark, waves, "iso string, capital string, seq long")
+    log = outer_join_changelog_stream(
+        people,
+        dim,
+        on=[("country", "iso")],
+        dim_keys=["iso"],
+        dim_order_col="seq",
+        probe_keys=["name"],
+        n_buckets=4,
+    )
+    rows = [
+        (r["batch_id"], r["op"], r["name"], r["capital"])
+        for r in log.orderBy("batch_id", "op", "name").collect()
+    ]
+    arrival = [t for t in rows if t[0] == 0]
+    assert arrival == [
+        (0, "+I", "Alice", None),
+        (0, "+I", "Bob", None),
+        (0, "+I", "Paul", None),
+        (0, "+I", "Peter", None),
+    ]
+    assert [t for t in rows if t[0] > 0] == [
+        (1, "+U", "Alice", "a"),
+        (1, "-U", "Alice", None),
+        (2, "+U", "Alice", "b"),
+        (2, "-U", "Alice", "a"),
+        (3, "+U", "Alice", "c"),
+        (3, "-U", "Alice", "b"),
+        (4, "+U", "Alice", "d"),
+        (4, "-U", "Alice", "c"),
+    ]
+    # materialized view after replaying the changelog == the batch join
+    state = {}
+    for _, op, name, cap in rows:
+        if op in ("+I", "+U"):
+            state[name] = cap
+        elif op == "-D":
+            state.pop(name, None)
+    assert state == {"Alice": "d", "Bob": None, "Peter": None, "Paul": None}
+
+
 def test_state_read_roundtrip(spark, tmp_path):
     st = BucketedKeyState(str(tmp_path / "s"), ["k"], n_buckets=4)
     assert st.read(spark) is None
