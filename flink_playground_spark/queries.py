@@ -1616,6 +1616,78 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "corpus_clean_pipeline",
+    r"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+kept AS (SELECT * FROM stats WHERE n_tokens >= 30 AND punct_ratio <= 0.2),
+canon AS (
+  SELECT fp, MIN(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(n_tokens, doc_id) AS n_tokens
+  FROM kept GROUP BY fp),
+split AS (
+  SELECT lang, n_tokens,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train' ELSE 'test' END AS split
+  FROM canon)
+SELECT lang, split, count(*) AS n_docs,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM split GROUP BY lang, split
+""",
+    tags=("ext-text", "ext-dedup", "pipeline"),
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end training-corpus cleaning — the C4-style recipe as ONE
+    declarative plan: per-doc quality stats computed in the scan stage
+    (no UDF), low-quality docs filtered (length + punctuation), exact
+    near-identical copies collapsed to the min-doc_id canonical row (one
+    shuffle on the fingerprint, map-side combine), a deterministic
+    md5-hash 75/25 train/test split (engine-independent: both sides hash
+    the same string), and per-(lang, split) corpus stats. At 100 TB
+    every stage is either scan-local or a single key shuffle — the whole
+    pipeline is 2 Exchanges."""
+    from flink_playground_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens("text")).alias("n_tokens"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.fingerprint("text").alias("fp"),
+    )
+    kept = stats.filter((F.col("n_tokens") >= 30) & (F.col("punct_ratio") <= 0.2))
+    canon = (
+        kept.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("c"))
+        .select(F.col("c.doc_id"), F.col("c.lang"), F.col("c.n_tokens"))
+    )
+    split = canon.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"0123456789ab"
+            ),
+            "train",
+        ).otherwise("test"),
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
     "multimodal_pipeline",
     """
 SELECT source, count(*) AS n_docs,

@@ -95,6 +95,7 @@ def keep_latest_changelog_stream(
     tiebreakers: Sequence[str] = (),
     n_buckets: int = 16,
     work_dir: str | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Drain ``stream`` (availableNow) through keep-latest dedup and
     return the full retraction changelog ``(op, batch_id, <columns>)``.
@@ -105,13 +106,19 @@ def keep_latest_changelog_stream(
     A later row that LOSES to the current state winner emits nothing —
     matching Flink's Deduplicate changelog, which only speaks when the
     kept row changes.
+
+    Passing a stable ``work_dir`` with ``checkpoint=True`` makes the log
+    restartable: the stream checkpoint tracks consumed source files, the
+    bucketed state reattaches to its on-disk buckets, and a relaunch
+    appends ops only for newly-arrived data, continuing the batch
+    numbering — the emitted changelog equals the uninterrupted run's.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     spark = stream.sparkSession
     work = work_dir or tempfile.mkdtemp(prefix="fps_changelog_")
     state = BucketedKeyState(f"{work}/state", keys, n_buckets)
     out_path = f"{work}/ops"
-    emitted = {"any": False}
+    emitted = {"any": state._has_state}
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         winners = dedup_latest(batch, keys, order_col, tiebreakers)
@@ -124,7 +131,10 @@ def keep_latest_changelog_stream(
         ops.write.mode("append").parquet(out_path)
         emitted["any"] = True
 
-    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", f"{work}/ckpt")
+    q = writer.start()
     q.awaitTermination()
     if not emitted["any"]:
         raise RuntimeError("stream produced no data")

@@ -36,10 +36,16 @@ class BucketedKeyState:
     """Keep-latest keyed state sharded into hash-bucket partitions."""
 
     def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 16):
+        import glob
+        import os
+
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
-        self._has_state = False
+        # a restarted job reattaches to state a previous run left on disk
+        self._has_state = os.path.isdir(path) and bool(
+            glob.glob(f"{path}/{BUCKET_COL}=*")
+        )
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")

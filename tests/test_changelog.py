@@ -188,6 +188,65 @@ def test_outer_join_changelog_reference_fixture(spark):
     assert state == {"Alice": "d", "Bob": None, "Peter": None, "Paul": None}
 
 
+def test_changelog_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-relaunch durability: run the changelog over the first two
+    waves, then relaunch with the same work_dir/checkpoint after two more
+    waves arrive — the combined log must equal the uninterrupted 4-wave
+    sequence (state reattaches, batch numbering continues, no re-emission
+    of already-logged ops)."""
+    import glob as g
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    work = str(tmp_path / "work")
+    all_waves = [
+        [("a", "a", 1)],
+        [("a", "b", 2)],
+        [("a", "c", 3)],
+        [("a", "d", 4)],
+    ]
+
+    def add_wave(i, rows):
+        part = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, "iso string, capital string, seq long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(g.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    def run():
+        first = spark.createDataFrame([], "iso string, capital string, seq long")
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return keep_latest_changelog_stream(
+            stream, "iso", "seq", n_buckets=4, work_dir=work, checkpoint=True
+        )
+
+    add_wave(0, all_waves[0])
+    add_wave(1, all_waves[1])
+    run().collect()  # first run: waves 0-1, then "crash"
+    add_wave(2, all_waves[2])
+    add_wave(3, all_waves[3])
+    log = run()  # relaunch: must consume only waves 2-3
+    got = [
+        (r["batch_id"], r["op"], r["iso"], r["capital"])
+        for r in log.orderBy("batch_id", "op").collect()
+    ]
+    assert got == [
+        (0, "+I", "a", "a"),
+        (1, "+U", "a", "b"),
+        (1, "-U", "a", "a"),
+        (2, "+U", "a", "c"),
+        (2, "-U", "a", "b"),
+        (3, "+U", "a", "d"),
+        (3, "-U", "a", "c"),
+    ]
+
+
 def test_state_read_roundtrip(spark, tmp_path):
     st = BucketedKeyState(str(tmp_path / "s"), ["k"], n_buckets=4)
     assert st.read(spark) is None

@@ -114,3 +114,37 @@ def test_q5_fact_never_shuffles_for_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_big_tables_never_shuffle_for_joins(spark, sf_dir):
+    """Q18 shape: lineitem shuffles ONCE (the per-order agg); the
+    qualifying-order set broadcasts to orders and customer, and the
+    top-100 runs as TakeOrderedAndProject, not a full sort."""
+    df = REGISTRY["q18_large_volume_customer"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # lineitem agg only
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_clean_pipeline_two_shuffles(spark, sf_dir):
+    """C4-style cleaning: stats + filter are scan-local; the only
+    shuffles are the fingerprint dedup and the final (lang, split) agg,
+    both with map-side partial aggregation."""
+    df = REGISTRY["corpus_clean_pipeline"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_brute_force_topk_no_full_corpus_window(spark, sf_dir):
+    """Two-level top-k: the global per-query rank must run AFTER the
+    salted local prune — the plan's second window sees at most k·n_salt
+    rows per query, so no partition holds a query's full corpus scores."""
+    df = REGISTRY["cosine_topk"].spark_fn(spark, sf_dir)
+    plan = explain_str(df, "physical")
+    # two Window nodes: salted local rank, then global re-rank
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
+    # the first (local) partitioning includes the salt expression
+    assert "pmod" in plan or "hash" in plan
