@@ -1,0 +1,155 @@
+"""Custom Python DataSource datagen (Spark 4 ``pyspark.sql.datasource``).
+
+The reference's datagen is a *connector* registered in the table
+environment (``'connector' = 'datagen'``, ``WithStateTtlJob.java:55-60``).
+``sources/datagen.py`` maps it onto ``spark.range``/rate-source plus
+column synthesis; this module implements the same contract as a real
+registered source through Spark 4's Python DataSource API — the engine's
+demonstration that new connectors (Kafka-shaped, queue-shaped, …) can be
+authored in pure Python against public API:
+
+- ``FlinkDatagenSource`` registers as ``spark.read.format("flink_datagen")``.
+- The batch reader plans ``num-partitions`` ordinal-range splits — the
+  partition-planning hook a 1000-executor scan needs.
+- The stream reader tracks a monotonically increasing ordinal offset
+  (``initialOffset``/``latestOffset``/``partitions``/``commit`` — the
+  exactly-once replay contract), advancing ``rows-per-batch`` per
+  micro-batch up to ``max-rows``.
+
+The source emits ONLY row ordinals; field synthesis stays the shared
+JVM-side expressions (``datagen._synth_column``), so a Python-source row
+is bit-identical to the ``spark.range`` flavor for the same ordinal and
+the Python layer stays O(rows) trivial work — generation is not the
+bottleneck, and parity is testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from flink_playground_spark.sources.datagen import _synth_column
+
+
+class _OrdinalRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _OrdinalBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("number-of-rows", 4))
+        self.parts = max(1, int(options.get("num-partitions", 4)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = -(-self.n // self.parts)  # ceil
+        return [
+            _OrdinalRange(i, min(i + step, self.n)) for i in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _OrdinalRange) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield (i,)
+
+
+class _OrdinalStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows-per-batch", 4))
+        self.max_rows = int(options.get("max-rows", 2**31))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"ordinal": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.rows_per_batch, self.max_rows)
+        return {"ordinal": self._current}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [_OrdinalRange(int(start["ordinal"]), int(end["ordinal"]))]
+
+    def read(self, partition: _OrdinalRange) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield (i,)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class FlinkDatagenSource(DataSource):
+    """``spark.read.format("flink_datagen")`` / ``spark.readStream...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flink_datagen"
+
+    def schema(self) -> str:
+        return "__ordinal bigint"
+
+    def reader(self, schema) -> _OrdinalBatchReader:
+        return _OrdinalBatchReader(self.options)
+
+    def streamReader(self, schema) -> _OrdinalStreamReader:
+        return _OrdinalStreamReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(FlinkDatagenSource)
+
+
+def _apply_fields(df: DataFrame, fields: dict[str, dict]) -> DataFrame:
+    for name, spec in fields.items():
+        df = df.withColumn(name, _synth_column(F.col("__ordinal"), name, spec))
+    return df.drop("__ordinal")
+
+
+def pydatagen_batch(
+    spark: SparkSession,
+    number_of_rows: int,
+    fields: dict[str, dict],
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Bounded datagen through the registered Python DataSource; field
+    values are bit-identical to ``datagen.datagen_batch`` per ordinal."""
+    register(spark)
+    df = (
+        spark.read.format("flink_datagen")
+        .option("number-of-rows", number_of_rows)
+        .option("num-partitions", num_partitions)
+        .load()
+    )
+    return _apply_fields(df, fields)
+
+
+def pydatagen_stream(
+    spark: SparkSession,
+    fields: dict[str, dict],
+    rows_per_batch: int = 4,
+    max_rows: int = 16,
+) -> DataFrame:
+    """Unbounded datagen stream through the Python DataSource stream
+    reader (ordinal offsets, ``rows-per-batch`` admission per micro-batch,
+    capped at ``max-rows`` so drains terminate). NB: Spark's Python
+    stream sources don't support Trigger.AvailableNow (it falls back to
+    a single batch) — drain with a continuous trigger and stop once the
+    cap is reached (see tests/test_pydatasource.py)."""
+    register(spark)
+    df = (
+        spark.readStream.format("flink_datagen")
+        .option("rows-per-batch", rows_per_batch)
+        .option("max-rows", max_rows)
+        .load()
+    )
+    return _apply_fields(df, fields)
