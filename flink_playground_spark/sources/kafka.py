@@ -6,6 +6,11 @@ connector jar. The descriptor builds the real ``format("kafka")`` reader
 when the connector is on the classpath and raises a clear, actionable
 error when it isn't — the plumbing (options, schema projection,
 startingOffsets) is the production shape either way.
+
+For the Kafka *semantics* without the jar, ``sources/kafkalike.py``
+implements a registered Python DataSource with the same row schema and
+the full per-partition-offset replay/commit contract over local
+append-only logs — downstream code is source-agnostic between the two.
 """
 
 from __future__ import annotations
