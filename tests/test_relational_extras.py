@@ -49,3 +49,32 @@ def test_pandas_udf_registered_sql_callable(spark, sf_dir):
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
     out = spark.sql("SELECT value_bucket(value) AS b FROM events_v LIMIT 5").collect()
     assert all(r.b % 10 == 0 for r in out)
+
+
+def test_udtf_lateral_ngrams_matches_jvm_shingles(spark, sf_dir):
+    """U1/U2 table-function surface: a Python UDTF registered in the
+    session catalog, called from SQL with LATERAL, produces the same
+    n-gram multiset as the codegen'd shingle expressions (the engine's
+    bulk path) — same tokenization, same joining."""
+    from flink_playground_spark.functions.udtf_fns import register_udtfs
+    from flink_playground_spark.sources.tables import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM udtf_docs d, LATERAL tokenize_ngrams(d.text, 3) g
+        """
+    ).collect()
+    # driver-side reference on the same 20 docs (test-only, tiny)
+    import re as _re
+
+    want = []
+    for r in docs.select("doc_id", "text").collect():
+        toks = _re.findall(r"[a-z0-9]+", r["text"].lower())
+        for i in range(max(len(toks) - 2, 0)):
+            want.append((r["doc_id"], i, " ".join(toks[i : i + 3])))
+    assert sorted((r["doc_id"], r["pos"], r["ngram"]) for r in got) == sorted(want)
+    assert len(want) > 0
