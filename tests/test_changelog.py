@@ -256,3 +256,39 @@ def test_state_read_roundtrip(spark, tmp_path):
     )
     rows = {(r["k"], r["seq"], r["p"]) for r in st.read(spark).collect()}
     assert rows == {("a", 2, "y")}
+
+
+def test_changelog_ops_reconstruct_property(spark):
+    """Soundness of the diff: for random before/after snapshots, applying
+    the emitted ops to the before-state reconstructs the after-state
+    exactly (+I/+U set, -D remove; -U rows must name the retracted
+    values). Three seeded rounds with overlapping/disjoint key spaces."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        keys_old = rng.sample(range(40), rng.randint(5, 25))
+        keys_new = rng.sample(range(40), rng.randint(5, 25))
+        old_rows = [(f"k{k}", rng.randint(0, 3)) for k in keys_old]
+        new_rows = [(f"k{k}", rng.randint(0, 3)) for k in keys_new]
+        old = spark.createDataFrame(old_rows, "k string, v long")
+        new = spark.createDataFrame(new_rows, "k string, v long")
+        ops = changelog_ops(old, new, ["k"]).collect()
+
+        state = dict(old_rows)
+        retracted = {}
+        for r in ops:
+            if r["op"] in ("+I", "+U"):
+                state[r["k"]] = r["v"]
+            elif r["op"] == "-D":
+                state.pop(r["k"])
+            elif r["op"] == "-U":
+                retracted[r["k"]] = r["v"]
+        assert state == dict(new_rows), f"seed {seed}: reconstruction failed"
+        # every -U names the value that actually stood before
+        before = dict(old_rows)
+        for k, v in retracted.items():
+            assert before[k] == v, f"seed {seed}: -U retracted wrong value"
+        # unchanged keys are silent
+        unchanged = {k for k, v in old_rows if dict(new_rows).get(k) == v}
+        assert not unchanged & {r["k"] for r in ops}, f"seed {seed}: noisy ops"

@@ -190,3 +190,20 @@ def test_multimodal_feature_resize_frame_ops(spark, docs):
         n = len(r.text.encode())
         want = math.ceil(max(n // 16, 1) / 2)
         assert by_doc[r.doc_id] == want
+
+
+def test_sketch_aggregates_within_error_bounds(spark):
+    """The 100 TB sketch path (approx_count_distinct = HLL++,
+    approx_percentile = KLL-ish): at sf0.1 both must land within their
+    documented error bounds of the exact answers the oracle-checked
+    queries compute — the evidence that swapping exact → sketch at scale
+    is a bounded-accuracy decision, not a leap."""
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    row = li.agg(
+        F.count_distinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("approx_p"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
+    assert abs(row["approx_p"] - row["exact_p"]) / row["exact_p"] < 0.01
