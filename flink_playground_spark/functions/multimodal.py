@@ -141,13 +141,24 @@ def frame_sample(df: DataFrame, every_n: int = 4, frame_size: int = 64, blob_col
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                b = bytes(row[blob_col])
-                for i in range(0, max(len(b) // frame_size, 1), every_n):
-                    frame = b[i * frame_size : (i + 1) * frame_size]
-                    rows.append({**{c: row[c] for c in keep_cols}, "frame_no": i, "frame": frame})
-            if rows:
-                yield pd.DataFrame(rows)
+            # columnar explode: per-row sampled frame numbers, then one
+            # pandas repeat + one concat — no per-row iterrows()
+            blobs = [bytes(b) for b in pdf[blob_col]]
+            frame_nos = [
+                list(range(0, max(len(b) // frame_size, 1), every_n)) for b in blobs
+            ]
+            counts = [len(f) for f in frame_nos]
+            if sum(counts) == 0:
+                continue
+            flat_nos = [i for nos in frame_nos for i in nos]
+            flat_frames = [
+                b[i * frame_size : (i + 1) * frame_size]
+                for b, nos in zip(blobs, frame_nos)
+                for i in nos
+            ]
+            out = pdf[keep_cols].loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            out["frame_no"] = flat_nos
+            out["frame"] = flat_frames
+            yield out
 
     return df.mapInPandas(sample, schema=out_schema)

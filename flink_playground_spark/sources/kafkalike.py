@@ -17,7 +17,10 @@ committed per-partition positions, and a batch read accepts Kafka-style
 ``{"<topic>": {"<partition>": offset}}`` bounds.
 
 Log layout: ``{log_dir}/{topic}/p{partition}.jsonl``; line N = offset N;
-each line ``{"key": ..., "value": ..., "ts": iso-µs}``.
+each line ``{"key": ..., "value": ..., "ts": iso-µs}``. Offset seeks
+scan lines from the file head — fine for the local stand-in; a real
+deployment keeps a byte-offset index per segment (what Kafka brokers
+do), which slots in at ``_read_range`` without touching the protocol.
 """
 
 from __future__ import annotations
