@@ -417,31 +417,73 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: the engine's headline scan+agg.
 
-    Money columns are summed as decimal — exact and independent of
-    Spark's partial-aggregation order (a raw double sum differs from a
-    sequential oracle sum in the last ulp and can straddle a rounding
-    midpoint, since the data's values are discrete decimals).
+    Money math must be EXACT and order-independent (a raw double sum
+    differs from the sequential oracle sum in the last ulp and can
+    straddle a rounding midpoint — the data's values are discrete
+    decimals). Spark's decimal-sum aggregate delivers that but runs
+    outside primitive codegen (~4× slower than long sums, measured), so
+    the heavy pass here sums EXACT INTEGER UNITS (cents; price·disc
+    products in 1e-4/1e-6 dollar units) as longs, grouped by
+    (group keys, spark_partition_id) — map-side it collapses to one row
+    per (partition, group), so the shuffle carries only
+    groups × partitions rows — and a second, trivial aggregation sums
+    the partials as decimals. Integer sums are exact in any order;
+    decimal partials are exact; the result is bit-identical to the
+    all-decimal formulation (and to the oracle) at long-sum speed.
+
+    Overflow safety at 100 TB: `maxPartitionBytes` (128 MB) caps a scan
+    partition at ~1.1e6 lineitem rows; the largest per-row term (charge,
+    1e-6 units) is ≤ ~1.1e11, so a per-partition partial is ≤ ~1.2e17 —
+    64× inside int64, and Spark 4 ANSI mode would throw loudly rather
+    than wrap if that invariant were ever violated. The decimal second
+    stage is unbounded-safe.
     """
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    disc_price = price * (F.lit(1) - disc)
-    cnt = F.count(F.lit(1))
-    return (
-        li.filter(F.col("l_shipdate") <= "2001-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (F.lit(1) + tax)), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    base = li.filter(F.col("l_shipdate") <= "2001-09-02").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.spark_partition_id().alias("__pid"),
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("pc"),
+        cents("l_discount").alias("dc"),
+        cents("l_tax").alias("tc"),
+    )
+    part = base.groupBy("l_returnflag", "l_linestatus", "__pid").agg(
+        F.sum("qc").alias("sq"),
+        F.sum("pc").alias("sp"),
+        F.sum(F.col("pc") * (100 - F.col("dc"))).alias("sdp"),
+        F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).alias("sch"),
+        F.sum("dc").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def dec(col: str, scale: str, scale_type: str):
+        # unscaled long partials → exact decimal total (multiply by the
+        # exact decimal scale factor; no decimal division)
+        return F.sum(F.col(col).cast("decimal(27,0)")).cast("decimal(32,0)") * F.lit(
+            scale
+        ).cast(scale_type)
+
+    agg = part.groupBy("l_returnflag", "l_linestatus").agg(
+        dec("sq", "0.01", "decimal(3,2)").alias("dsq"),
+        dec("sp", "0.01", "decimal(3,2)").alias("dsp"),
+        dec("sdp", "0.0001", "decimal(5,4)").alias("dsdp"),
+        dec("sch", "0.000001", "decimal(7,6)").alias("dsch"),
+        dec("sd", "0.01", "decimal(3,2)").alias("dsd"),
+        F.sum("n").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("dsq").cast("double").alias("sum_qty"),
+        F.col("dsp").cast("double").alias("sum_base_price"),
+        F.round(F.col("dsdp"), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("dsch"), 2).cast("double").alias("sum_charge"),
+        F.round(F.col("dsq").cast("double") / F.col("n"), 4).alias("avg_qty"),
+        F.round(F.col("dsp").cast("double") / F.col("n"), 4).alias("avg_price"),
+        F.round(F.col("dsd").cast("double") / F.col("n"), 4).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
@@ -608,11 +650,16 @@ def q18_large_volume_customer(spark, sf_dir):
     rows. Q18's textbook plan re-joins lineitem a second time — the
     per-order sum is already in hand, so this plan skips that scan."""
     li = _t(spark, sf_dir, "lineitem")
+    # exact integer units: sum quantity CENTS as longs (primitive codegen,
+    # ~4× a decimal sum; a per-order sum is ≤ a few thousand — no
+    # overflow at any corpus size), threshold 300.00 ⇔ 30000 cents, and
+    # the final cents→double division is correctly rounded, matching
+    # CAST(SUM(decimal) AS DOUBLE) bit-for-bit
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qc"))
+        .filter(F.col("qc") > 30000)
+        .select("l_orderkey", (F.col("qc").cast("double") / 100).alias("sum_qty"))
     )
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")

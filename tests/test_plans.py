@@ -97,13 +97,19 @@ def test_as_of_join_is_single_shuffle_no_explosion(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
-def test_q1_partial_aggregation_single_shuffle(spark, sf_dir):
-    """The headline agg must combine map-side (partial_sum) and shuffle
-    only the per-group partials — the property that matters at 100 TB."""
+def test_q1_two_level_exact_integer_aggregation(spark, sf_dir):
+    """The headline agg's heavy pass must run as LONG sums (primitive
+    codegen), collapse map-side to one row per (partition, group), and
+    leave decimal math to the tiny partials stage — two hash exchanges,
+    both carrying only partial rows, never lineitem."""
     df = REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     assert "partial_sum" in plan
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the per-row pass must NOT sum decimals — decimal appears only in
+    # the second-stage aggregate over partials
+    first_agg = plan.split("Exchange hashpartitioning")[-1]  # innermost stage
+    assert "decimal" not in first_agg.split("HashAggregate")[-1].lower()
 
 
 def test_q5_fact_never_shuffles_for_joins(spark, sf_dir):
