@@ -438,40 +438,29 @@ def q1_pricing_summary(spark, sf_dir):
     than wrap if that invariant were ever violated. The decimal second
     stage is unbounded-safe.
     """
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
     li = _t(spark, sf_dir, "lineitem")
-    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
     base = li.filter(F.col("l_shipdate") <= "2001-09-02").select(
         "l_returnflag",
         "l_linestatus",
-        F.spark_partition_id().alias("__pid"),
         cents("l_quantity").alias("qc"),
         cents("l_extendedprice").alias("pc"),
         cents("l_discount").alias("dc"),
         cents("l_tax").alias("tc"),
     )
-    part = base.groupBy("l_returnflag", "l_linestatus", "__pid").agg(
-        F.sum("qc").alias("sq"),
-        F.sum("pc").alias("sp"),
-        F.sum(F.col("pc") * (100 - F.col("dc"))).alias("sdp"),
-        F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).alias("sch"),
-        F.sum("dc").alias("sd"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-    def dec(col: str, scale: str, scale_type: str):
-        # unscaled long partials → exact decimal total (multiply by the
-        # exact decimal scale factor; no decimal division)
-        return F.sum(F.col(col).cast("decimal(27,0)")).cast("decimal(32,0)") * F.lit(
-            scale
-        ).cast(scale_type)
-
-    agg = part.groupBy("l_returnflag", "l_linestatus").agg(
-        dec("sq", "0.01", "decimal(3,2)").alias("dsq"),
-        dec("sp", "0.01", "decimal(3,2)").alias("dsp"),
-        dec("sdp", "0.0001", "decimal(5,4)").alias("dsdp"),
-        dec("sch", "0.000001", "decimal(7,6)").alias("dsch"),
-        dec("sd", "0.01", "decimal(3,2)").alias("dsd"),
-        F.sum("n").alias("n"),
+    dp = F.col("pc") * (100 - F.col("dc"))
+    agg = exact_money_agg(
+        base,
+        ["l_returnflag", "l_linestatus"],
+        unit_sums={
+            "dsq": (F.col("qc"), 2),
+            "dsp": (F.col("pc"), 2),
+            "dsdp": (dp, 4),
+            "dsch": (dp * (100 + F.col("tc")), 6),
+            "dsd": (F.col("dc"), 2),
+        },
+        extra={"n": F.lit(1)},
     )
     return agg.select(
         "l_returnflag",
@@ -504,19 +493,31 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 )
 def q3_revenue_by_order(spark, sf_dir):
     """TPC-H Q3-shaped: selective dim filter → fact join → agg. Customer is
-    the small filtered side; Catalyst/AQE broadcasts it."""
+    the small filtered side; Catalyst/AQE broadcasts it. Revenue sums in
+    exact 1e-4-dollar integer units as longs (primitive codegen — see
+    q1's rationale; a per-ORDER accumulator is ≤ a few dozen rows at any
+    corpus size, so no partition stage is needed), converted to decimal
+    once per output row."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-07-01")
     l = _t(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    revenue_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        exact_money_agg(
+            joined,
+            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+            unit_sums={"rev": (revenue_units, 4)},
+            partition_stage=False,  # per-order groups are tiny at any scale
+        )
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
     )
 
 
@@ -649,17 +650,20 @@ def q18_large_volume_customer(spark, sf_dir):
     shuffles for a join; TakeOrderedAndProject caps the sort at 100
     rows. Q18's textbook plan re-joins lineitem a second time — the
     per-order sum is already in hand, so this plan skips that scan."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
     li = _t(spark, sf_dir, "lineitem")
-    # exact integer units: sum quantity CENTS as longs (primitive codegen,
-    # ~4× a decimal sum; a per-order sum is ≤ a few thousand — no
-    # overflow at any corpus size), threshold 300.00 ⇔ 30000 cents, and
-    # the final cents→double division is correctly rounded, matching
-    # CAST(SUM(decimal) AS DOUBLE) bit-for-bit
+    # exact integer units (operators/money.py): per-order quantity sums
+    # are tiny at any corpus size, so no partition stage
     big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qc"))
-        .filter(F.col("qc") > 30000)
-        .select("l_orderkey", (F.col("qc").cast("double") / 100).alias("sum_qty"))
+        exact_money_agg(
+            li.select("l_orderkey", cents("l_quantity").alias("qc")),
+            ["l_orderkey"],
+            unit_sums={"q": (F.col("qc"), 2)},
+            partition_stage=False,
+        )
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")

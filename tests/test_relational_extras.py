@@ -78,3 +78,44 @@ def test_udtf_lateral_ngrams_matches_jvm_shingles(spark, sf_dir):
             want.append((r["doc_id"], i, " ".join(toks[i : i + 3])))
     assert sorted((r["doc_id"], r["pos"], r["ngram"]) for r in got) == sorted(want)
     assert len(want) > 0
+
+
+def test_exact_money_agg_bit_identical_to_decimal(spark, sf_dir):
+    """Both exact_money_agg paths (partition-staged and plain) must be
+    bit-identical to the all-decimal formulation — integer-unit sums are
+    exact in any order."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+    from flink_playground_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("pc"),
+        cents("l_discount").alias("dc"),
+    )
+    want = {
+        (r["l_returnflag"], str(r["s"]))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("decimal(38,4)")
+            .alias("s")
+        )
+        .collect()
+    }
+    for staged in (True, False):
+        got = {
+            (r["l_returnflag"], str(r["s"]))
+            for r in exact_money_agg(
+                base,
+                ["l_returnflag"],
+                unit_sums={"s": (F.col("pc") * (100 - F.col("dc")), 4)},
+                partition_stage=staged,
+            )
+            .select("l_returnflag", F.col("s").cast("decimal(38,4)").alias("s"))
+            .collect()
+        }
+        assert got == want, f"partition_stage={staged} diverged"
