@@ -359,7 +359,7 @@ SELECT 'tumble' AS op, event_type,
 FROM e GROUP BY 1, 2, 3, 4
 UNION ALL
 SELECT 'hop' AS op, event_type, ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
-       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+       count(*) AS cnt, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM x GROUP BY 1, 2, 3, 4
 """,
     tags=("G1", "T1", "G2"),
@@ -387,7 +387,15 @@ def tumble_hop_events(spark, sf_dir):
         "ts",
         "1 hour",
         ["event_type"],
-        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")],
+        [
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal sum: exact + order-independent (double sums differ
+            # from the oracle's sequential sum in the last ulp and can
+            # straddle the .005 rounding midpoint on discrete data)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        ],
         slide="30 minutes",
     ).select(
         F.lit("hop").alias("op"), "event_type", "window_start", "window_end", "cnt", "sum_value"
