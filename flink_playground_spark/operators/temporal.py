@@ -98,9 +98,29 @@ def as_of_join(
       keep the max-version row per left row — the probe side never
       shuffles (beyond one hash agg keyed on ``left_id``, which AQE keeps
       local post-broadcast). Requires ``left_id``, a unique left column.
+    - ``auto``: pick ``broadcast`` when Catalyst's size estimate for the
+      version table is under ``spark.sql.autoBroadcastJoinThreshold``
+      (the same statistic the planner uses for join selection) AND
+      ``left_id`` is provided; ``union_sort`` otherwise.
     """
     if how not in ("left", "inner"):
         raise ValueError("as_of_join supports how in {'left','inner'}")
+    if strategy == "auto":
+        strategy = "union_sort"
+        if left_id is not None:
+            try:
+                size = int(
+                    right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                threshold = int(
+                    right.sparkSession.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                    )
+                )
+                if 0 <= size <= threshold:
+                    strategy = "broadcast"
+            except Exception:
+                pass  # stats unavailable → the always-safe union_sort
     if strategy == "broadcast":
         if left_id is None:
             raise ValueError("broadcast as_of_join requires left_id (unique left column)")

@@ -172,3 +172,47 @@ def test_as_of_join_broadcast_strategy_matches_union_sort(spark):
         assert sorted(map(tuple, a.select("pid", "capital").collect())) == sorted(
             map(tuple, b.select("pid", "capital").collect())
         ), how
+
+
+def test_as_of_join_auto_strategy(spark, sf_dir):
+    """strategy='auto' picks broadcast for a small version table (same
+    result as both explicit strategies) and falls back to union_sort
+    without left_id."""
+    from flink_playground_spark.operators.temporal import as_of_join
+    from flink_playground_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    versions = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("user_id", F.col("ts").alias("vts"), "value")
+    )
+    want = sorted(
+        map(
+            tuple,
+            as_of_join(
+                events, versions, on=[("user_id", "user_id")],
+                left_time="ts", right_time="vts", strategy="union_sort",
+            ).collect(),
+        )
+    )
+    got_auto = sorted(
+        map(
+            tuple,
+            as_of_join(
+                events, versions, on=[("user_id", "user_id")],
+                left_time="ts", right_time="vts", strategy="auto", left_id="event_id",
+            ).collect(),
+        )
+    )
+    got_auto_noid = sorted(
+        map(
+            tuple,
+            as_of_join(
+                events, versions, on=[("user_id", "user_id")],
+                left_time="ts", right_time="vts", strategy="auto",
+            ).collect(),
+        )
+    )
+    assert got_auto == want
+    assert got_auto_noid == want
