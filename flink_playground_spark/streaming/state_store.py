@@ -37,6 +37,7 @@ class BucketedKeyState:
 
     def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 16):
         import glob
+        import json
         import os
 
         self.path = path
@@ -46,6 +47,23 @@ class BucketedKeyState:
         self._has_state = os.path.isdir(path) and bool(
             glob.glob(f"{path}/{BUCKET_COL}=*")
         )
+        # bucket layout is part of the on-disk format: a reattach with a
+        # different n_buckets/keys would route keys to the wrong buckets
+        # and silently drop state — refuse loudly instead
+        meta_path = f"{os.path.dirname(path) or '.'}/{os.path.basename(path)}.meta.json"
+        meta = {"keys": self.keys, "n_buckets": n_buckets}
+        if self._has_state and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                on_disk = json.load(fh)
+            if on_disk != meta:
+                raise ValueError(
+                    f"bucketed state at {path} was written with {on_disk}; "
+                    f"reattaching with {meta} would mis-route keys"
+                )
+        else:
+            os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh)
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")

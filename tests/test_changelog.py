@@ -292,3 +292,20 @@ def test_changelog_ops_reconstruct_property(spark):
         # unchanged keys are silent
         unchanged = {k for k, v in old_rows if dict(new_rows).get(k) == v}
         assert not unchanged & {r["k"] for r in ops}, f"seed {seed}: noisy ops"
+
+
+def test_bucketed_state_refuses_layout_mismatch(spark, tmp_path):
+    """Reattaching to on-disk state with a different bucket count (or
+    key set) would silently mis-route keys — it must refuse loudly."""
+    path = str(tmp_path / "s")
+    st = BucketedKeyState(path, ["k"], n_buckets=8)
+    st.merge_keep_latest(
+        spark.createDataFrame([("a", 1, "x")], "k string, seq long, p string"), "seq"
+    )
+    with pytest.raises(ValueError, match="mis-route"):
+        BucketedKeyState(path, ["k"], n_buckets=16)
+    with pytest.raises(ValueError, match="mis-route"):
+        BucketedKeyState(path, ["other"], n_buckets=8)
+    # same layout reattaches fine
+    st2 = BucketedKeyState(path, ["k"], n_buckets=8)
+    assert {(r["k"], r["seq"]) for r in st2.read(spark).collect()} == {("a", 1)}
