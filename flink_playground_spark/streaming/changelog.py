@@ -179,13 +179,22 @@ def outer_join_changelog_stream(
     dim_cols_holder: dict[str, list] = {}
 
     def joined(p: DataFrame, dim_rows: DataFrame) -> DataFrame:
+        # dim payload columns colliding with probe names get a right_
+        # prefix (the as_of_join convention) so the snapshot schema is
+        # unambiguous
+        rkeys = [r for _, r in on]
+        payload = [c for c in dim_rows.columns if c not in rkeys]
+        renames = {c: (f"right_{c}" if c in p.columns else c) for c in payload}
+        # alias-qualified resolution: `affected` carries dim lineage via
+        # the touched-keys semi join, so bare column refs are ambiguous
+        pa, da = p.alias("__probe"), dim_rows.alias("__dim")
         cond = None
         for l, r in on:
-            c = p[l] == dim_rows[r]
+            c = F.col(f"__probe.{l}") == F.col(f"__dim.{r}")
             cond = c if cond is None else (cond & c)
-        out = p.join(dim_rows, cond, "left_outer")
-        keep = [F.col(c) for c in p.columns] + [
-            F.col(c) for c in dim_rows.columns if c not in [r for _, r in on]
+        out = pa.join(da, cond, "left_outer")
+        keep = [F.col(f"__probe.{c}") for c in p.columns] + [
+            F.col(f"__dim.{c}").alias(renames[c]) for c in payload
         ]
         return out.select(*keep)
 

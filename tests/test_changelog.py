@@ -309,3 +309,29 @@ def test_bucketed_state_refuses_layout_mismatch(spark, tmp_path):
     # same layout reattaches fine
     st2 = BucketedKeyState(path, ["k"], n_buckets=8)
     assert {(r["k"], r["seq"]) for r in st2.read(spark).collect()} == {("a", 1)}
+
+
+def test_outer_join_changelog_colliding_column_names(spark):
+    """Dim payload columns that collide with probe names get the
+    right_ prefix (the as_of_join convention) instead of producing an
+    ambiguous schema."""
+    from flink_playground_spark.streaming.changelog import outer_join_changelog_stream
+
+    probe = spark.createDataFrame(
+        [("p1", "a", 99)], "pid string, iso string, seq int"  # 'seq' collides
+    )
+    waves = [[("a", "x", 1)], [("a", "y", 2)]]
+    dim = _wave_stream(spark, waves, "iso string, capital string, seq long")
+    log = outer_join_changelog_stream(
+        probe, dim, on=[("iso", "iso")], dim_keys=["iso"],
+        dim_order_col="seq", probe_keys=["pid"], n_buckets=2,
+    )
+    assert "right_seq" in log.columns and "seq" in log.columns
+    rows = [(r["batch_id"], r["op"], r["capital"], r["right_seq"]) for r in log.orderBy("batch_id", "op").collect()]
+    assert rows == [
+        (0, "+I", None, None),
+        (1, "+U", "x", 1),
+        (1, "-U", None, None),
+        (2, "+U", "y", 2),
+        (2, "-U", "x", 1),
+    ]
