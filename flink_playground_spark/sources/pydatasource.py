@@ -62,16 +62,39 @@ class _OrdinalBatchReader(DataSourceReader):
 
 
 class _OrdinalStreamReader(DataSourceStreamReader):
+    """Two admission modes:
+
+    - ``rows-per-batch`` (default): advance a fixed row count per
+      micro-batch — deterministic, what tests and oracles want.
+    - ``rows-per-second``: the reference datagen's literal wall-clock
+      throttle (``'rows-per-second' = '4'``,
+      ``WithDeduplicateJoinJob.java:64-68``) — admit elapsed × rate rows.
+    Both cap at ``max-rows`` so drains terminate.
+    """
+
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows-per-batch", 4))
+        self.rows_per_second = (
+            float(options["rows-per-second"]) if "rows-per-second" in options else None
+        )
         self.max_rows = int(options.get("max-rows", 2**31))
         self._current = 0
+        self._t0: float | None = None
 
     def initialOffset(self) -> dict:
         return {"ordinal": 0}
 
     def latestOffset(self) -> dict:
-        self._current = min(self._current + self.rows_per_batch, self.max_rows)
+        if self.rows_per_second is not None:
+            import time
+
+            now = time.monotonic()
+            if self._t0 is None:
+                self._t0 = now
+            admitted = int((now - self._t0) * self.rows_per_second)
+            self._current = min(max(admitted, self._current), self.max_rows)
+        else:
+            self._current = min(self._current + self.rows_per_batch, self.max_rows)
         return {"ordinal": self._current}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -138,6 +161,7 @@ def pydatagen_stream(
     fields: dict[str, dict],
     rows_per_batch: int = 4,
     max_rows: int = 16,
+    rows_per_second: float | None = None,
 ) -> DataFrame:
     """Unbounded datagen stream through the Python DataSource stream
     reader (ordinal offsets, ``rows-per-batch`` admission per micro-batch,
@@ -146,10 +170,11 @@ def pydatagen_stream(
     a single batch) — drain with a continuous trigger and stop once the
     cap is reached (see tests/test_pydatasource.py)."""
     register(spark)
-    df = (
+    r = (
         spark.readStream.format("flink_datagen")
         .option("rows-per-batch", rows_per_batch)
         .option("max-rows", max_rows)
-        .load()
     )
-    return _apply_fields(df, fields)
+    if rows_per_second is not None:
+        r = r.option("rows-per-second", rows_per_second)
+    return _apply_fields(r.load(), fields)

@@ -73,3 +73,14 @@ def test_python_source_stream_dedup_integration(spark):
     got = {r["iso"] for r in _drain(stream.select("iso"), expected_rows=64).distinct().collect()}
     assert got == want  # the PK-upsert view would collapse to these keys
     assert len(got) <= 26
+
+
+def test_python_source_wall_clock_rate_mode(spark):
+    """rows-per-second admission (the reference's literal throttle):
+    a high rate drains the capped stream to the same bounded answer."""
+    stream = pydatagen_stream(
+        spark, FIELDS, max_rows=12, rows_per_second=1000.0
+    )
+    got = _drain(stream, expected_rows=12)
+    want = datagen_batch(spark, 12, FIELDS)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
