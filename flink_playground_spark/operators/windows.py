@@ -52,6 +52,62 @@ def tumble_agg(
     return windowed.groupBy(*group_cols, "window_start", "window_end").agg(*aggs)
 
 
+_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(s: str) -> int:
+    n, unit = s.strip().split()
+    return int(n) * _UNITS[unit.lower()]
+
+
+def cumulate(df: DataFrame, time_col: str, size: str, step: str) -> DataFrame:
+    """Flink's third window TVF: CUMULATE — expanding windows that share
+    a start and grow by ``step`` until ``size``
+    (``TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL step, INTERVAL
+    size))``). A row at time t lands in every window
+    ``[base, base + k·step)`` with ``base = floor(t/size)·size`` and
+    ``base + k·step > t`` — early partial results that converge to the
+    tumble answer at the last step.
+
+    Map-side the row explodes into ≤ size/step copies (like HOP's
+    overlap factor) via a codegen'd sequence + filter; the aggregation
+    downstream is still one shuffle on (keys, window).
+    """
+    size_s, step_s = _duration_seconds(size), _duration_seconds(step)
+    if size_s % step_s:
+        raise ValueError(f"cumulate size {size!r} must be a multiple of step {step!r}")
+    n = size_s // step_s
+    # explode(array of literals) + WHERE: whole-stage codegen throughout
+    # (array lambdas would be interpreted — PERF.md)
+    return (
+        df.withColumn("window_start", F.window(F.col(time_col), size)["start"])
+        .withColumn("__k", F.explode(F.array(*[F.lit(k) for k in range(1, n + 1)])))
+        .withColumn(
+            "window_end",
+            F.col("window_start")
+            + F.make_dt_interval(secs=(F.col("__k") * step_s).cast("decimal(18,6)")),
+        )
+        .filter(F.col("window_end") > F.col(time_col))
+        .withColumn("window_time", F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND"))
+        .drop("__k")
+    )
+
+
+def cumulate_agg(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    step: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    windowed = cumulate(df, time_col, size, step)
+    return windowed.groupBy(*group_cols, "window_start", "window_end").agg(*aggs)
+
+
 def sessionize(
     df: DataFrame, keys: Sequence[str], time_col: str, gap: str = "30 minutes"
 ) -> DataFrame:

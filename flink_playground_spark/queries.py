@@ -361,16 +361,29 @@ UNION ALL
 SELECT 'hop' AS op, event_type, ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
        count(*) AS cnt, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM x GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'cumulate' AS op, event_type, ws AS window_start, we AS window_end,
+       count(*) AS cnt, NULL AS sum_value
+FROM (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '30 minutes' AS we
+  FROM e WHERE ts < time_bucket(INTERVAL '1 hour', ts) + INTERVAL '30 minutes'
+  UNION ALL
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we
+  FROM e) c GROUP BY 1, 2, 3, 4
 """,
     tags=("G1", "T1", "G2"),
     bench=True,
 )
 def tumble_hop_events(spark, sf_dir):
-    """Tumbling-window TVF count (WindowsProctimeAggJob.java:65-81, event
-    time as the deterministic proctime stand-in, SURVEY §7.4) plus the
-    sliding (HOP) window superset — Flink exposes HOP via the same window
-    TVF family — tagged in one result. Tumble is one shuffle; hop expands
-    each row into overlap (=2) windows map-side, then one shuffle."""
+    """The complete Flink window-TVF family, tagged in one result:
+    TUMBLE (WindowsProctimeAggJob.java:65-81, event time as the
+    deterministic proctime stand-in, SURVEY §7.4), HOP (sliding), and
+    CUMULATE (expanding windows that share a start and grow by `step`
+    until `size` — early partials converging to the tumble answer).
+    Tumble is one shuffle; hop/cumulate expand each row into ≤2 windows
+    map-side (codegen'd explode), then one shuffle each."""
     events = _t(spark, sf_dir, "events")
     tumble = tumble_agg(
         events, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
@@ -400,7 +413,19 @@ def tumble_hop_events(spark, sf_dir):
     ).select(
         F.lit("hop").alias("op"), "event_type", "window_start", "window_end", "cnt", "sum_value"
     )
-    return tumble.unionAll(hop)
+    from flink_playground_spark.operators.windows import cumulate_agg
+
+    cml = cumulate_agg(
+        events, "ts", "1 hour", "30 minutes", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
+    ).select(
+        F.lit("cumulate").alias("op"),
+        "event_type",
+        "window_start",
+        "window_end",
+        "cnt",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumble.unionAll(hop).unionAll(cml)
 
 
 @register(

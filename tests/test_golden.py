@@ -216,3 +216,28 @@ def test_as_of_join_auto_strategy(spark, sf_dir):
     )
     assert got_auto == want
     assert got_auto_noid == want
+
+
+def test_cumulate_window_tvf(spark):
+    """CUMULATE semantics: a row lands in every expanding window
+    [base, base+k*step) with end > its timestamp; the last step equals
+    the tumble window."""
+    from flink_playground_spark.operators.windows import cumulate
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:05:00"), ("b", "2024-01-01 10:40:00")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    got = {
+        (r["k"], str(r["window_start"]), str(r["window_end"]))
+        for r in cumulate(df, "ts", "1 hour", "30 minutes").collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 10:00:00", "2024-01-01 10:30:00"),  # partial
+        ("a", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),  # full
+        ("b", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),  # only full (t>=10:30)
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        cumulate(df, "ts", "1 hour", "25 minutes")
