@@ -197,3 +197,24 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # both 12:00 and 12:30 rows
     assert (10, 1) in got and (10, 2) not in got
     assert (12, 1) in got and (12, 2) in got
+
+
+def test_streaming_cumulate_matches_batch(spark, sf_dir):
+    """CUMULATE on the streaming engine: the explode+window projection is
+    stateless, so the windowed agg runs incrementally — drained complete
+    mode equals the batch answer."""
+    from flink_playground_spark.operators.windows import cumulate
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.runners import replay_events_stream, run_to_memory
+
+    def agg(df):
+        return (
+            cumulate(df.select("event_type", "ts"), "ts", "1 hour", "30 minutes")
+            .groupBy("event_type", "window_start", "window_end")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    want = sorted(map(tuple, agg(load_table(spark, sf_dir, "events")).collect()))
+    stream = replay_events_stream(spark, sf_dir)
+    got = sorted(map(tuple, run_to_memory(agg(stream), "complete").collect()))
+    assert got == want
