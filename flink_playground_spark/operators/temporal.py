@@ -82,10 +82,16 @@ def as_of_join(
     allow_exact_match: bool = True,
     strategy: str = "union_sort",
     left_id: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Event-time as-of join (J1 generalized): for each left row, attach
     the right row with the greatest ``right_time`` <= ``left_time`` for
-    the same key(s). ``how`` in {"left", "inner"}.
+    the same key(s) (``direction="backward"``, the default), or the
+    *smallest* ``right_time`` >= ``left_time`` (``direction="forward"`` —
+    "earliest next event", the building block for CEP/funnel chains in
+    ``operators.cep``). Among right rows tied on ``right_time``, the
+    greatest ``right_tiebreakers`` win in both directions. ``how`` in
+    {"left", "inner"}.
 
     Output columns: all left columns, then right non-key columns
     (including ``right_time``); a right column whose name collides with a
@@ -105,9 +111,15 @@ def as_of_join(
     """
     if how not in ("left", "inner"):
         raise ValueError("as_of_join supports how in {'left','inner'}")
+    if direction not in ("backward", "forward"):
+        raise ValueError("as_of_join direction must be 'backward' or 'forward'")
+    if direction == "forward" and strategy == "broadcast":
+        # the broadcast path's max(__ver) tie-resolution is backward-specific;
+        # forward probes always take the always-correct union_sort plan
+        raise ValueError("direction='forward' supports strategy 'union_sort' (or 'auto')")
     if strategy == "auto":
         strategy = "union_sort"
-        if left_id is not None:
+        if direction == "backward" and left_id is not None:
             try:
                 size = int(
                     right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -176,10 +188,14 @@ def as_of_join(
     tb_order = [F.asc_nulls_last(f"__tb{i}") for i in range(len(right_tiebreakers))]
     # Right rows sort before left rows at equal time => `<=` (exact match
     # allowed); with allow_exact_match=False left sorts first => strict `<`.
+    # direction="forward" walks time descending, so the running last-right
+    # seen "before" a probe row is its earliest *following* version; the
+    # side/tiebreaker conventions are unchanged.
     side_order = F.asc("__side") if allow_exact_match else F.desc("__side")
+    t_order = F.asc("__t") if direction == "backward" else F.desc("__t")
     w = (
         Window.partitionBy(*lkeys)
-        .orderBy(F.asc("__t"), side_order, *tb_order)
+        .orderBy(t_order, side_order, *tb_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     resolved = (

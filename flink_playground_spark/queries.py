@@ -1525,15 +1525,23 @@ def cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@register("ann_lsh_topk", None, tags=("ext-sim",))
-def ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH (bucket-join instead of
-    cross product — the 100 TB path). Hyperplanes are xxhash64-derived →
-    rows-only oracle; recall vs brute force is asserted in tests."""
-    from flink_playground_spark.functions.similarity import lsh_topk
+@register("ann_topk", None, tags=("ext-sim",))
+def ann_topk(spark, sf_dir):
+    """Approximate nearest-neighbor top-k, both scale families union-tagged:
+    ``lsh`` = random-hyperplane LSH bucket join, ``ivf`` = inverted-file
+    nearest-centroid cells with nprobe probing (k-means-refined centroids).
+    Neither is a cross product — candidates come from bucket/cell joins,
+    the 100 TB path. Hash-/data-dependent → rows-only oracle; recall vs
+    brute force is asserted in tests for both."""
+    from flink_playground_spark.functions.similarity import ivf_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, tables=8, planes=4)
+    probes = emb.filter(F.col("vec_id") < 8)
+    lsh = lsh_topk(emb, probes, k=5, tables=8, planes=4)
+    ivf = ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)
+    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
 
 
 _EMB_NEARDUP_SQL = """
@@ -1687,16 +1695,70 @@ def activity_profile_similarity(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk", None, tags=("ext-sim",))
-def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k: nearest-centroid cells pruned with nprobe
-    probing (the inverted-file ANN family; LSH variant above). Centroid
-    choice is hash-free but data-dependent → rows-only oracle; recall and
-    exact-sim agreement pinned in tests."""
-    from flink_playground_spark.functions.similarity import ivf_topk
+@register(
+    "cep_pattern_match",
+    """
+WITH s1 AS (SELECT user_id, event_id AS start_id, CAST(ts AS TIMESTAMP) AS ts1
+            FROM events WHERE event_type = 'view'),
+s2 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'),
+s3 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+f2 AS (SELECT s1.user_id, s1.start_id, s1.ts1, MIN(s2.ts) AS ts2
+       FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        AND s2.ts > s1.ts1 AND s2.ts <= s1.ts1 + INTERVAL 48 HOURS
+       GROUP BY ALL),
+f3 AS (SELECT f2.user_id, f2.start_id, f2.ts1, f2.ts2, MIN(s3.ts) AS ts3
+       FROM f2 JOIN s3 ON f2.user_id = s3.user_id
+        AND s3.ts > f2.ts2 AND s3.ts <= f2.ts1 + INTERVAL 48 HOURS
+       GROUP BY ALL),
+strict AS (
+  SELECT user_id, event_id AS start_id, ts1, ts2, ts3 FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts1, event_type AS et0,
+           LEAD(event_type, 1) OVER w AS et1, LEAD(CAST(ts AS TIMESTAMP), 1) OVER w AS ts2,
+           LEAD(event_type, 2) OVER w AS et2, LEAD(CAST(ts AS TIMESTAMP), 2) OVER w AS ts3
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+  ) t WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase')
+SELECT 'funnel' AS pattern, user_id, start_id, ts1, ts2, ts3 FROM f3
+UNION ALL
+SELECT 'strict' AS pattern, user_id, start_id, ts1, ts2, ts3 FROM strict
+""",
+    tags=("superset-cep",),
+    bench=True,
+)
+def cep_pattern_match(spark, sf_dir):
+    """CEP / MATCH_RECOGNIZE family (Flink SQL's pattern clause), two
+    contiguity modes union-tagged:
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, nprobe=4)
+    - ``funnel``: skip-till-next-match view -> click -> purchase per user,
+      every step within 48h of the view; each step greedily resolves to
+      the earliest qualifying event (exact — see operators.cep). Chained
+      forward as-of joins: one shuffle per step, no row explosion.
+    - ``strict``: the same symbols on three *consecutive* rows of the
+      user's (ts, event_id)-ordered stream — a single lead-chain window.
+    """
+    from flink_playground_spark.operators.cep import funnel, match_contiguous
+
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    fun = funnel(
+        ev,
+        "user_id",
+        "ts",
+        [et == "view", et == "click", et == "purchase"],
+        "INTERVAL 48 HOURS",
+        start_cols=[F.col("event_id").alias("start_id")],
+    ).select(F.lit("funnel").alias("pattern"), "user_id", "start_id", "ts1", "ts2", "ts3")
+    strict = match_contiguous(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        tiebreakers=["event_id"],
+    ).select(
+        F.lit("strict").alias("pattern"),
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        F.col("ts").cast("timestamp_ntz").alias("ts1"),
+        "ts2",
+        "ts3",
+    )
+    return fun.unionByName(strict)
 
 
 @register(

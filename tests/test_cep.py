@@ -1,0 +1,161 @@
+"""CEP pattern matching (operators/cep.py) and the forward as-of join
+direction it builds on (operators/temporal.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.cep import funnel, match_contiguous
+from flink_playground_spark.operators.temporal import as_of_join
+
+
+def T(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    left = spark.createDataFrame(
+        [(1, T(10), "a"), (1, T(30), "b"), (2, T(5), "c"), (None, T(7), "n")],
+        "k bigint, t timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), "r10"), (1, T(20), "r20"), (1, T(40), "r40"), (2, T(1), "rX"), (None, T(6), "rN")],
+        "k bigint, t timestamp_ntz, v string",
+    )
+    return left, right
+
+
+def test_forward_asof_exact_match(lr):
+    left, right = lr
+    got = {
+        r["tag"]: r["v"]
+        for r in as_of_join(left, right, "k", "t", "t", how="left", direction="forward").collect()
+    }
+    # a: exact-time match allowed; b: next version at 00:40; c: right rows
+    # all earlier => unmatched; n: NULL key never matches the NULL-key right row
+    assert got == {"a": "r10", "b": "r40", "c": None, "n": None}
+
+
+def test_forward_asof_strict(lr):
+    left, right = lr
+    got = {
+        r["tag"]: r["v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", how="left", direction="forward", allow_exact_match=False
+        ).collect()
+    }
+    assert got == {"a": "r20", "b": "r40", "c": None, "n": None}
+
+
+def test_forward_asof_inner_drops_unmatched(lr):
+    left, right = lr
+    tags = {
+        r["tag"]
+        for r in as_of_join(left, right, "k", "t", "t", how="inner", direction="forward").collect()
+    }
+    assert tags == {"a", "b"}
+
+
+def test_forward_rejects_broadcast():
+    with pytest.raises(ValueError, match="union_sort"):
+        as_of_join(None, None, "k", "t", "t", direction="forward", strategy="broadcast")
+    with pytest.raises(ValueError, match="backward"):
+        as_of_join(None, None, "k", "t", "t", direction="sideways")
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(
+        [
+            (1, T(0), "A", 100),
+            (1, T(5), "B", 101),
+            (1, T(3), "B", 102),
+            (1, T(9), "C", 103),
+            (1, T(4), "C", 104),
+            (2, T(0), "A", 200),
+            (2, T(50), "B", 201),
+            (2, T(55), "C", 202),
+        ],
+        "u bigint, t timestamp_ntz, et string, eid bigint",
+    )
+
+
+def test_funnel_greedy_earliest(ev):
+    et = F.col("et")
+    rows = funnel(
+        ev, "u", "t", [et == "A", et == "B", et == "C"], "INTERVAL 20 MINUTES",
+        start_cols=[F.col("eid").alias("start_id")],
+    ).collect()
+    # user 1: A@0 -> earliest B after = @3 -> earliest C after 3 = @4.
+    # user 2: chain completes only at @55 > 20min deadline -> no row.
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["start_id"], r["ts1"].minute, r["ts2"].minute, r["ts3"].minute) == (
+        1, 100, 0, 3, 4,
+    )
+
+
+def test_funnel_deadline_widens(ev):
+    et = F.col("et")
+    rows = funnel(ev, "u", "t", [et == "A", et == "B", et == "C"], "INTERVAL 1 HOUR").collect()
+    assert {r["u"] for r in rows} == {1, 2}
+
+
+def test_funnel_steps_strictly_increase(ev):
+    # step i is strictly after step i-1 even when an earlier C exists
+    # (user 1 has C@4 before B@5 — the B@3 chain must not pick C@4's twin
+    # at an equal timestamp). Also: two-step funnel sanity.
+    et = F.col("et")
+    rows = funnel(ev, "u", "t", [et == "B", et == "C"], "INTERVAL 1 HOUR").collect()
+    got = {(r["u"], r["ts1"].minute, r["ts2"].minute) for r in rows}
+    assert got == {(1, 3, 4), (1, 5, 9), (2, 50, 55)}
+
+
+def test_match_contiguous_golden(ev):
+    rows = match_contiguous(ev, "u", "t", "et", ["A", "B", "C"], tiebreakers=["eid"]).collect()
+    got = {(r["u"], r["eid"], r["ts2"].minute, r["ts3"].minute) for r in rows}
+    # user 1 ordered: A@0, B@3, C@4, B@5, C@9 -> A B C contiguous from eid=100
+    # user 2 ordered: A@0, B@50, C@55 -> contiguous regardless of gaps in time
+    assert got == {(1, 100, 3, 4), (2, 200, 50, 55)}
+
+
+def test_match_contiguous_within(ev):
+    rows = match_contiguous(
+        ev, "u", "t", "et", ["A", "B", "C"], tiebreakers=["eid"], within="INTERVAL 20 MINUTES"
+    ).collect()
+    assert {r["u"] for r in rows} == {1}
+
+
+def test_funnel_parity_vs_naive_join(spark, sf_dir):
+    """The chained forward-as-of funnel equals the quadratic join+min
+    formulation on real data (sf0.001 events)."""
+    from flink_playground_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    fast = funnel(
+        ev, "user_id", "ts", [et == "view", et == "click", et == "purchase"],
+        "INTERVAL 48 HOURS", start_cols=[F.col("event_id").alias("start_id")],
+    )
+    s1 = ev.filter(et == "view").select(
+        "user_id", F.col("event_id").alias("start_id"), F.col("ts").cast("timestamp_ntz").alias("ts1")
+    )
+    s2 = ev.filter(et == "click").select(F.col("user_id").alias("u2"), F.col("ts").cast("timestamp_ntz").alias("t2"))
+    s3 = ev.filter(et == "purchase").select(F.col("user_id").alias("u3"), F.col("ts").cast("timestamp_ntz").alias("t3"))
+    lim = F.col("ts1") + F.expr("INTERVAL 48 HOURS")
+    f2 = (
+        s1.join(s2, (F.col("user_id") == F.col("u2")) & (F.col("t2") > F.col("ts1")) & (F.col("t2") <= lim))
+        .groupBy("user_id", "start_id", "ts1")
+        .agg(F.min("t2").alias("ts2"))
+    )
+    f3 = (
+        f2.join(s3, (F.col("user_id") == F.col("u3")) & (F.col("t3") > F.col("ts2")) & (F.col("t3") <= lim))
+        .groupBy("user_id", "start_id", "ts1", "ts2")
+        .agg(F.min("t3").alias("ts3"))
+    )
+    cols = ["user_id", "start_id", "ts1", "ts2", "ts3"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, f3.select(cols).collect())
+    )
