@@ -1,0 +1,175 @@
+"""Streaming CEP: incremental funnel detection over an event stream.
+
+The batch funnel (``operators/cep.py``) resolves each start event's chain
+with forward as-of joins. On a stream, re-running that over the
+accumulated corpus every micro-batch would repeat the round-1 near-dup
+mistake (per-batch work growing with history). Instead this operator
+keeps *open partial chains* as keyed state in
+``applyInPandasWithState`` — the same shape as Flink's CEP NFA state:
+
+- state per key = the set of started-but-unfinished chains
+  (start id + the timestamps matched so far);
+- each micro-batch advances chains greedily in event-time order
+  (first qualifying event wins — identical to the batch operator's
+  earliest-next semantics);
+- a chain leaves state the moment it completes (emitted, append mode)
+  or its deadline (``start + within``) passes — state is bounded by the
+  number of starts inside one deadline window per key, independent of
+  stream history.
+
+Ordering contract: events must arrive non-decreasing in event time per
+key across micro-batches (the replay helper splits by time range). A
+production deployment would front this with a watermark-delayed sort
+(``streaming/runners.py`` patterns); the operator itself is agnostic.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def funnel_stream(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    time_col: str,
+    symbol_col: str,
+    pattern: Sequence[str],
+    within_ms: int,
+    id_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming skip-till-next-match funnel: emit one row per completed
+    ``pattern[0] -> ... -> pattern[k-1]`` chain (strictly increasing
+    event times, all within ``within_ms`` of the start). Output columns:
+    key cols, ``start_id`` (the ``id_col`` of the step-1 event),
+    ``ts1..tsK`` (timestamp_ntz). Equals the batch ``operators.cep.funnel``
+    answer on the same events (pinned by parity tests)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("funnel_stream needs a pattern of length >= 2")
+    within_us = within_ms * 1000
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in keys]
+        + [T.StructField("start_id", df.schema[id_col].dataType)]
+        + [T.StructField(f"ts{i}", T.TimestampNTZType()) for i in range(1, k + 1)]
+    )
+    # open chains, column-wise: ids[j] started at steps_us[j][0] and has
+    # matched len(steps_us[j]) symbols so far (times as int64 micros)
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(df.schema[id_col].dataType)),
+            T.StructField("steps_us", T.ArrayType(T.ArrayType(T.LongType()))),
+        ]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list = []
+        steps: list[list[int]] = []
+        if state.exists:
+            sids, ssteps = state.get
+            ids, steps = list(sids), [list(s) for s in ssteps]
+        done: list[tuple] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([time_col, id_col])
+            ts_us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+            syms = pdf[symbol_col].to_numpy()
+            evids = pdf[id_col].to_numpy()
+            for t, sym, eid in zip(ts_us.tolist(), syms.tolist(), evids.tolist()):
+                # .tolist() => plain Python scalars: numpy values in the
+                # state tuple break the JVM-side unpickler
+                # expire chains whose deadline has passed (event times are
+                # non-decreasing, so no future event can advance them)
+                live = [j for j in range(len(ids)) if steps[j][0] + within_us >= t]
+                if len(live) != len(ids):
+                    ids = [ids[j] for j in live]
+                    steps = [steps[j] for j in live]
+                nxt_ids, nxt_steps = [], []
+                for sid, st in zip(ids, steps):
+                    if sym == pattern[len(st)] and t > st[-1]:
+                        st = st + [t]
+                        if len(st) == k:
+                            done.append((sid, st))
+                            continue  # completed -> emitted, leaves state
+                    nxt_ids.append(sid)
+                    nxt_steps.append(st)
+                ids, steps = nxt_ids, nxt_steps
+                if sym == pattern[0]:
+                    ids.append(eid)
+                    steps.append([int(t)])
+        if ids:
+            state.update((ids, steps))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if done:
+            rows = []
+            for sid, st in done:
+                row = dict(zip(keys, key))
+                row["start_id"] = sid
+                for i, t in enumerate(st, start=1):
+                    row[f"ts{i}"] = pd.Timestamp(t, unit="us")
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        detect, out_schema, state_schema, "append", timeout
+    )
+
+
+def replay_events_stream_timeordered(
+    spark: SparkSession, sf_dir: str, waves: int = 3, files_per_batch: int = 1
+) -> DataFrame:
+    """events replayed as a stream in event-time order: the table is split
+    into ``waves`` contiguous time ranges (ntile over ts), one file per
+    micro-batch, mtimes pinned strictly increasing so the file source
+    drains them in order."""
+    from flink_playground_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="fps_evsrc_")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.selectExpr(
+        f"percentile_approx(unix_micros(cast(ts as timestamp)), array({','.join(str((i + 1) / waves) for i in range(waves - 1))}), 10000) p"
+    ).collect()[0]["p"] if waves > 1 else []
+    src = f"{work}/src"
+    os.makedirs(src)
+    tsd = F.unix_micros(F.col("ts").cast("timestamp"))
+    for i in range(waves):
+        cond = F.lit(True)
+        if i > 0:
+            cond = cond & (tsd > bounds[i - 1])
+        if i < waves - 1:
+            cond = cond & (tsd <= bounds[i])
+        part = f"{work}/w{i}"
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", str(files_per_batch))
+        .parquet(src)
+    )

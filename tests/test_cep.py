@@ -159,3 +159,80 @@ def test_funnel_parity_vs_naive_join(spark, sf_dir):
     assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
         map(tuple, f3.select(cols).collect())
     )
+
+
+# --- streaming CEP (streaming/cep.py) --------------------------------------
+
+
+def _drain(spark, out, name):
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_funnel_stream_equals_batch(spark, sf_dir):
+    """3-wave event-time-ordered replay: the stateful streaming funnel
+    emits exactly the batch operator's completed chains."""
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.cep import (
+        funnel_stream,
+        replay_events_stream_timeordered,
+    )
+
+    stream = replay_events_stream_timeordered(spark, sf_dir, waves=3)
+    out = funnel_stream(
+        stream, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        within_ms=48 * 3600 * 1000, id_col="event_id",
+    )
+    got = {tuple(r) for r in _drain(spark, out, "cep_stream_parity").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    want = {
+        tuple(r)
+        for r in funnel(
+            ev, "user_id", "ts", [et == "view", et == "click", et == "purchase"],
+            "INTERVAL 48 HOURS", start_cols=[F.col("event_id").alias("start_id")],
+        ).select("user_id", "start_id", "ts1", "ts2", "ts3").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_funnel_stream_state_across_batches(spark, tmp_path):
+    """A chain started in one micro-batch completes in a later one; a
+    chain whose deadline passes mid-stream never emits."""
+    import os
+
+    from flink_playground_spark.streaming.cep import funnel_stream
+
+    schema = "u bigint, t timestamp_ntz, et string, eid bigint"
+    waves = [
+        [(1, T(0), "A", 100), (2, T(0), "A", 200)],
+        [(1, T(3), "B", 101), (2, T(50), "B", 201)],
+        [(1, T(8), "C", 102), (2, T(55), "C", 202)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        part = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(part))
+        pq = next(part.glob("*.parquet"))
+        dst = src / f"wave{i}.parquet"
+        dst.write_bytes(pq.read_bytes())
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    out = funnel_stream(
+        stream, "u", "t", "et", ["A", "B", "C"], within_ms=20 * 60 * 1000, id_col="eid"
+    )
+    rows = _drain(spark, out, "cep_stream_state").collect()
+    # user 1: A@0 (batch 0) -> B@3 (batch 1) -> C@8 (batch 2) inside 20min.
+    # user 2: B only at minute 50 — past the deadline, chain expired in state.
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["start_id"], r["ts1"].minute, r["ts2"].minute, r["ts3"].minute) == (
+        1, 100, 0, 3, 8,
+    )
