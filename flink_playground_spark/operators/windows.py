@@ -137,3 +137,22 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str], order_by: Sequen
     """Top-k per group via ranking; Catalyst's InferWindowGroupLimit pushes
     the k-limit below the sort at scale (rank-limit pushdown)."""
     return row_number_ranked(df, partition_by, order_by).filter(F.col("rownum") <= k)
+
+
+def window_topn(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    order_by: Sequence[Column],
+    n: int,
+    slide: str | None = None,
+) -> DataFrame:
+    """Flink SQL's Window Top-N: a windowed group-by aggregation ranked
+    within each window (``ROW_NUMBER() OVER (PARTITION BY window_start,
+    window_end ORDER BY ...) <= n``). Two shuffles — (keys x window) for
+    the agg, window for the rank; the rank side carries only one row per
+    key per window, and InferWindowGroupLimit caps its sort at n."""
+    agged = tumble_agg(df, time_col, size, group_cols, aggs, slide)
+    return top_k_per_group(agged, ["window_start", "window_end"], order_by, n)

@@ -119,3 +119,60 @@ def test_exact_money_agg_bit_identical_to_decimal(spark, sf_dir):
             .collect()
         }
         assert got == want, f"partition_stage={staged} diverged"
+
+
+def test_window_topn(spark, sf_dir):
+    """Flink Window Top-N: per tumbling day, the top-2 users by event
+    count — pinned against the equivalent SQL window formulation."""
+    from flink_playground_spark.operators.windows import window_topn
+    from flink_playground_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = window_topn(
+        ev, "ts", "1 day", ["user_id"], [F.count("*").alias("cnt")],
+        [F.desc("cnt"), F.asc("user_id")], 2,
+    ).select("window_start", "user_id", "cnt", "rownum")
+    ev.createOrReplaceTempView("ev_topn")
+    want = spark.sql("""
+        SELECT window_start, user_id, cnt, rownum FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start, window_end
+                                       ORDER BY cnt DESC, user_id) AS rownum
+          FROM (SELECT window(ts, '1 day').start AS window_start,
+                       window(ts, '1 day').end AS window_end,
+                       user_id, count(*) AS cnt
+                FROM ev_topn GROUP BY 1, 2, 3)
+        ) WHERE rownum <= 2
+    """)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_grouped_agg_udaf(spark, sf_dir):
+    """Pandas UDAF: geometric mean per event_type equals the built-in
+    exp(avg(ln)) identity, and the registered name works in SQL."""
+    import math
+
+    from flink_playground_spark.functions.udfs import geo_mean
+    from flink_playground_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    got = {
+        r["event_type"]: r["g"]
+        for r in ev.groupBy("event_type").agg(geo_mean("value").alias("g")).collect()
+    }
+    want = {
+        r["event_type"]: r["g"]
+        for r in ev.groupBy("event_type")
+        .agg(F.exp(F.avg(F.log("value"))).alias("g"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), k
+
+    spark.udf.register("geo_mean", geo_mean)
+    ev.createOrReplaceTempView("ev_udaf")
+    sql_rows = spark.sql(
+        "SELECT event_type, geo_mean(value) AS g FROM ev_udaf GROUP BY event_type"
+    ).collect()
+    assert {r["event_type"]: r["g"] for r in sql_rows} == got
