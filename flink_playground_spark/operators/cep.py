@@ -73,6 +73,67 @@ def funnel(
     return cur
 
 
+def match_plus(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    time_col: str,
+    symbol_col: str,
+    plus_symbol: str,
+    then_symbol: str,
+    id_col: str | None = None,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Greedy quantifier pattern ``A+ B`` (MATCH_RECOGNIZE
+    ``PATTERN (A+ B)``, strict contiguity): each *maximal* run of
+    consecutive ``plus_symbol`` rows whose immediately following row is
+    ``then_symbol``. Output: key cols [+ ``start_id`` when ``id_col``] +
+    ``n_plus`` (run length), ``ts1`` (run start), ``ts2`` (run end),
+    ``ts3`` (the B row's time).
+
+    Gaps-and-islands on ONE window partitioning: run boundaries come from
+    ``lag(symbol)``, run ids from a running sum of boundary flags, the
+    follower from ``lead`` — every window keys on the same columns, so
+    the whole operator is a single shuffle of codegen'd expressions.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(time_col).asc(), *[F.col(t).asc() for t in tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # the running-sum window orders by __rn (same total order, but a column
+    # that survives the projection below) — still the same partitioning,
+    # so no extra Exchange
+    w_run = (
+        Window.partitionBy(*keys).orderBy("__rn").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t_ntz = F.col(time_col).cast("timestamp_ntz")
+    rows = df.select(
+        *keys,
+        t_ntz.alias("__t"),
+        F.col(symbol_col).alias("__sym"),
+        *([F.col(id_col).alias("__id")] if id_col else []),
+        F.row_number().over(w).alias("__rn"),
+        F.lead(F.col(symbol_col)).over(w).alias("__next_sym"),
+        F.lead(t_ntz).over(w).alias("__next_t"),
+        F.coalesce(F.lag(F.col(symbol_col)).over(w) != F.col(symbol_col), F.lit(True))
+        .cast("int")
+        .alias("__boundary"),
+    ).withColumn("__run", F.sum("__boundary").over(w_run))
+    runs = (
+        rows.filter(F.col("__sym") == plus_symbol)
+        .groupBy(*keys, "__run")
+        .agg(
+            F.count(F.lit(1)).alias("n_plus"),
+            F.min("__t").alias("ts1"),
+            F.max("__t").alias("ts2"),
+            *([F.min_by("__id", "__rn").alias("start_id")] if id_col else []),
+            F.max_by("__next_sym", "__rn").alias("__after_sym"),
+            F.max_by("__next_t", "__rn").alias("ts3"),
+        )
+    )
+    return runs.filter(F.col("__after_sym") == then_symbol).select(
+        *keys, *(["start_id"] if id_col else []), "n_plus", "ts1", "ts2", "ts3"
+    )
+
+
 def match_contiguous(
     df: DataFrame,
     keys: str | Sequence[str],

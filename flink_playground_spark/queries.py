@@ -1716,10 +1716,27 @@ strict AS (
            LEAD(event_type, 1) OVER w AS et1, LEAD(CAST(ts AS TIMESTAMP), 1) OVER w AS ts2,
            LEAD(event_type, 2) OVER w AS et2, LEAD(CAST(ts AS TIMESTAMP), 2) OVER w AS ts3
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-  ) t WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase')
+  ) t WHERE et0 = 'view' AND et1 = 'click' AND et2 = 'purchase'),
+base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         LEAD(event_type) OVER w AS next_sym,
+         LEAD(CAST(ts AS TIMESTAMP)) OVER w AS next_t,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+runs0 AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run
+  FROM base),
+plusmatch AS (
+  SELECT user_id, arg_min(event_id, rn) AS start_id, MIN(t) AS ts1, MAX(t) AS ts2,
+         arg_max(next_sym, rn) AS after_sym, arg_max(next_t, rn) AS ts3
+  FROM runs0 WHERE event_type = 'view' GROUP BY user_id, run)
 SELECT 'funnel' AS pattern, user_id, start_id, ts1, ts2, ts3 FROM f3
 UNION ALL
 SELECT 'strict' AS pattern, user_id, start_id, ts1, ts2, ts3 FROM strict
+UNION ALL
+SELECT 'plus' AS pattern, user_id, start_id, ts1, ts2, ts3 FROM plusmatch
+WHERE after_sym = 'click'
 """,
     tags=("superset-cep",),
     bench=True,
@@ -1734,8 +1751,12 @@ def cep_pattern_match(spark, sf_dir):
       forward as-of joins: one shuffle per step, no row explosion.
     - ``strict``: the same symbols on three *consecutive* rows of the
       user's (ts, event_id)-ordered stream — a single lead-chain window.
+    - ``plus``: the greedy quantifier ``view+ click`` — each maximal run
+      of consecutive views immediately followed by a click
+      (gaps-and-islands, one shuffle); ts1/ts2 = run start/end, ts3 = the
+      click.
     """
-    from flink_playground_spark.operators.cep import funnel, match_contiguous
+    from flink_playground_spark.operators.cep import funnel, match_contiguous, match_plus
 
     ev = _t(spark, sf_dir, "events")
     et = F.col("event_type")
@@ -1758,7 +1779,13 @@ def cep_pattern_match(spark, sf_dir):
         "ts2",
         "ts3",
     )
-    return fun.unionByName(strict)
+    plus = match_plus(
+        ev, "user_id", "ts", "event_type", "view", "click",
+        id_col="event_id", tiebreakers=["event_id"],
+    ).select(
+        F.lit("plus").alias("pattern"), "user_id", "start_id", "ts1", "ts2", "ts3"
+    )
+    return fun.unionByName(strict).unionByName(plus)
 
 
 @register(

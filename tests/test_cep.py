@@ -236,3 +236,41 @@ def test_funnel_stream_state_across_batches(spark, tmp_path):
     assert (r["u"], r["start_id"], r["ts1"].minute, r["ts2"].minute, r["ts3"].minute) == (
         1, 100, 0, 3, 8,
     )
+
+
+def test_match_plus_golden(spark):
+    """A+ B: maximal runs of A immediately followed by B."""
+    from flink_playground_spark.operators.cep import match_plus
+
+    rows = [
+        # key 1: A A A B  -> one match, run of 3
+        (1, T(0), "A", 1), (1, T(1), "A", 2), (1, T(2), "A", 3), (1, T(3), "B", 4),
+        # key 1 later: A C A B -> C breaks the first run (no match); second
+        # run (single A) matches
+        (1, T(10), "A", 5), (1, T(11), "C", 6), (1, T(12), "A", 7), (1, T(13), "B", 8),
+        # key 2: run of A at end of stream (no follower) -> no match
+        (2, T(0), "B", 9), (2, T(1), "A", 10), (2, T(2), "A", 11),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t timestamp_ntz, et string, eid bigint")
+    got = {
+        (r["u"], r["start_id"], r["n_plus"], r["ts1"].minute, r["ts2"].minute, r["ts3"].minute)
+        for r in match_plus(
+            df, "u", "t", "et", "A", "B", id_col="eid", tiebreakers=["eid"]
+        ).collect()
+    }
+    assert got == {(1, 1, 3, 0, 2, 3), (1, 7, 1, 12, 12, 13)}
+
+
+def test_match_plus_single_shuffle(spark):
+    """Every window in the gaps-and-islands plan keys on the same columns
+    — exactly one Exchange."""
+    from flink_playground_spark.operators.cep import match_plus
+    from flink_playground_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = (
+        match_plus(ev, "user_id", "ts", "event_type", "view", "click", id_col="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchange = plan.count("Exchange") - plan.count("reused exchange")
+    assert n_exchange <= 2  # one for the windows + the final partial agg pair
