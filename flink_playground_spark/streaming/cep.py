@@ -90,10 +90,11 @@ def funnel_stream(
             sids, ssteps = state.get
             ids, steps = list(sids), [list(s) for s in ssteps]
         done: list[tuple] = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values([time_col, id_col])
+        # a large group arrives as several Arrow chunks — sort the whole
+        # batch once, not per chunk
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values([time_col, id_col])
             ts_us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
             syms = pdf[symbol_col].to_numpy()
             evids = pdf[id_col].to_numpy()
@@ -172,4 +173,91 @@ def replay_events_stream_timeordered(
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", str(files_per_batch))
         .parquet(src)
+    )
+
+
+def match_contiguous_stream(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    time_col: str,
+    symbol_col: str,
+    pattern: Sequence[str],
+    id_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming strict-contiguity matcher: ``pattern`` on k consecutive
+    rows of each key's (time, id)-ordered stream, across micro-batch
+    boundaries. State per key = the last k-1 rows only — a window of k
+    consecutive rows can span at most that far back, and any window fully
+    inside the previous batch was already emitted there, so prepending
+    the k-1 tail sees every boundary-spanning window exactly once (no
+    duplicates by construction). Output: key cols + ``start_id`` +
+    ``ts1..tsK``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("match_contiguous_stream needs a pattern of length >= 2")
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in keys]
+        + [T.StructField("start_id", df.schema[id_col].dataType)]
+        + [T.StructField(f"ts{i}", T.TimestampNTZType()) for i in range(1, k + 1)]
+    )
+    # tail of the key's stream: last k-1 (time_us, symbol, id) triples
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("ids", T.ArrayType(df.schema[id_col].dataType)),
+        ]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        tail_t: list[int] = []
+        tail_s: list[str] = []
+        tail_i: list = []
+        if state.exists:
+            st_t, st_s, st_i = state.get
+            tail_t, tail_s, tail_i = list(st_t), list(st_s), list(st_i)
+        n_tail = len(tail_t)
+        rows_t, rows_s, rows_i = tail_t, tail_s, tail_i
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values([time_col, id_col])
+            rows_t = rows_t + pdf[time_col].astype("datetime64[us]").astype("int64").tolist()
+            rows_s = rows_s + pdf[symbol_col].tolist()
+            rows_i = rows_i + pdf[id_col].tolist()
+        out = []
+        # windows that END in a new row: start positions from
+        # max(0, n_tail - (k-1)) would double-count nothing — any window
+        # ending inside the tail was emitted by the batch that completed it,
+        # so only scan windows whose last row is new (index >= n_tail).
+        for end in range(max(n_tail, k - 1), len(rows_t)):
+            start = end - (k - 1)
+            if all(rows_s[start + j] == pattern[j] for j in range(k)):
+                row = dict(zip(keys, key))
+                row["start_id"] = rows_i[start]
+                for j in range(k):
+                    row[f"ts{j + 1}"] = pd.Timestamp(rows_t[start + j], unit="us")
+                out.append(row)
+        new_tail_t = rows_t[-(k - 1):] if len(rows_t) >= k - 1 else rows_t
+        new_tail_s = rows_s[-(k - 1):] if len(rows_s) >= k - 1 else rows_s
+        new_tail_i = rows_i[-(k - 1):] if len(rows_i) >= k - 1 else rows_i
+        if new_tail_t:
+            state.update((new_tail_t, new_tail_s, new_tail_i))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        detect, out_schema, state_schema, "append", timeout
     )

@@ -274,3 +274,38 @@ def test_match_plus_single_shuffle(spark):
     )
     n_exchange = plan.count("Exchange") - plan.count("reused exchange")
     assert n_exchange <= 2  # one for the windows + the final partial agg pair
+
+
+def test_match_contiguous_stream_equals_batch(spark, sf_dir):
+    """Cross-batch strict contiguity: last-(k-1)-rows state sees every
+    boundary-spanning window exactly once."""
+    from flink_playground_spark.operators.cep import match_contiguous
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.cep import (
+        match_contiguous_stream,
+        replay_events_stream_timeordered,
+    )
+
+    stream = replay_events_stream_timeordered(spark, sf_dir, waves=3)
+    out = match_contiguous_stream(
+        stream, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        id_col="event_id",
+    )
+    got = {tuple(r) for r in _drain(spark, out, "ccs_parity").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        tuple(r)
+        for r in match_contiguous(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+            tiebreakers=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_id"),
+            F.col("ts").cast("timestamp_ntz").alias("ts1"),
+            "ts2",
+            "ts3",
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
