@@ -85,3 +85,100 @@ def test_as_of_join_matches_merge_asof(spark, left, right):
         for r in merged.itertuples(index=False)
     }
     assert got == want
+
+
+# --- CEP operators vs pure-Python references --------------------------------
+
+SYMS = ["A", "B", "C"]
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # key
+        st.integers(0, 40),           # time ordinal (minutes)
+        st.sampled_from(SYMS),        # symbol
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _event_df(spark, rows):
+    # unique event ids make every ordering total
+    return from_rows(
+        spark,
+        [(k, _ts(t), s, i) for i, (k, t, s) in enumerate(rows)],
+        ["k", "t", "et", "eid"],
+        [int, "timestamp_ntz", str, int],
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=event_rows)
+def test_funnel_matches_python_reference(spark, rows):
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.operators.cep import funnel
+
+    df = _event_df(spark, rows)
+    et = F.col("et")
+    got = {
+        (r["k"], r["start_id"], r["ts1"], r["ts2"], r["ts3"])
+        for r in funnel(
+            df, "k", "t", [et == "A", et == "B", et == "C"], "INTERVAL 15 MINUTES",
+            start_cols=[F.col("eid").alias("start_id")],
+        ).collect()
+    }
+    # reference: greedy earliest-next chain per start, all inside deadline
+    evs = sorted(
+        [(k, _ts(t), s, i) for i, (k, t, s) in enumerate(rows)],
+        key=lambda e: (e[1], e[3]),
+    )
+    want = set()
+    for k0, t0, s0, i0 in evs:
+        if s0 != "A":
+            continue
+        deadline = t0 + timedelta(minutes=15)
+        cur, chain = t0, []
+        for sym in ("B", "C"):
+            nxt = [e for e in evs if e[0] == k0 and e[2] == sym and cur < e[1] <= deadline]
+            if not nxt:
+                chain = None
+                break
+            cur = min(e[1] for e in nxt)
+            chain.append(cur)
+        if chain:
+            want.add((k0, i0, t0, chain[0], chain[1]))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=event_rows)
+def test_match_plus_matches_python_reference(spark, rows):
+    from flink_playground_spark.operators.cep import match_plus
+
+    df = _event_df(spark, rows)
+    got = {
+        (r["k"], r["start_id"], r["n_plus"], r["ts1"], r["ts2"], r["ts3"])
+        for r in match_plus(
+            df, "k", "t", "et", "A", "B", id_col="eid", tiebreakers=["eid"]
+        ).collect()
+    }
+    want = set()
+    by_key: dict[int, list] = {}
+    for i, (k, t, s) in enumerate(rows):
+        by_key.setdefault(k, []).append((_ts(t), i, s))
+    for k0, evs in by_key.items():
+        evs.sort()
+        j = 0
+        while j < len(evs):
+            if evs[j][2] == "A":
+                run = [evs[j]]
+                while j + 1 < len(evs) and evs[j + 1][2] == "A":
+                    j += 1
+                    run.append(evs[j])
+                if j + 1 < len(evs) and evs[j + 1][2] == "B":
+                    want.add(
+                        (k0, run[0][1], len(run), run[0][0], run[-1][0], evs[j + 1][0])
+                    )
+            j += 1
+    assert got == want
