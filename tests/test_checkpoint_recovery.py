@@ -67,3 +67,53 @@ def test_keep_latest_survives_restart(spark, sf_dir, tmp_path):
     # second run emitted at most one row per key, and the wave-1 output
     # was not rewritten
     assert emissions.count() <= n_after_wave1 + want.count()
+
+
+def test_streaming_funnel_survives_restart(spark, sf_dir, tmp_path):
+    """CEP chain state survives a restart: chains opened before the stop
+    complete after it, and the union of emissions equals the batch funnel
+    (exactly-once via parquet sink + checkpoint)."""
+    import os
+
+    from flink_playground_spark.operators.cep import funnel
+    from flink_playground_spark.sources.tables import load_table as _lt
+    from flink_playground_spark.streaming.cep import funnel_stream
+
+    events = _lt(spark, sf_dir, "events")
+    half = events.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.5)").first()[0]
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate([events.filter(t_us <= half), events.filter(t_us > half)]):
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"fw{i}"))
+
+    def land(i):
+        for f in (tmp_path / f"fw{i}").glob("*.parquet"):
+            shutil.copy(f, src / f"wave{i}.parquet")
+            os.utime(src / f"wave{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(str(src))
+        out = funnel_stream(
+            stream, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+            within_ms=48 * 3600 * 1000, id_col="event_id",
+        )
+        _drain(out, str(tmp_path / "fckpt"), str(tmp_path / "fout"))
+
+    land(0)
+    run()
+    n1 = spark.read.parquet(str(tmp_path / "fout")).count()
+    land(1)
+    run()  # restart from checkpoint — wave-0 state (open chains) reattaches
+
+    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "fout")).collect()}
+    et = F.col("event_type")
+    want = {
+        tuple(r)
+        for r in funnel(
+            events, "user_id", "ts", [et == "view", et == "click", et == "purchase"],
+            "INTERVAL 48 HOURS", start_cols=[F.col("event_id").alias("start_id")],
+        ).select("user_id", "start_id", "ts1", "ts2", "ts3").collect()
+    }
+    assert len(got) == len(spark.read.parquet(str(tmp_path / "fout")).collect())  # no dup rows
+    assert got == want and n1 < len(want)  # some chains completed only after restart
