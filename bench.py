@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from flink_playground_spark import get_spark
-from flink_playground_spark.queries import REGISTRY
+from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
 
 
 def main() -> None:
@@ -28,7 +28,7 @@ def main() -> None:
     spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     times: dict[str, float] = {}
-    for name, q in REGISTRY.items():
+    for name, q in {**REGISTRY, **EXTRA_REGISTRY}.items():
         if not q.bench:
             continue
         best = float("inf")

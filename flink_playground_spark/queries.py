@@ -1910,3 +1910,193 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark_fn for name, q in REGISTRY.items() if q.bench}
+
+
+# ---------------------------------------------------------------------------
+# Bench-extra queries: oracle-checked TPC-H shapes beyond the 50-entry
+# driver registry. The driver's CORRECTNESS gate caps at 50 rows, so these
+# live in EXTRA_REGISTRY: bench.py times them and the local gate
+# (tools/check.py, tests/test_queries_oracle.py) verifies them against the
+# same DuckDB oracles — they are simply not part of the driver's 50.
+# ---------------------------------------------------------------------------
+
+EXTRA_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register_extra(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = True):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        EXTRA_REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench)
+        return wrapped
+
+    return deco
+
+
+@register_extra(
+    "q2_min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+eur AS (SELECT s_suppkey, s_name, n_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+ce AS (SELECT c.l_partkey, c.unit_cost, e.s_name, e.n_name
+       FROM cost c JOIN eur e ON c.l_suppkey = e.s_suppkey),
+m AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM ce GROUP BY 1)
+SELECT p.p_partkey, p.p_brand, ce.s_name, ce.n_name, ce.unit_cost
+FROM part p JOIN ce ON p.p_partkey = ce.l_partkey
+JOIN m ON m.l_partkey = ce.l_partkey AND ce.unit_cost = m.min_cost
+WHERE p.p_size = 15
+""",
+    tags=("superset-tpch",),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped: the correlated MIN subquery ("supplier offering
+    the part's minimum cost"), decorrelated into a *window* min over the
+    part key — one pass over the supplier-cost table, no self-join
+    recompute of the aggregate subtree (the naive CTE-self-join plans the
+    cost aggregation twice). Dims (supplier x nation x region, filtered
+    part) broadcast; the only fact shuffles are the per-(part,supplier)
+    MIN (exact on doubles, order-independent) and the window's part-key
+    partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    from pyspark.sql import Window
+
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("unit_cost"))
+    ce = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey).select(
+        "l_partkey", "unit_cost", "s_name", "n_name"
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ce.withColumn("__min", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__min")
+    )
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    return best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey).select(
+        "p_partkey", "p_brand", "s_name", "n_name", "unit_cost"
+    )
+
+
+@register_extra(
+    "q7_volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1, 2, 3
+""",
+    tags=("superset-tpch",),
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped: bilateral trade volume between two nations by
+    ship year. The nation filters push into supplier and customer before
+    any fact join (both enriched dims stay broadcastable fractions);
+    lineitem date-filters at the scan, joins orders once (the one
+    fact-fact shuffle — AQE broadcasts the filtered side at small SF),
+    and the disallowed same-nation pairs drop with one predicate.
+    Revenue sums exactly in integer units (operators/money)."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    nations = ("NATION_3", "NATION_8")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").join(cus, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31 00:00:00")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+    )
+    revenue_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return exact_money_agg(
+        joined,
+        ["supp_nation", "cust_nation", "l_year"],
+        unit_sums={"rev": (revenue_units, 4)},
+    ).select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+    )
+
+
+@register_extra(
+    "q10_returned_top_customers",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    tags=("superset-tpch",),
+)
+def q10_returned_top_customers(spark, sf_dir):
+    """TPC-H Q10-shaped: top customers by returned-item revenue in one
+    quarter. Revenue aggregates per customer key BEFORE the customer and
+    nation joins — the join input shrinks from fact-sized to
+    active-customer-sized, so the enrich joins move orders of magnitude
+    fewer rows at 100 TB. TakeOrderedAndProject caps the final sort at
+    20 rows."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    rev = exact_money_agg(
+        li.join(o, li.l_orderkey == o.o_orderkey),
+        ["o_custkey"],
+        unit_sums={"rev": (revenue_units, 4)},
+        partition_stage=False,  # per-customer groups stay small
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(_t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

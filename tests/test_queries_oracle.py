@@ -6,7 +6,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from flink_playground_spark.queries import REGISTRY
+from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
+
+ALL = {**REGISTRY, **EXTRA_REGISTRY}
 from flink_playground_spark.sources.tables import TABLES
 from tools.check import compare
 
@@ -19,9 +21,9 @@ def oracle_con(sf_dir):
     return con
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize("name", sorted(ALL))
 def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
-    q = REGISTRY[name]
+    q = ALL[name]
     spark_pdf = q.spark_fn(spark, sf_dir).toPandas()
     if q.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only contract

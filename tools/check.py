@@ -19,7 +19,9 @@ import pandas as pd
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from flink_playground_spark import get_spark  # noqa: E402
-from flink_playground_spark.queries import REGISTRY  # noqa: E402
+from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY  # noqa: E402
+
+ALL = {**REGISTRY, **EXTRA_REGISTRY}
 from flink_playground_spark.sources.tables import TABLES  # noqa: E402
 
 
@@ -50,14 +52,14 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    names = [a for a in sys.argv[1:] if "/" not in a] or list(REGISTRY)
+    names = [a for a in sys.argv[1:] if "/" not in a] or list(ALL)
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = 0
     for name in names:
-        q = REGISTRY[name]
+        q = ALL[name]
         t0 = time.time()
         try:
             spark_pdf = q.spark_fn(spark, sf_dir).toPandas()
