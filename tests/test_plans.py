@@ -154,3 +154,15 @@ def test_brute_force_topk_no_full_corpus_window(spark, sf_dir):
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2
     # the first (local) partitioning includes the salt expression
     assert "pmod" in plan or "hash" in plan
+
+
+def test_q11_threshold_reuses_pv_exchange(spark, sf_dir):
+    """q11's scalar threshold consumes the same per-part aggregate as the
+    filter branch; under AQE the identical group-by Exchange must be
+    computed once (ReusedExchange), i.e. one real fact pass, not two."""
+    from flink_playground_spark.queries import EXTRA_REGISTRY
+
+    df = EXTRA_REGISTRY["q11_important_parts"].spark_fn(spark, sf_dir)
+    df.collect()  # AQE reuse materializes in the final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
