@@ -2328,3 +2328,421 @@ def q11_important_parts(spark, sf_dir):
         .filter(F.col("part_value").cast("double") > F.col("__thr"))
         .select("l_partkey", F.round(F.col("part_value"), 2).cast("double").alias("part_value"))
     )
+
+
+@register_extra(
+    "q12_priority_by_linestatus",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+    tags=("superset-tpch",),
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12-shaped: lines per status split into high/low order
+    priority (l_shipmode and the commit/receipt predicates are absent;
+    l_linestatus stands in for the grouping and the year filter for the
+    receipt window). lineitem date-filters at the scan; the single
+    fact-fact shuffle is the orderkey join; the conditional counts
+    collapse map-side (3 groups total)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register_extra(
+    "q13_customer_distribution",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+GROUP BY 1
+""",
+    tags=("superset-tpch",),
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped: distribution of per-customer order counts
+    (the NOT LIKE 'special requests' comment filter becomes a priority
+    exclusion). NOT implemented as the literal outer-join-then-count:
+    orders pre-aggregate to one row per customer BEFORE touching the
+    customer table, so the join moves |customers| rows instead of
+    |orders| rows — at 100 TB that is the difference between shuffling
+    the fact table and shuffling a key list. Customers with no
+    qualifying orders coalesce to count 0 via the left join."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = cust.join(counts, cust.c_custkey == counts.o_custkey, "left").select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+@register_extra(
+    "q14_promo_revenue",
+    """
+SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+            4) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    tags=("superset-tpch",),
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo share of one month's revenue. The part dim
+    broadcasts (two columns), lineitem date-filters at the scan, and the
+    global conditional sums run as exact integer units with the
+    partition-id pre-stage (a single global group must not funnel raw
+    rows into one reducer). Ratio of exact decimals cast to double on
+    both sides → bit-deterministic."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    joined = li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+    vol_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    agg = exact_money_agg(
+        joined,
+        [],
+        unit_sums={
+            "promo": (F.when(F.col("p_type") == "PROMO", vol_units).otherwise(F.lit(0).cast("long")), 4),
+            "total": (vol_units, 4),
+        },
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"), 4).alias(
+            "promo_revenue"
+        )
+    )
+
+
+@register_extra(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+    tags=("superset-tpch",),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the quarter's maximum revenue — the
+    CREATE VIEW + scalar MAX subquery, as a shared per-supplier
+    aggregate consumed twice (max + filter). Revenue sums exactly in
+    integer units, so the MAX comparison is decimal-exact on both
+    engines (no float ties). AQE reuses the group-by Exchange between
+    the two consumers, and the supplier dim broadcasts onto the handful
+    of surviving rows."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    vol_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    rev = exact_money_agg(li, ["l_suppkey"], unit_sums={"total_revenue": (vol_units, 4)})
+    best = rev.agg(F.max("total_revenue").alias("__max"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"))
+    )
+
+
+@register_extra(
+    "q16_supplier_cnt_by_part",
+    """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    tags=("superset-tpch",),
+)
+def q16_supplier_cnt_by_part(spark, sf_dir):
+    """TPC-H Q16-shaped: distinct suppliers per (brand, type, size),
+    excluding a supplier denylist — partsupp becomes lineitem and the
+    'complaints' comment filter becomes negative account balance. The
+    denylist is a broadcast anti-join (NOT IN over a non-null key), the
+    filtered part dim broadcasts, and COUNT(DISTINCT) runs as Spark's
+    two-phase distinct aggregate — no row ever shuffles twice."""
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register_extra(
+    "q17_small_quantity_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size < 10
+  AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    tags=("superset-tpch",),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped: revenue of below-avg-quantity lines for one
+    part family (p_container → p_size stands in). The correlated
+    per-part AVG decorrelates into a window average over the part key —
+    one pass, no per-row subquery re-execution. The threshold is
+    deterministic across engines: l_quantity is integer-valued, so the
+    double partial sums are exact and AVG is order-independent. The
+    filtered part dim broadcasts; the window partitions by part key
+    (bounded rows per part)."""
+    from pyspark.sql import Window
+
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    li_family = li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flt = li_family.withColumn("__avg", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("__avg")
+    )
+    agg = exact_money_agg(flt, [], unit_sums={"__sum": (cents("l_extendedprice"), 2)})
+    return agg.select(
+        F.round(F.col("__sum").cast("double") / F.lit(7.0), 2).alias("avg_yearly")
+    )
+
+
+@register_extra(
+    "q19_disjunctive_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("superset-tpch",),
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: revenue under a disjunction of brand/size/quantity
+    conjunctions. Catalyst does not factor per-table implications out
+    of a cross-table OR, so the single-table envelopes are derived by
+    hand and pushed to both scans — part pre-filters to the union of
+    brand/size branches (broadcastable), lineitem to quantity 1..30 —
+    and the exact OR predicate applies after the join. At 100 TB the
+    derived lineitem envelope is the difference between scanning every
+    quantity and a 60% slice, with the full disjunction evaluated only
+    on survivors."""
+    from flink_playground_spark.operators.money import cents, exact_money_agg
+
+    b1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    b2 = (F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 10)
+    b3 = (F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+    parts = _t(spark, sf_dir, "part").filter(b1 | b2 | b3).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    q = F.col("l_quantity")
+    full = (
+        (b1 & q.between(1, 11)) | (b2 & q.between(10, 20)) | (b3 & q.between(20, 30))
+    )
+    joined = li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey")).filter(full)
+    vol_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    agg = exact_money_agg(joined, [], unit_sums={"revenue": (vol_units, 4)})
+    return agg.select(F.round(F.col("revenue"), 2).cast("double").alias("revenue"))
+
+
+@register_extra(
+    "q20_promotion_suppliers",
+    """
+SELECT s_name, CAST(ROUND(CAST(s_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'large%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+""",
+    tags=("superset-tpch",),
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped: suppliers in one nation who moved a material
+    volume of a part-name family in a year — the partsupp availability
+    correlation becomes an IN-subquery over an aggregated-with-HAVING
+    fact slice (the same nested semi-join-on-aggregate shape). The
+    inner aggregate shrinks facts to supplier keys before any contact
+    with the supplier table; the HAVING compare is exact (integer-
+    valued quantities in double). The outer semi-join broadcasts the
+    surviving key set."""
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("large%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    movers = (
+        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select("l_suppkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_4")
+    )
+    return sup.join(F.broadcast(movers), sup.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_name", F.round(F.col("s_acctbal").cast("decimal(12,2)"), 2).cast("double").alias("s_acctbal")
+    )
+
+
+@register_extra(
+    "q21_waiting_supplier",
+    """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 180 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 180 DAY)
+GROUP BY 1
+""",
+    tags=("superset-tpch",),
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21-shaped: the sole-late-supplier-on-a-multi-supplier-
+    order pattern (receipt-vs-commit lateness becomes shipped >180 days
+    after order date). The EXISTS / NOT EXISTS pair decorrelates into
+    ONE per-order aggregate — distinct suppliers and distinct LATE
+    suppliers — instead of two correlated probes of the fact table:
+    a late line qualifies iff its order has ≥2 suppliers and exactly 1
+    late supplier. The lineitem⨝orders frame is shared by the aggregate
+    and the candidate branch (AQE exchange reuse); the nation-filtered
+    supplier dim broadcasts at the end, after the fact rows have
+    collapsed."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
+    )
+    per_order = joined.groupBy("o_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    )
+    candidates = joined.filter(F.col("__late")).select("l_orderkey", "l_suppkey")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        candidates.join(
+            per_order,
+            (candidates.l_orderkey == per_order.o_orderkey)
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_late") == 1),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@register_extra(
+    "q22_dormant_customers",
+    """
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0
+                     AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+    tags=("superset-tpch",),
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22-shaped: above-average-balance customers in selected
+    segments with no RECENT orders (phone country codes → market
+    segments; the no-orders-at-all anti-join would be empty in this
+    corpus, so 'dormant since 2000' keeps the shape selective). The
+    global average is an exact decimal sum cast to double over an exact
+    count — bit-deterministic on both engines — broadcast as a scalar.
+    The NOT EXISTS is a left-anti join against date-filtered order keys,
+    which shrink at the scan before the shuffle."""
+    from flink_playground_spark.operators.money import cents
+
+    seg = F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+    cust = _t(spark, sf_dir, "customer").filter(seg)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(cents("c_acctbal")).cast("decimal(27,0)").cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2).cast("double").alias("totacctbal"),
+    )
