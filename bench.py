@@ -68,7 +68,7 @@ _RENAMES = {
 _CHANGED = {
     "tumble_hop_events",  # was tumble only; now tumble + hop branches
     "sessionize_events",  # was gap-strategy only; now gaps + native
-    "text_analysis",  # was stats only; now stats + lang-id + fingerprint
+    "text_analysis",  # was stats only; now + lang-id + fingerprint + token counts
 }
 
 

@@ -1,0 +1,65 @@
+"""Content-defined chunking: split documents at hash-determined token
+boundaries.
+
+Fixed-size chunking shifts every boundary when one token is inserted;
+content-defined chunking (the rsync/LBFS idea) starts a new chunk
+wherever hash(token) falls in a target residue class, so an edit only
+redraws the chunks around it — which is what makes chunk-level dedup
+and incremental re-tokenization work on a 100 TB corpus.
+
+Boundary rule here: md5(token) starting with ``boundary_prefix``
+(one hex char → expected chunk length 16 tokens). md5 keeps the rule
+engine-portable (oracle-checkable); a production pipeline would swap in
+xxhash64 for speed without changing the plan.
+
+Plan shape — entirely JVM-side column expressions:
+
+  posexplode(split(text))            — scan-local, no shuffle
+  boundary flag + running count      — one window per doc_id ordered by
+                                       position (bounded by doc length,
+                                       never by corpus size)
+  groupBy (doc, chunk)               — the single shuffle; map-side
+                                       combine collapses each chunk to
+                                       one row before the exchange
+
+Training-pipeline extension family (SURVEY §7.1); no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def positional_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, term) with 1-based positions over the whitespace split;
+    empty tokens dropped AFTER enumeration so positions are stable."""
+    return (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("pos0", "term"),
+        )
+        .withColumn("pos", (F.col("pos0") + 1).cast("bigint"))
+        .filter(F.col("term") != "")
+        .drop("pos0")
+    )
+
+
+def content_chunks(
+    df: DataFrame, id_col: str, text_col: str, boundary_prefix: str = "0"
+) -> DataFrame:
+    """Chunk summary per (doc, chunk): token count and position span.
+    chunk_id counts boundary tokens seen so far (a boundary token STARTS
+    a new chunk; the prefix before the first boundary is chunk 0)."""
+    toks = positional_tokens(df, id_col, text_col)
+    is_boundary = F.md5(F.col("term").cast("binary")).startswith(boundary_prefix)
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    chunked = toks.withColumn(
+        "chunk_id", F.sum(is_boundary.cast("int")).over(w).cast("bigint")
+    )
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+    )

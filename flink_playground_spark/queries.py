@@ -54,6 +54,27 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: b
     return deco
 
 
+EXTRA_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register_extra(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = True):
+    """Bench-extra queries: oracle-checked shapes beyond the 50-entry
+    driver registry. The driver's CORRECTNESS gate caps at 50 rows, so
+    these live in EXTRA_REGISTRY: bench.py times them and the local gate
+    (tools/check.py, tests/test_queries_oracle.py) verifies them against
+    the same DuckDB oracles — they are simply not part of the driver's 50."""
+
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        EXTRA_REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench)
+        return wrapped
+
+    return deco
+
+
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
@@ -1346,6 +1367,8 @@ def pandas_udf_bucket(spark, sf_dir):
 
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+_ROLL_M = 2147483647  # 2^31 - 1: keeps acc*31 < 2^36, no ANSI overflow
+
 
 def _text_analysis_oracle() -> str:
     from flink_playground_spark.functions.text import LANG_MARKERS
@@ -1368,7 +1391,12 @@ SELECT doc_id, lang AS declared_lang,
        ROUND(len(list_filter(toks, x -> x IN ('the','and','of','to','is','a','in','that'))) / len(toks), 6) AS stop_ratio,
        ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text), 6) AS punct_ratio,
        {case} AS pred_lang,
-       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       len(string_split(trim(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(toks, s -> CAST(length(s) * 131 + ascii(s) AS BIGINT))),
+                        (a, b) -> (a * 31 + b) % {_ROLL_M}) AS BIGINT) AS rolling_fp
 FROM s
 """
 
@@ -1378,13 +1406,23 @@ def text_analysis(spark, sf_dir):
     """Per-document text analysis in ONE scan-stage projection (no UDF,
     no shuffle): quality statistics (token counts, mean token length,
     stopword/punctuation ratios), marker-stopword language identification
-    (n-gram heuristic), and the deterministic md5 fingerprint of the
-    normalized text. Everything is a JVM-side column expression, so the
-    whole query is a single WholeStageCodegen span over the parquet scan."""
+    (n-gram heuristic), the deterministic md5 fingerprint of the
+    normalized text, token counting two ways (whitespace; BPE-ish regex
+    of letter runs / digit runs / single punctuation), and a polynomial
+    rolling-hash fingerprint folded in exact integer math. Everything is
+    a JVM-side column expression, so the whole query is a single
+    WholeStageCodegen span over the parquet scan. (Absorbed the former
+    standalone token_counts registry entry — same granularity, same
+    scan — freeing a driver-gate slot; the standalone survives as a
+    bench-extra.)"""
     from flink_playground_spark.functions import text as tx
 
     docs = _t(spark, sf_dir, "documents")
     toks = tx.tokens("text")
+    per_token = F.transform(toks, lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long"))
+    rolling = F.aggregate(
+        per_token, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % _ROLL_M
+    )
     return docs.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
@@ -1394,6 +1432,11 @@ def text_analysis(spark, sf_dir):
         F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
         tx.lang_id("text").alias("pred_lang"),
         tx.fingerprint("text").alias("fp"),
+        F.size(F.split(F.trim("text"), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        rolling.alias("rolling_fp"),
     )
 
 
@@ -1609,10 +1652,7 @@ def embedding_neardup_lsh(spark, sf_dir):
     )
 
 
-_ROLL_M = 2147483647  # 2^31 - 1: keeps acc*31 < 2^36, no ANSI overflow
-
-
-@register(
+@register_extra(
     "token_counts",
     f"""
 WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
@@ -1625,6 +1665,7 @@ SELECT doc_id,
 FROM t
 """,
     tags=("ext-text",),
+    bench=False,
 )
 def token_counts(spark, sf_dir):
     """Token counting two ways (whitespace split; BPE-ish regex of letter
@@ -1647,6 +1688,91 @@ def token_counts(spark, sf_dir):
         ),
         rolling.alias("rolling_fp"),
     )
+
+
+_SAMPLING_ORACLE = """
+WITH toks AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+strat AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents),
+pos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> {'p': i, 'term': t[i]})) AS u FROM toks),
+pt AS (SELECT doc_id, u.p AS pos, u.term AS term FROM pos WHERE u.term <> ''),
+ch AS (SELECT doc_id, pos,
+              SUM(CASE WHEN md5(term) LIKE '0%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
+       FROM pt),
+chunks AS (SELECT doc_id, chunk_id, COUNT(*) AS n_tokens FROM ch GROUP BY 1, 2),
+tfidf AS (
+  SELECT doc_id, term, CAST(tf AS DOUBLE) * ((n + 1.0) / (df + 1.0)) AS score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf AS DOUBLE) * ((n + 1.0) / (df + 1.0)) DESC, term) AS rn
+  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT 'stratified' AS branch, doc_id, lang AS key, CAST(rn AS DOUBLE) AS val FROM strat WHERE rn <= 10
+UNION ALL
+SELECT 'bernoulli', doc_id, '', 1.0 FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
+UNION ALL
+SELECT 'tfidf', doc_id, term, ROUND(score, 6) FROM tfidf WHERE rn <= 3
+UNION ALL
+SELECT 'chunk', doc_id, CAST(chunk_id AS VARCHAR), CAST(n_tokens AS DOUBLE) FROM chunks
+"""
+
+
+@register("corpus_sampling", _SAMPLING_ORACLE, tags=("ext-sampling",), bench=True)
+def corpus_sampling(spark, sf_dir):
+    """Deterministic corpus sampling & tokenization family, union-tagged
+    into one driver row (branch, doc_id, key, val):
+
+    - stratified — exactly 10 docs per language, the k smallest md5
+      hashes, two-level salted rank (functions/sampling.py) so no
+      reducer sees a stratum's full row set;
+    - bernoulli — hash-threshold scan filter, no shuffle at all;
+    - tfidf — top-3 terms per doc by rational-idf tf·(N+1)/(df+1)
+      (functions/tfidf.py: log-free → bit-identical across engines);
+    - chunk — content-defined chunk sizes at md5-boundary tokens
+      (functions/chunking.py: rsync-style shift-resistant splits).
+
+    Full-fidelity outputs (ranks, spans) live in the bench-extras
+    tfidf_top_terms / content_chunking; this entry is the driver-gate
+    row for the family."""
+    from flink_playground_spark.functions.chunking import content_chunks
+    from flink_playground_spark.functions.sampling import (
+        bernoulli_hash_sample,
+        stratified_topk_sample,
+    )
+    from flink_playground_spark.functions.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    strat = stratified_topk_sample(docs.select("doc_id", "lang"), ["lang"], "doc_id", 10).select(
+        F.lit("stratified").alias("branch"),
+        "doc_id",
+        F.col("lang").alias("key"),
+        F.col("sample_rank").cast("double").alias("val"),
+    )
+    bern = bernoulli_hash_sample(docs.select("doc_id"), "doc_id", "28").select(
+        F.lit("bernoulli").alias("branch"),
+        "doc_id",
+        F.lit("").alias("key"),
+        F.lit(1.0).alias("val"),
+    )
+    tfidf = tfidf_top_terms(docs, "doc_id", "text", 3).select(
+        F.lit("tfidf").alias("branch"),
+        "doc_id",
+        F.col("term").alias("key"),
+        F.round(F.col("score"), 6).alias("val"),
+    )
+    chunks = content_chunks(docs, "doc_id", "text").select(
+        F.lit("chunk").alias("branch"),
+        "doc_id",
+        F.col("chunk_id").cast("string").alias("key"),
+        F.col("n_tokens").cast("double").alias("val"),
+    )
+    return strat.unionAll(bern).unionAll(tfidf).unionAll(chunks)
 
 
 def _activity_sim_oracle() -> str:
@@ -1913,26 +2039,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
-# Bench-extra queries: oracle-checked TPC-H shapes beyond the 50-entry
-# driver registry. The driver's CORRECTNESS gate caps at 50 rows, so these
-# live in EXTRA_REGISTRY: bench.py times them and the local gate
-# (tools/check.py, tests/test_queries_oracle.py) verifies them against the
-# same DuckDB oracles — they are simply not part of the driver's 50.
+# Bench-extra queries (see register_extra above): oracle-checked TPC-H
+# shapes beyond the 50-entry driver registry.
 # ---------------------------------------------------------------------------
-
-EXTRA_REGISTRY: dict[str, QueryDef] = {}
-
-
-def register_extra(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = True):
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tune(spark)
-            return fn(spark, sf_dir)
-
-        EXTRA_REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench)
-        return wrapped
-
-    return deco
 
 
 @register_extra(
@@ -2746,3 +2855,57 @@ def q22_dormant_customers(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("numcust"),
         F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2).cast("double").alias("totacctbal"),
     )
+
+
+@register_extra(
+    "tfidf_top_terms",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS DOUBLE) * ((n + 1.0) / (df + 1.0)) AS score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf AS DOUBLE) * ((n + 1.0) / (df + 1.0)) DESC, term) AS term_rank
+  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, term, ROUND(score, 6) AS score, CAST(term_rank AS BIGINT) AS term_rank
+FROM scored WHERE term_rank <= 3
+""",
+    tags=("ext-sampling",),
+    bench=False,
+)
+def tfidf_top_terms_full(spark, sf_dir):
+    """Full-fidelity tf-idf surface (see functions/tfidf.py and the
+    corpus_sampling driver row): top-3 terms per doc with rank."""
+    from flink_playground_spark.functions.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", 3)
+    return out.select("doc_id", "term", F.round(F.col("score"), 6).alias("score"), "term_rank")
+
+
+@register_extra(
+    "content_chunking",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> {'p': i, 'term': t[i]})) AS u FROM toks),
+pt AS (SELECT doc_id, u.p AS pos, u.term AS term FROM pos WHERE u.term <> ''),
+ch AS (SELECT doc_id, pos,
+              SUM(CASE WHEN md5(term) LIKE '0%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
+       FROM pt)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS start_pos, CAST(MAX(pos) AS BIGINT) AS end_pos
+FROM ch GROUP BY 1, 2
+""",
+    tags=("ext-sampling",),
+    bench=False,
+)
+def content_chunking_full(spark, sf_dir):
+    """Full-fidelity content-defined chunking surface (see
+    functions/chunking.py): per-chunk token count and position span."""
+    from flink_playground_spark.functions.chunking import content_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return content_chunks(docs, "doc_id", "text")

@@ -1,0 +1,116 @@
+"""Deterministic sampling / tf-idf / content-chunking unit tests
+(functions/sampling.py, tfidf.py, chunking.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.chunking import content_chunks, positional_tokens
+from flink_playground_spark.functions.sampling import (
+    bernoulli_hash_sample,
+    stratified_topk_sample,
+)
+from flink_playground_spark.functions.tfidf import tfidf_top_terms
+from flink_playground_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_stratified_exact_k_per_stratum(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = stratified_topk_sample(docs, ["lang"], "doc_id", 7).toPandas()
+    sizes = out.groupby("lang").size()
+    n_per_lang = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, sz in sizes.items():
+        assert sz == min(7, n_per_lang[lang])
+    ranks = out.groupby("lang")["sample_rank"].apply(sorted)
+    for lang, rs in ranks.items():
+        assert list(rs) == list(range(1, len(rs) + 1))
+
+
+def test_stratified_stable_under_repartition(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    a = stratified_topk_sample(docs, ["lang"], "doc_id", 5).toPandas()
+    b = stratified_topk_sample(docs.repartition(7), ["lang"], "doc_id", 5).toPandas()
+    key = lambda pdf: sorted(map(tuple, pdf[["lang", "doc_id", "sample_rank"]].values))
+    assert key(a) == key(b)
+
+
+def test_bernoulli_threshold_nesting(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    narrow = set(bernoulli_hash_sample(docs, "doc_id", "1").toPandas()["doc_id"])
+    wide = set(bernoulli_hash_sample(docs, "doc_id", "28").toPandas()["doc_id"])
+    assert narrow <= wide
+    n_total = docs.count()
+    # rate '28'/256 ≈ 15.6 %: sanity band, not exactness
+    assert 0.05 * n_total < len(wide) < 0.35 * n_total
+
+
+def test_chunks_partition_the_document(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(50)
+    chunks = content_chunks(docs, "doc_id", "text").toPandas()
+    toks = positional_tokens(docs, "doc_id", "text").groupBy("doc_id").count().toPandas()
+    per_doc = chunks.groupby("doc_id")["n_tokens"].sum()
+    for _, row in toks.iterrows():
+        assert per_doc[row["doc_id"]] == row["count"]
+    # spans tile without overlap: next chunk starts after this one ends
+    for _, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert (g["start_pos"] <= g["end_pos"]).all()
+        assert (g["end_pos"].values[:-1] < g["start_pos"].values[1:]).all()
+
+
+def test_chunk_boundaries_shift_resistant(spark):
+    """Content-defined property: appending text only changes the LAST
+    chunk (or adds chunks) — every earlier chunk survives byte-identical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    spark_df = lambda txt: spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    a = content_chunks(spark_df(base.strip()), "doc_id", "text").toPandas()
+    b = content_chunks(spark_df(base.strip() + " lambda mu nu xi"), "doc_id", "text").toPandas()
+    a_rows = sorted(map(tuple, a[["chunk_id", "n_tokens", "start_pos", "end_pos"]].values))
+    b_rows = sorted(map(tuple, b[["chunk_id", "n_tokens", "start_pos", "end_pos"]].values))
+    assert a_rows[:-1] == b_rows[: len(a_rows) - 1]
+
+
+def test_tfidf_matches_python_reference(spark, sf_dir):
+    """Top-3 terms per doc match an independent Python recomputation of
+    the rational formula; and at equal tf, rarer terms outrank commoner
+    ones (the property shared with ln-idf)."""
+    docs = _docs(spark, sf_dir).limit(40)
+    out = tfidf_top_terms(docs, "doc_id", "text", 3)
+    from flink_playground_spark.functions.tfidf import whitespace_tokens
+
+    toks = whitespace_tokens(docs, "doc_id", "text")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).toPandas()
+    dfq = tf.groupby("term")["doc_id"].nunique()
+    n = docs.count()
+    got = out.toPandas()
+    assert got["doc_id"].nunique() == 40
+    for doc_id, g in got.groupby("doc_id"):
+        sub = tf[tf["doc_id"] == doc_id].copy()
+        sub["score"] = sub.apply(
+            lambda r: r["tf"] * ((n + 1.0) / (dfq[r["term"]] + 1.0)), axis=1
+        )
+        want = sub.sort_values(["score", "term"], ascending=[False, True])["term"].tolist()[:3]
+        have = g.sort_values("term_rank")["term"].tolist()
+        assert have == want, doc_id
+        # equal-tf slices: ranking within them is by ascending df
+        ranked = g.sort_values("term_rank")
+        sub_tf = sub.set_index("term")["tf"]
+        for i in range(len(ranked) - 1):
+            a, b = ranked.iloc[i]["term"], ranked.iloc[i + 1]["term"]
+            if sub_tf[a] == sub_tf[b]:
+                assert (dfq[a], a) <= (dfq[b], b)
+
+
+def test_stratified_plan_has_salted_prune(spark, sf_dir):
+    """Two-level shape: the first row_number window partitions by
+    (stratum, salt) — no single-partition pass over a whole stratum
+    before pruning."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    df = stratified_topk_sample(docs, ["lang"], "doc_id", 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert plan.count("Window") >= 2
