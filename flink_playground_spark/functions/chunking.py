@@ -52,14 +52,40 @@ def content_chunks(
     """Chunk summary per (doc, chunk): token count and position span.
     chunk_id counts boundary tokens seen so far (a boundary token STARTS
     a new chunk; the prefix before the first boundary is chunk 0)."""
-    toks = positional_tokens(df, id_col, text_col)
-    is_boundary = F.md5(F.col("term").cast("binary")).startswith(boundary_prefix)
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    chunked = toks.withColumn(
-        "chunk_id", F.sum(is_boundary.cast("int")).over(w).cast("bigint")
-    )
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix)
     return chunked.groupBy(id_col, "chunk_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.min("pos").alias("start_pos"),
         F.max("pos").alias("end_pos"),
+    )
+
+
+def _chunked_tokens(
+    df: DataFrame, id_col: str, text_col: str, boundary_prefix: str = "0"
+) -> DataFrame:
+    toks = positional_tokens(df, id_col, text_col)
+    is_boundary = F.md5(F.col("term").cast("binary")).startswith(boundary_prefix)
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    return toks.withColumn("chunk_id", F.sum(is_boundary.cast("int")).over(w).cast("bigint"))
+
+
+def chunk_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, boundary_prefix: str = "0"
+) -> DataFrame:
+    """(id, chunk_id, chunk_fp, n_tokens): md5 of each chunk's text —
+    the unit of chunk-level dedup. Reassembling a chunk's text is a
+    per-(doc, chunk) collect of ≤ O(expected chunk length) tokens
+    (array_sort on the (pos, term) structs restores order inside the
+    aggregate — no second window), so the collect is bounded by the
+    boundary rate, never by document or corpus size."""
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix)
+    text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"]
+        ),
+        " ",
+    )
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.md5(text.cast("binary")).alias("chunk_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )

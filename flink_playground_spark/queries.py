@@ -2909,3 +2909,51 @@ def content_chunking_full(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return content_chunks(docs, "doc_id", "text")
+
+
+@register_extra(
+    "chunk_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> {'p': i, 'term': t[i]})) AS u FROM toks),
+pt AS (SELECT doc_id, u.p AS pos, u.term AS term FROM pos WHERE u.term <> ''),
+ch AS (SELECT doc_id, pos, term,
+              SUM(CASE WHEN md5(term) LIKE '0%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
+       FROM pt),
+ctext AS (SELECT doc_id, chunk_id, md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_fp,
+                 COUNT(*) AS n_tokens
+          FROM ch GROUP BY 1, 2)
+SELECT chunk_fp, CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM ctext WHERE n_tokens >= 4
+GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    tags=("ext-sampling", "ext-dedup"),
+)
+def chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup — the payoff of content-defined chunking:
+    passages (≥4-token chunks) appearing verbatim in ≥2 documents, with
+    occurrence counts and a canonical owner. Because boundaries are
+    content-defined, the same passage embedded at DIFFERENT offsets in
+    different documents still yields identical chunks — offset-shifted
+    duplication that fixed-size chunking structurally misses. Plan:
+    chunk fingerprinting is one window + one bounded collect per (doc,
+    chunk); the dedup itself is a single fingerprint groupBy with
+    map-side combine — the exact_dedup_docs shape one level down."""
+    from flink_playground_spark.functions.chunking import chunk_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = chunk_fingerprints(docs, "doc_id", "text").filter(F.col("n_tokens") >= 4)
+    return (
+        fps.groupBy("chunk_fp")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

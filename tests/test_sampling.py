@@ -114,3 +114,27 @@ def test_stratified_plan_has_salted_prune(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
     assert plan.count("Window") >= 2
+
+
+def test_chunk_fingerprints_catch_offset_shifted_passages(spark):
+    """The same passage at different offsets in different docs yields
+    identical chunk fingerprints (what fixed-size chunking misses)."""
+    from flink_playground_spark.functions.chunking import chunk_fingerprints
+
+    # 'gamma' and 'nu' are boundary tokens (md5 starts with '0'), so the
+    # passage re-chunks identically wherever it starts: [gamma delta
+    # epsilon zeta] ... [nu ...] are interior chunks at any offset.
+    passage = "gamma delta epsilon zeta nu theta iota kappa gamma sigma tau rho"
+    docs = spark.createDataFrame(
+        [(1, "xx yy " + passage + " zz"), (2, "aa " + passage), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    fps = chunk_fingerprints(docs, "doc_id", "text").toPandas()
+    # at least one multi-token interior chunk of the passage is common to docs 1 and 2
+    multi = fps[fps["n_tokens"] >= 3]
+    common = multi.groupby("chunk_fp")["doc_id"].nunique()
+    assert (common >= 2).any(), fps
+    shared = fps.groupby("chunk_fp")["doc_id"].apply(set)
+    for fp in multi["chunk_fp"].unique():
+        if len(shared[fp]) >= 2:
+            assert 3 not in shared[fp]  # doc 3 shares no substantive chunk
