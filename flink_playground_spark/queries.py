@@ -2572,14 +2572,25 @@ def q15_top_supplier(spark, sf_dir):
     integer units, so the MAX comparison is decimal-exact on both
     engines (no float ties). AQE reuses the group-by Exchange between
     the two consumers, and the supplier dim broadcasts onto the handful
-    of surviving rows."""
+    of surviving rows. partition_stage=False deliberately: the
+    spark_partition_id pre-stage is marked nondeterministic, which
+    blocks canonical plan equality and therefore ReusedExchange — and
+    per-supplier quarter revenue is a bounded-ish group (map-side
+    partials still collapse it) so the single-stage long sum is safe."""
     from flink_playground_spark.operators.money import cents, exact_money_agg
 
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        # explicit, though vacuous: the later supplier equi-join infers
+        # isnotnull(l_suppkey) into ONE consumer's scan; stating it on the
+        # shared base keeps both subtrees canonically equal → ReusedExchange
+        & F.col("l_suppkey").isNotNull()
     )
     vol_units = cents("l_extendedprice") * (100 - cents("l_discount"))
-    rev = exact_money_agg(li, ["l_suppkey"], unit_sums={"total_revenue": (vol_units, 4)})
+    rev = exact_money_agg(
+        li, ["l_suppkey"], unit_sums={"total_revenue": (vol_units, 4)}, partition_stage=False
+    )
     best = rev.agg(F.max("total_revenue").alias("__max"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2769,13 +2780,15 @@ def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21-shaped: the sole-late-supplier-on-a-multi-supplier-
     order pattern (receipt-vs-commit lateness becomes shipped >180 days
     after order date). The EXISTS / NOT EXISTS pair decorrelates into
-    ONE per-order aggregate — distinct suppliers and distinct LATE
-    suppliers — instead of two correlated probes of the fact table:
-    a late line qualifies iff its order has ≥2 suppliers and exactly 1
-    late supplier. The lineitem⨝orders frame is shared by the aggregate
-    and the candidate branch (AQE exchange reuse); the nation-filtered
-    supplier dim broadcasts at the end, after the fact rows have
-    collapsed."""
+    per-order WINDOW aggregates — distinct suppliers and distinct LATE
+    suppliers over the order-key partition — instead of two correlated
+    probes or a groupBy-and-join-back: a late line qualifies iff its
+    order has ≥2 suppliers and exactly 1 late supplier. ONE pass over
+    lineitem⨝orders, ONE fact shuffle (the order-key partitioning),
+    windows bounded by lines-per-order; the nation-filtered supplier
+    dim broadcasts at the end, after the fact rows have collapsed."""
+    from pyspark.sql import Window
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -2783,11 +2796,15 @@ def q21_waiting_supplier(spark, sf_dir):
     joined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
     )
-    per_order = joined.groupBy("o_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__n_supp"),
-        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    w = Window.partitionBy("o_orderkey")
+    flagged = joined.select(
+        "l_suppkey",
+        "__late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp"),
+        F.size(F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).over(w)).alias(
+            "__n_late"
+        ),
     )
-    candidates = joined.filter(F.col("__late")).select("l_orderkey", "l_suppkey")
     sup = (
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -2795,12 +2812,7 @@ def q21_waiting_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name")
     )
     return (
-        candidates.join(
-            per_order,
-            (candidates.l_orderkey == per_order.o_orderkey)
-            & (F.col("__n_supp") >= 2)
-            & (F.col("__n_late") == 1),
-        )
+        flagged.filter(F.col("__late") & (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))

@@ -4,6 +4,7 @@ shuffle counts, codegen), checked against the actual physical plans."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_playground_spark.operators.dedup import dedup_latest
@@ -156,13 +157,25 @@ def test_brute_force_topk_no_full_corpus_window(spark, sf_dir):
     assert "pmod" in plan or "hash" in plan
 
 
-def test_q11_threshold_reuses_pv_exchange(spark, sf_dir):
-    """q11's scalar threshold consumes the same per-part aggregate as the
-    filter branch; under AQE the identical group-by Exchange must be
-    computed once (ReusedExchange), i.e. one real fact pass, not two."""
+@pytest.mark.parametrize("name", ["q11_important_parts", "q15_top_supplier"])
+def test_scalar_threshold_reuses_agg_exchange(spark, sf_dir, name):
+    """q11/q15's scalar threshold consumes the same per-group aggregate
+    as the filter branch; under AQE the identical group-by Exchange must
+    be computed once (ReusedExchange), i.e. one real fact pass, not two."""
     from flink_playground_spark.queries import EXTRA_REGISTRY
 
-    df = EXTRA_REGISTRY["q11_important_parts"].spark_fn(spark, sf_dir)
+    df = EXTRA_REGISTRY[name].spark_fn(spark, sf_dir)
     df.collect()  # AQE reuse materializes in the final adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_q21_single_fact_pass(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS decorrelation must not re-scan the fact
+    table: one lineitem scan, per-order logic as windows over one
+    order-key shuffle."""
+    from flink_playground_spark.queries import EXTRA_REGISTRY
+
+    df = EXTRA_REGISTRY["q21_waiting_supplier"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
