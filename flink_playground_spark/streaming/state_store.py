@@ -126,3 +126,47 @@ class BucketedKeyState:
             old_touched.drop(BUCKET_COL).select(*cols),
             new_touched.drop(BUCKET_COL).select(*cols),
         )
+
+    def merge_aggregate(self, partials: DataFrame, agg_cols: Sequence[F.Column]) -> DataFrame:
+        """Fold pre-aggregated micro-batch partials into the state by
+        re-aggregating old∪new inside the touched buckets — the
+        mergeable-aggregate counterpart of ``merge_keep_latest`` (state
+        rows and partials share one schema; ``agg_cols`` are aliased
+        aggregate Columns producing that schema back, e.g.
+        ``F.sum("n").alias("n")``). Same IO contract: only touched
+        buckets are read and dynamically overwritten. Returns the
+        post-merge contents of the touched buckets."""
+        spark = partials.sparkSession
+        cols = partials.columns
+        tagged = partials.withColumn(BUCKET_COL, self._bucket())
+        touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+        if self._has_state:
+            old_touched = (
+                spark.read.parquet(self.path)
+                .filter(F.col(BUCKET_COL).isin(touched))
+                .localCheckpoint(eager=True)
+            )
+            base = old_touched.unionByName(tagged)
+        else:
+            base = tagged
+        merged = (
+            base.drop(BUCKET_COL)
+            .groupBy(*self.keys)
+            .agg(*agg_cols)
+            .select(*cols)
+            .withColumn(BUCKET_COL, self._bucket())
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+        self._has_state = True
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .localCheckpoint(eager=True)
+            .drop(BUCKET_COL)
+            .select(*cols)
+        )
