@@ -2,9 +2,11 @@
 operators — the 100 TB shape, runnable on the local corpus.
 
 documents → exact dedup → near-dup removal (MinHash-LSH verified) →
-quality/language filter → token accounting → embedding near-dup check →
-final curated set with per-source stats. Every stage is a shuffle-aware
-DataFrame transform; nothing collects to the driver until the final show.
+quality/language filter → token accounting → cross-document passage
+audit (content-defined chunking) → corpus signature terms (tf-idf) →
+deterministic stratified eval sample + Bernoulli train/heldout split.
+Every stage is a shuffle-aware DataFrame transform; nothing collects to
+the driver until the final show.
 """
 
 import pathlib
@@ -56,8 +58,55 @@ def main() -> None:
         .orderBy("source")
     )
 
+    # 5. passage audit: verbatim chunks shared across documents
+    #    (content-defined boundaries catch offset-shifted duplication
+    #    that document-level dedup can't see). Run before AND after
+    #    curation — the delta is what near-dup removal cleaned up.
+    from flink_playground_spark.functions.chunking import chunk_fingerprints
+
+    def shared_passages(frame):
+        return (
+            chunk_fingerprints(frame, "doc_id", "text")
+            .filter(F.col("n_tokens") >= 4)
+            .groupBy("chunk_fp")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+        )
+
+    # 6. corpus signature terms (tf-idf, rational idf) — the vocabulary
+    #    drift ledger a recurring ingestion job would diff run-over-run
+    from flink_playground_spark.functions.tfidf import tfidf_top_terms
+
+    top_terms = tfidf_top_terms(curated, "doc_id", "text", 1)
+
+    # 7. deterministic eval sample + split: exactly 5 docs per language
+    #    for eval (stable under repartition/re-runs), then a hash
+    #    Bernoulli train/heldout split of the rest — md5-keyed, so the
+    #    assignment is reproducible on any engine
+    from flink_playground_spark.functions.sampling import (
+        bernoulli_hash_sample,
+        sample_hash,
+        stratified_topk_sample,
+    )
+
+    # stratify on the declared lang (the corpus's word-soup text all
+    # lang-IDs as English, so pred_lang has one stratum)
+    eval_set = stratified_topk_sample(curated, ["lang"], "doc_id", 5)
+    rest = curated.join(eval_set.select("doc_id"), "doc_id", "left_anti")
+    train = bernoulli_hash_sample(rest, "doc_id", "e0")  # ~87.5 %
+    heldout = rest.filter(sample_hash("doc_id") >= "e0")
+
     print(f"documents: {n0} → exact-dedup {n1} → near-dup {n2} → quality/lang gate {n3}")
     ledger.show(25, truncate=False)
+    raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    print(
+        f"shared ≥4-token passages: raw corpus {shared_passages(raw_docs).count()}"
+        f" → curated {shared_passages(curated).count()}"
+    )
+    top_terms.orderBy("doc_id").show(5, truncate=False)
+    print(
+        f"eval {eval_set.count()} (5/lang) | train {train.count()} | heldout {heldout.count()}"
+    )
     curated.select("doc_id", fingerprint("text").alias("fp")).show(5, truncate=False)
     spark.stop()
 
