@@ -2969,3 +2969,38 @@ def chunk_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + _NGRAM_PAIRS_SQL.format(thr=0.8) + "),\n"
+    + """
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node),
+cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+       cc.doc_id = cc.cluster_id AS is_canonical
+FROM cc JOIN sz USING (cluster_id)
+"""
+)
+
+
+@register_extra("dedup_clusters", _DEDUP_CLUSTERS_SQL, tags=("ext-dedup",), bench=True)
+def dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: the last step of the MinHash dedup pipeline.
+    Near-duplicate PAIRS (MinHash+LSH banding, exactly verified at
+    t=0.8) become duplicate CLUSTERS via distributed connected
+    components (min-label propagation + pointer doubling, O(log n)
+    rounds — operators/graph.py), with the minimum doc id as the
+    deterministic canonical survivor. The oracle recomputes components
+    with a recursive CTE over the same exact-Jaccard pair set."""
+    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    from flink_playground_spark.operators.graph import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    return duplicate_clusters(pairs, "id_a", "id_b")
