@@ -3004,3 +3004,53 @@ def dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
     return duplicate_clusters(pairs, "id_a", "id_b")
+
+
+_QUALITY_SIGNALS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               count(*) AS n_types, max(tf) AS maxtf
+        FROM tf GROUP BY 1),
+bg AS (SELECT doc_id, count(*) AS nbig, count(DISTINCT big) AS dbig
+       FROM (SELECT doc_id,
+                    unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                          i -> toks[i] || ' ' || toks[i + 1])) AS big
+             FROM t)
+       GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(agg.n_tokens, 0) AS n_tokens,
+       COALESCE(ROUND(agg.n_types / agg.n_tokens, 6), 0.0) AS ttr,
+       COALESCE(ROUND(agg.maxtf / agg.n_tokens, 6), 0.0) AS top_tok_frac,
+       COALESCE(ROUND(1 - dbig / nbig, 6), 0.0) AS dup_bigram_frac,
+       CAST(len(regexp_extract_all(t.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t.text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ips,
+       regexp_replace(t.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS redacted
+FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN bg USING (doc_id)
+"""
+
+
+@register_extra("quality_signals", _QUALITY_SIGNALS_SQL, tags=("ext-text",), bench=True)
+def quality_signals(spark, sf_dir):
+    """Gopher-family repetition/diversity signals (type-token ratio,
+    top-token fraction, duplicate-bigram fraction — Rae et al. 2021 App.
+    A1.1) joined with PII scan counts and email redaction. Repetition
+    needs per-doc term frequencies: one explode + two map-side-combined
+    hash aggs keyed by doc (functions/quality.py); PII columns are pure
+    scan-stage regexes (lookaround-free, so Spark's Java regex and the
+    oracle's RE2 accept identical patterns). The synthetic corpus holds
+    no PII, so counts are zero and redaction is the identity here —
+    crafted-fixture goldens in tests/test_quality.py pin the non-trivial
+    redaction behavior."""
+    from flink_playground_spark.functions.quality import pii_redact, repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_signals(docs, "doc_id", "text")
+    pii = pii_redact(docs, "text").select(
+        "doc_id",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_ips").cast("bigint").alias("n_ips"),
+        "redacted",
+    )
+    return docs.select("doc_id").join(rep, "doc_id", "left").join(pii, "doc_id", "left")
