@@ -3054,3 +3054,35 @@ def quality_signals(spark, sf_dir):
         "redacted",
     )
     return docs.select("doc_id").join(rep, "doc_id", "left").join(pii, "doc_id", "left")
+
+
+_SEMANTIC_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + _EMB_NEARDUP_SQL + "),\n"
+    + """
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node),
+cc AS (SELECT node AS vec_id, min(comp) AS cluster_id FROM walk GROUP BY node),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.vec_id AS doc_id, cc.cluster_id, sz.cluster_size,
+       cc.vec_id = cc.cluster_id AS is_canonical
+FROM cc JOIN sz USING (cluster_id)
+"""
+)
+
+
+@register_extra("semantic_dedup_clusters", _SEMANTIC_CLUSTERS_SQL, tags=("ext-dedup", "ext-sim"))
+def semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic deduplication, end to end: embedding-
+    cosine near-dup pairs (the exact baseline; the LSH bucket join is
+    the documented scale path for the pair stage) -> connected
+    components -> one canonical vector per semantic cluster. Same graph
+    operator as dedup_clusters; the oracle recomputes components with a
+    recursive CTE over the exact cosine pair set."""
+    from flink_playground_spark.operators.graph import duplicate_clusters
+
+    pairs = embedding_neardup(spark, sf_dir)
+    return duplicate_clusters(pairs, "id_a", "id_b")
