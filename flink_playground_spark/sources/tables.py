@@ -23,10 +23,12 @@ TABLES = (
     "embeddings",
 )
 
-# events.ts is parquet TIMESTAMP(NANOS,false): Spark has no nanosecond
-# timestamp type, so the scan reads it as long (nanosAsLong) and this
-# expression converts ns -> microsecond TIMESTAMP_NTZ with pure integer
-# math (no double rounding; exactly DuckDB's CAST(ts AS TIMESTAMP)).
+# events.ts may arrive as parquet TIMESTAMP(NANOS,false): Spark has no
+# nanosecond timestamp type, so the scan reads it as long (nanosAsLong)
+# and this expression converts ns -> microsecond TIMESTAMP_NTZ with pure
+# integer math (no double rounding; exactly DuckDB's CAST(ts AS
+# TIMESTAMP)). When the file carries µs timestamps instead, the scan
+# already yields a timestamp type and only an NTZ normalization applies.
 _NS_TO_TS_NTZ = (
     "cast('1970-01-01 00:00:00' as timestamp_ntz)"
     " + make_dt_interval(0, 0, 0, cast({col} div 1000 as decimal(20,0)) / 1000000)"
@@ -45,7 +47,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ µs whatever the file
+    carried: long nanos (TIMESTAMP(NANOS) under nanosAsLong), µs NTZ
+    (identity), or an LTZ/other timestamp (plain cast)."""
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+    if ts_type != "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

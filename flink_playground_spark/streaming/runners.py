@@ -14,33 +14,26 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from flink_playground_spark.sources.tables import _NS_TO_TS_NTZ, _ensure_nanos_conf
-
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from flink_playground_spark.sources.tables import _ensure_nanos_conf, normalize_events_ts
 
 
 def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``events`` table as an unbounded stream (same columns/types as
     the batch loader, ts normalized to TIMESTAMP_NTZ µs)."""
     _ensure_nanos_conf(spark)
+    # The stream source needs an explicit schema; take the file's actual
+    # footer schema (ts has been long-nanos or µs-timestamp across
+    # corpus generations) from a zero-cost batch read, then normalize ts
+    # exactly like the batch loader.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a directory; filter to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr(_NS_TO_TS_NTZ.format(col="ts")))
+    return normalize_events_ts(raw)
 
 
 def replay_events_waves(spark: SparkSession, sf_dir: str, waves: int = 2) -> DataFrame:
