@@ -39,6 +39,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` unrolled for a statically-known vector length.
+
+    ``aggregate``/``zip_with`` lambdas run on Catalyst's expression
+    interpreter — per-element virtual calls, no codegen. When ``dim`` is
+    known (every embedding table has one), the same left-associative sum
+    ``((0.0 + a0*b0) + a1*b1) + ...`` can be emitted as a plain
+    arithmetic chain that whole-stage codegen compiles to straight-line
+    JVM bytecode. Bit-identical to ``dot`` (same seed, same operand
+    order, same double ops) — only the execution engine differs.
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return acc
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """``norm`` unrolled for a statically-known vector length (see
+    ``dot_fixed``); bit-identical to ``norm``."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        x = a[i].cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``cosine`` with all three folds unrolled (codegen path); bit-
+    identical to ``cosine`` for vectors of length ``dim``."""
+    return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -59,7 +59,12 @@ def connected_components(
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
 
-    comp = sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    # fused round 0: with identity labels, the first neighbor-min step is
+    # just min(u, min neighbor) — one aggregate over sym instead of a full
+    # join round (saves two joins + a convergence check per run)
+    comp = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("comp")
+    ).select(F.col("u").alias("node"), "comp")
     comp = comp.localCheckpoint(eager=True)
 
     rounds = 0

@@ -1602,19 +1602,55 @@ SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4
 @register("embedding_neardup", _EMB_NEARDUP_SQL, tags=("ext-dedup", "ext-sim"))
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — exact all-pairs baseline
-    (capped to vec_id < 600: the HOF cosine is interpreted per pair, so
-    all-pairs is quadratic; the LSH bucket variant below is the scale
-    path). Bit-exact double math vs the oracle."""
-    from flink_playground_spark.functions.similarity import cosine
+    (capped to vec_id < 600: all-pairs is quadratic; the LSH bucket
+    variant below is the scale path). Bit-exact double math vs the
+    oracle.
+
+    Plan shape (the naive ``a JOIN b ON id_a < id_b`` is a
+    BroadcastNestedLoopJoin whose condition — where Catalyst pushes the
+    similarity predicate — is evaluated on the expression INTERPRETER,
+    serially on the tiny scan's single partition):
+
+    - all-pairs is generated as a BLOCK GRID: the probe side is
+      replicated once per block and equi-joined to the build side's
+      block id — a broadcast HASH join, so the similarity predicate and
+      projection run inside whole-stage codegen, parallel across block
+      partitions. The same grid is how all-pairs shards across a real
+      cluster: B chosen so one block's vectors fit an executor.
+    - the dot/norm folds are unrolled to the vector's known length
+      (``dot_fixed``/``norm_fixed``) — same left-associative sums as the
+      HOF ``cosine``, bit-identical, but codegen instead of interpreted;
+      norms are computed once per VECTOR before replication (600 chains)
+      rather than once per PAIR (360k chains), which also shrinks the
+      planned expression tree ~3x (driver-side analysis of unrolled
+      chains is not free)."""
+    from flink_playground_spark.functions.similarity import dot_fixed, norm_fixed
 
     v = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600).select(
         "vec_id", "embedding"
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dim = v.select(F.size("embedding")).head()[0]  # metadata peek, one tiny job
+    n_blocks = spark.sparkContext.defaultParallelism
+    vn = v.withColumn("nrm", norm_fixed(F.col("embedding"), dim))
+    a_rep = vn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    ).withColumn("bb", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    b_blk = vn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("bb"),
+    )
+    pairs = (
+        a_rep.repartition(n_blocks, "bb")
+        .join(F.broadcast(b_blk), "bb")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    sim = F.round(
+        dot_fixed(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb")), 6
+    )
     return (
-        pairs.withColumn("sim", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", "sim")
     )
@@ -3086,3 +3122,57 @@ def semantic_dedup_clusters(spark, sf_dir):
 
     pairs = embedding_neardup(spark, sf_dir)
     return duplicate_clusters(pairs, "id_a", "id_b")
+
+
+_SCD2_PIT_SQL = """
+WITH src AS (
+  SELECT user_id, ts, state FROM (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type IN ('signup', 'purchase')) t WHERE rn = 1),
+chg AS (
+  SELECT user_id, ts, state FROM (
+    SELECT user_id, ts, state,
+           LAG(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM src) t WHERE prev IS NULL OR prev <> state),
+scd AS (
+  SELECT user_id, state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM chg),
+c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click')
+SELECT c.click_id, c.user_id, c.click_ts, s.state, s.valid_from, s.valid_to
+FROM c LEFT JOIN scd s
+  ON c.user_id = s.user_id AND c.click_ts >= s.valid_from
+ AND (s.valid_to IS NULL OR c.click_ts < s.valid_to)
+"""
+
+
+@register_extra("scd2_point_in_time", _SCD2_PIT_SQL, tags=("ext-temporal",))
+def scd2_point_in_time(spark, sf_dir):
+    """SCD type-2 dimension build + point-in-time fact enrichment.
+
+    signup/purchase events form a per-user lifecycle changelog; scd2_build
+    collapses it into contiguous validity intervals (one Exchange — the
+    tie-dedup, change-detection and close-out windows share one
+    partitioning and sort). Clicks are then enriched with the lifecycle
+    state current at click time. The oracle runs the textbook interval
+    join (ts >= valid_from AND ts < valid_to); the engine lowers it to
+    the single-shuffle as-of join, which is equivalent because SCD2
+    intervals are contiguous and non-overlapping per key — the plan that
+    survives 100 TB, where an interval theta-join does not
+    (operators/scd.py)."""
+    from flink_playground_spark.operators.scd import point_in_time_join, scd2_build
+
+    events = _t(spark, sf_dir, "events")
+    dim_src = events.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    scd = scd2_build(dim_src, ["user_id"], "ts", ["state"], tiebreaker="event_id")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = point_in_time_join(clicks, scd, [("user_id", "user_id")], "click_ts", how="left")
+    return out.select("click_id", "user_id", "click_ts", "state", "valid_from", "valid_to")
