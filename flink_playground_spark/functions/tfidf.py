@@ -72,3 +72,94 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term", "score", "term_rank")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25 with the
+    rational idf (Robertson-Sparck Jones odds WITHOUT the log — see the
+    module docstring for why ln is not bit-portable; x -> (N-df+0.5)/
+    (df+0.5) is strictly decreasing in df like the log form, so
+    rarer-term contributions still dominate):
+
+        score(D) = sum_t  (N - df + 0.5)/(df + 0.5)
+                        * tf*(k1+1) / (tf + k1*((1-b) + b*(dl*N/sum_dl)))
+
+    Bit-portability of the SUM: float addition is order-sensitive, so
+    the per-term contributions are NOT summed with a group aggregate
+    (arbitrary order). Each term's contribution is pulled out with a
+    single-match conditional aggregate and the (few) terms are added in
+    the fixed, documented query order — an oracle running the identical
+    fixed-order addition reproduces the exact bit pattern.
+
+    Plan: token explode -> dl per doc (shuffle 1) -> tf for QUERY TERMS
+    ONLY (the term filter prunes before the (doc, term) aggregate;
+    shuffle 2) -> tiny df(term) and (N, sum_dl) scalars broadcast ->
+    per-doc fixed-order sum + top-k. Scales as two key shuffles over
+    the corpus regardless of query count.
+    """
+    toks = whitespace_tokens(df, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tfq = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        tfq.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(g))
+        .withColumn(
+            "c",
+            ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * ((F.col("dl") * F.col("n")) / F.col("sum_dl")))
+                )
+            ),
+        )
+    )
+    score = None
+    per_term = contrib.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.first(F.when(F.col("term") == t, F.col("c")), ignorenulls=True),
+                F.lit(0.0),
+            ).alias(f"__c{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    for i in range(len(query_terms)):
+        col = F.col(f"__c{i}")
+        score = col if score is None else score + col
+    # two-level top-k (same pattern as brute_force_topk): rank inside
+    # hash-salt groups first so no single partition ever sees the full
+    # scored corpus, then re-rank the <= k*n_salt survivors globally
+    scored = per_term.withColumn("score", F.round(score, 6)).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
+    )
+    w_local = Window.partitionBy("__salt").orderBy(F.desc("score"), F.asc(id_col))
+    survivors = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
+        F.col("__lr") <= k
+    )
+    w_global = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )

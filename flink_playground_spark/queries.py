@@ -3176,3 +3176,113 @@ def scd2_point_in_time(spark, sf_dir):
     )
     out = point_in_time_join(clicks, scd, [("user_id", "user_id")], "click_ts", how="left")
     return out.select("click_id", "user_id", "click_ts", "state", "valid_from", "valid_to")
+
+
+_NEARDUP_CLEAN_SQL = (
+    "WITH RECURSIVE pairs AS (" + _NGRAM_PAIRS_SQL.format(thr=0.8) + "),\n"
+    + """
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node),
+noncanon AS (
+  SELECT node AS doc_id FROM (
+    SELECT node, min(comp) AS comp FROM walk GROUP BY node) t
+  WHERE node <> comp),
+flagged AS (
+  SELECT d.lang, len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,
+         n.doc_id IS NOT NULL AS dropped
+  FROM documents d LEFT JOIN noncanon n ON d.doc_id = n.doc_id)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+       ROUND(SUM(CASE WHEN NOT dropped THEN n_tokens ELSE 0 END)
+             / COUNT(*) FILTER (WHERE NOT dropped), 4) AS avg_tokens_kept
+FROM flagged GROUP BY lang
+"""
+)
+
+
+@register_extra("neardup_clean_pipeline", _NEARDUP_CLEAN_SQL, tags=("ext-dedup",), bench=False)
+def neardup_clean_pipeline(spark, sf_dir):
+    """Near-duplicate-aware corpus cleaning, end to end: MinHash+LSH
+    banding finds candidate pairs (verified exactly at t=0.8), connected
+    components turns pairs into duplicate clusters, every non-canonical
+    member is dropped (min doc_id survives — the deterministic keep-one
+    rule), and the cleaned corpus is summarized per language. This is
+    corpus_clean_pipeline's big sibling: exact dedup collapses byte-
+    identical copies; this one removes near-identical rewrites too — the
+    standard pretraining-data recipe (MinHash banding -> clusters ->
+    survivor). Every stage is banded/bucketed, no all-pairs; the oracle
+    recomputes the drop set with exact Jaccard + a recursive CTE."""
+    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    from flink_playground_spark.functions.text import tokens
+    from flink_playground_spark.operators.graph import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    drop = duplicate_clusters(pairs, "id_a", "id_b").filter(
+        ~F.col("is_canonical")
+    ).select("doc_id")
+    flagged = docs.join(
+        drop.withColumn("dropped", F.lit(True)), "doc_id", "left"
+    ).select(
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.when(~F.col("dropped"), 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(F.col("dropped"), 1)).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.sum(F.when(~F.col("dropped"), F.col("n_tokens")).otherwise(0)).cast("double")
+            / F.count(F.when(~F.col("dropped"), 1)),
+            4,
+        ).alias("avg_tokens_kept"),
+    )
+
+
+_BM25_TERMS = ("vector", "hash", "stream")
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tk WHERE term IN ('vector', 'hash', 'stream') GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ((g.n - d.df + 0.5) / (d.df + 0.5))
+         * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * ((l.dl * g.n) / g.sum_dl)))) AS c
+  FROM tfq t JOIN dft d USING (term) JOIN dl l USING (doc_id) CROSS JOIN g),
+s AS (
+  SELECT doc_id,
+         ROUND(COALESCE(any_value(c) FILTER (WHERE term = 'vector'), 0.0)
+               + COALESCE(any_value(c) FILTER (WHERE term = 'hash'), 0.0)
+               + COALESCE(any_value(c) FILTER (WHERE term = 'stream'), 0.0), 6) AS score
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM s ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register_extra("bm25_search", _BM25_SQL, tags=("ext-text",), bench=False)
+def bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed bag-of-terms
+    query over the documents table, rational-idf variant (log-free for
+    cross-engine bit-equality — functions/tfidf.py module docstring).
+    Per-term contributions are summed in fixed query order via
+    single-match conditional aggregates, never a group sum whose float
+    addition order would be nondeterministic; the oracle mirrors the
+    identical fixed-order addition. Two corpus shuffles total (dl, then
+    query-term tf); df and the (N, sum_dl) scalars broadcast; top-k is
+    the two-level salted rank."""
+    from flink_playground_spark.functions.tfidf import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", list(_BM25_TERMS), k=10)

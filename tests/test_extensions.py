@@ -207,3 +207,43 @@ def test_sketch_aggregates_within_error_bounds(spark):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
     assert abs(row["approx_p"] - row["exact_p"]) / row["exact_p"] < 0.01
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk equals a straightforward Python BM25 (same rational idf)
+    on a crafted corpus, including document-length normalization."""
+    import math
+
+    docs = [
+        (1, "spark spark spark flink"),
+        (2, "spark flink flink duck duck duck duck duck duck duck duck"),
+        (3, "duck goose"),
+        (4, "goose goose goose goose"),
+    ]
+    terms = ["spark", "duck"]
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(docs)
+    avg_mul = {d: dl[d] * n / sum(dl.values()) for d in dl}
+    dfreq = {t: sum(1 for d in toks if t in toks[d]) for t in terms}
+    want = {}
+    for d in toks:
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            if not tf:
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * avg_mul[d]))
+        if s:  # retrieval returns only docs matching >= 1 query term
+            want[d] = round(s, 6)
+    order = sorted(want, key=lambda d: (-want[d], d))
+
+    from flink_playground_spark.functions.tfidf import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.score, r.rank) for r in bm25_topk(df, "doc_id", "text", terms, k=4).collect()}
+    assert [d for d in sorted(got, key=lambda d: got[d][1])] == order
+    for d, (score, _) in got.items():
+        assert math.isclose(score, want[d], rel_tol=0, abs_tol=5e-7), (d, score, want[d])
