@@ -3286,3 +3286,66 @@ def bm25_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", list(_BM25_TERMS), k=10)
+
+
+_LEAKAGE_SPLIT_SQL = (
+    "WITH RECURSIVE pairs AS (" + _NGRAM_PAIRS_SQL.format(thr=0.8) + "),\n"
+    + """
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node),
+cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, d.lang, COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id),
+assigned AS (
+  SELECT doc_id, lang, group_key,
+         CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train' ELSE 'test' END AS split
+  FROM grouped)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups
+FROM assigned GROUP BY split, lang
+"""
+)
+
+
+@register_extra("leakage_safe_split", _LEAKAGE_SPLIT_SQL, tags=("ext-dedup", "ext-sampling"), bench=False)
+def leakage_safe_split(spark, sf_dir):
+    """Group-aware train/test split: near-duplicate CLUSTERS, not
+    documents, are the unit of assignment, so two near-identical
+    rewrites can never land on opposite sides of the split (the classic
+    eval-contamination bug a doc-keyed split cannot prevent). MinHash
+    pairs -> connected components -> group key = cluster id (or own
+    doc_id for singletons) -> deterministic md5 75/25 assignment on the
+    GROUP key -> per-(split, lang) counts. Same md5 convention as
+    corpus_clean_pipeline, so both engines assign identically; the
+    oracle recomputes clusters from exact Jaccard with a recursive
+    CTE."""
+    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    from flink_playground_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    grouped = docs.join(cc, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key")
+    )
+    assigned = grouped.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("group_key").cast("string")), 1, 1).isin(*"0123456789ab"),
+            "train",
+        ).otherwise("test"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("group_key").cast("bigint").alias("n_groups"),
+    )

@@ -247,3 +247,45 @@ def test_bm25_matches_python_reference(spark):
     assert [d for d in sorted(got, key=lambda d: got[d][1])] == order
     for d, (score, _) in got.items():
         assert math.isclose(score, want[d], rel_tol=0, abs_tol=5e-7), (d, score, want[d])
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
+    """Every near-duplicate pair lands in the same split — the property a
+    doc-keyed split violates and the group-keyed split guarantees."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    from flink_playground_spark.operators.graph import connected_components
+    from flink_playground_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_key")
+    )
+    split = cc.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("group_key").cast("string")), 1, 1).isin(*"0123456789ab"),
+            "train",
+        ).otherwise("test"),
+    ).select("doc_id", "split")
+    straddling = (
+        pairs.join(split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert pairs.count() > 0  # the corpus does contain near-dups
+    assert straddling.count() == 0
+
+    # and the doc-keyed split DOES straddle at least one pair here,
+    # which is exactly why the group key matters
+    doc_split = F.when(
+        F.substring(F.md5(F.col("v").cast("string")), 1, 1).isin(*"0123456789ab"), "train"
+    ).otherwise("test")
+    naive = (
+        pairs.withColumn("sa", F.substring(F.md5(F.col("id_a").cast("string")), 1, 1).isin(*"0123456789ab"))
+        .withColumn("sb", F.substring(F.md5(F.col("id_b").cast("string")), 1, 1).isin(*"0123456789ab"))
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert naive.count() > 0
