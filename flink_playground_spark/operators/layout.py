@@ -96,3 +96,55 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE-style small-file compaction for a parquet directory.
+
+    The small-files problem is a first-order cost at scale: a 100 TB
+    table ingested by many streaming micro-batches or over-parallel
+    writers accumulates millions of KB-sized files, and every query then
+    pays per-file open/footer/scheduling overhead that dwarfs the scan
+    itself. Compaction rewrites the directory into files of
+    ``target_bytes`` each:
+
+    - file count from the ACTUAL on-disk byte size (filesystem listing,
+      driver-side metadata only — no data collect), never a row-count
+      guess;
+    - rewrite is a round-robin ``repartition`` (one shuffle) so output
+      files are evenly sized, or a ``repartitionByRange`` + sort when
+      ``sort_by`` is given (compaction is the natural moment to also fix
+      clustering — same shuffle either way);
+    - write goes to a temp sibling dir then atomically swaps, so a
+      failed compaction never destroys the input.
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    """
+    import os
+    import shutil
+
+    files = [
+        e for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet")
+    ]
+    total = sum(e.stat().st_size for e in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = sum(
+        1 for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet")
+    )
+    return {"files_before": len(files), "files_after": n_after, "bytes": total}

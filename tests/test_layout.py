@@ -127,3 +127,56 @@ def test_zorder_skips_files_for_point_range_queries(spark, sf_dir, tmp_path):
     a = sorted(r[0] for r in spark.read.parquet(zo).filter(pred).select("event_id").collect())
     b = sorted(r[0] for r in spark.read.parquet(lin).filter(pred).select("event_id").collect())
     assert a == b
+
+
+def test_compact_files(spark, tmp_path):
+    """64 tiny files collapse to the byte-target count; data survives
+    exactly; a sort_by compaction additionally tightens footer spans."""
+    import os
+
+    from flink_playground_spark.operators.layout import compact_files
+    from flink_playground_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.01", "orders")
+    path = str(tmp_path / "frag")
+    src.repartition(64).write.parquet(path)
+    n_small = sum(1 for e in os.scandir(path) if e.name.endswith(".parquet"))
+    assert n_small == 64
+    before = src.count()
+    checksum = spark.read.parquet(path).agg(
+        F.sum(F.xxhash64(*spark.read.parquet(path).columns).cast("decimal(38,0)"))
+    ).first()[0]
+
+    total = sum(
+        e.stat().st_size for e in os.scandir(path) if e.name.endswith(".parquet")
+    )
+    stats = compact_files(spark, path, target_bytes=total // 4 + 1)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 5
+    got = spark.read.parquet(path)
+    assert got.count() == before
+    assert got.agg(F.sum(F.xxhash64(*got.columns).cast("decimal(38,0)"))).first()[0] == checksum
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+
+    # sorted compaction: per-file o_custkey spans shrink vs round-robin
+    import pyarrow.parquet as pq
+
+    def spans(p):
+        out = []
+        for e in os.scandir(p):
+            if not e.name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(e.path).metadata
+            i = [c for c in range(len(md.schema)) if md.schema.column(c).name == "o_custkey"][0]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                mins.append(st.min); maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    rr_spans = spans(path)
+    compact_files(spark, path, target_bytes=total // 4 + 1, sort_by=["o_custkey"])
+    sorted_spans = spans(path)
+    assert sum(sorted_spans) < sum(rr_spans) / 2
