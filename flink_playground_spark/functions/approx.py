@@ -46,3 +46,85 @@ def approx_distinct_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_distinct")
     )
     return per_group, total
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch as a RELATION: ``(d, w, cnt)`` with at most
+    ``depth * width`` rows, built in one scan + one bounded-size shuffle.
+
+    Each row of the input lands in one bucket per hash row
+    (``xxhash64(value, d) mod width``); the sketch is the per-cell
+    count. Because it is just a (d, w)-keyed aggregate, it inherits the
+    two properties that matter at 100 TB for free from the engine:
+    map-side combine (the shuffle moves <= depth*width partials per
+    task, not rows) and MERGEABILITY — the sketch of a union is the
+    (d, w)-wise SUM of the sketches, a plain groupBy over sketch rows.
+    """
+    reps = df.select(F.col(col).cast("string").alias("__v")).withColumn(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    return (
+        reps.groupBy(
+            "d", F.pmod(F.xxhash64("__v", F.col("d")), F.lit(width)).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union count-min sketches built with the same (depth, width):
+    (d, w)-wise sum — the mergeable two-level pattern."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, values: DataFrame, col: str, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each value: min over hash rows of the
+    cell count (one-sided error: estimate >= true count, over by at most
+    ~e*N/width with high probability). ``values`` should be distinct;
+    output is ``(col, est_count)``. The sketch side is tiny (<=
+    depth*width rows) and broadcasts."""
+    v = values.select(F.col(col).cast("string").alias("__v")).distinct()
+    probes = v.join(sketch.select("d").distinct()).withColumn(
+        "w", F.pmod(F.xxhash64("__v", F.col("d")), F.lit(width))
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "w"], "left").select(
+        "__v", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("__v").agg(F.min("cnt").alias("est_count")).select(
+        F.col("__v").alias(col), "est_count"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.01,
+    depth: int = 4,
+    width: int = 1024,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Values with estimated frequency >= ``phi`` of all rows, via CMS.
+
+    CMS cannot enumerate, so candidates come from a separate (cheap)
+    source — by default the distinct values of a deterministic 10%
+    md5-hash sample (any true phi-heavy hitter appears in such a sample
+    with overwhelming probability; pass ``candidates`` to control this).
+    One-sided CMS error means NO FALSE NEGATIVES among candidates:
+    every true heavy hitter whose value is in the candidate set is
+    returned (some near-threshold values may over-report in).
+    """
+    n = df.count()
+    sketch = count_min_sketch(df, col, depth, width)
+    if candidates is None:
+        candidates = df.filter(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 1).isin(*"01")
+        ).select(col)
+    est = cms_estimate(sketch, candidates, col, width)
+    return est.filter(F.col("est_count") >= F.lit(float(phi)) * F.lit(float(n)))

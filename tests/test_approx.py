@@ -61,3 +61,63 @@ def test_hll_rollup_is_single_scan(spark, sf_dir):
     assert "hll_union_agg" in plan
     assert plan.count("FileScan") == 1
     assert "count(distinct" not in plan.lower()
+
+
+def test_cms_one_sided_error_and_bound(spark, sf_dir):
+    """CMS estimates are >= exact counts (never under), and within the
+    e*N/width additive bound for every probed token."""
+    import math
+
+    from flink_playground_spark.functions.approx import cms_estimate, count_min_sketch
+    from flink_playground_spark.functions.tfidf import whitespace_tokens
+    from flink_playground_spark.sources.tables import load_table
+
+    toks = whitespace_tokens(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    n = toks.count()
+    depth, width = 4, 1024
+    sketch = count_min_sketch(toks, "term", depth, width)
+    assert sketch.count() <= depth * width
+    exact = {r.term: r.c for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {
+        r.term: r.est_count
+        for r in cms_estimate(sketch, toks.select("term"), "term", width).collect()
+    }
+    assert set(est) == set(exact)
+    bound = math.e * n / width
+    for t, c in exact.items():
+        assert est[t] >= c, f"CMS undercounted {t}"
+        assert est[t] <= c + bound, f"CMS over by more than eN/width on {t}"
+
+
+def test_cms_mergeability(spark, sf_dir):
+    """Sketch(union) == merge(sketches of parts): the two-level property."""
+    from flink_playground_spark.functions.approx import cms_merge, count_min_sketch
+    from flink_playground_spark.functions.tfidf import whitespace_tokens
+    from flink_playground_spark.sources.tables import load_table
+
+    toks = whitespace_tokens(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    a, b = toks.filter(F.col("doc_id") % 2 == 0), toks.filter(F.col("doc_id") % 2 == 1)
+    direct = {(r.d, r.w): r.cnt for r in count_min_sketch(toks, "term").collect()}
+    merged = {
+        (r.d, r.w): r.cnt
+        for r in cms_merge(count_min_sketch(a, "term"), count_min_sketch(b, "term")).collect()
+    }
+    assert direct == merged
+
+
+def test_heavy_hitters_no_false_negatives(spark, sf_dir):
+    """Every true phi-heavy token is returned (candidates = full vocab to
+    isolate the CMS guarantee from sampling)."""
+    from flink_playground_spark.functions.approx import heavy_hitters
+    from flink_playground_spark.functions.tfidf import whitespace_tokens
+    from flink_playground_spark.sources.tables import load_table
+
+    toks = whitespace_tokens(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    n = toks.count()
+    phi = 0.02
+    exact_hh = {
+        r.term
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= phi * n).collect()
+    }
+    got = {r.term for r in heavy_hitters(toks, "term", phi=phi, candidates=toks.select("term")).collect()}
+    assert exact_hh <= got
