@@ -170,3 +170,72 @@ class BucketedKeyState:
             .drop(BUCKET_COL)
             .select(*cols)
         )
+
+    def merge_changes(
+        self,
+        changes: DataFrame,
+        op_col: str,
+        order_col: str,
+        tiebreakers: Sequence[str] = (),
+    ) -> DataFrame:
+        """Apply a CDC batch — the file-level ``MERGE INTO``: rows whose
+        ``op_col`` is ``'D'`` delete their key, any other op upserts.
+        The LATEST change per key (by ``order_col`` + ``tiebreakers``,
+        vs the stored row's own order value) decides, so a
+        delete-then-reinsert inside one batch resolves to the reinsert
+        and vice versa.
+
+        Same IO contract as the other merges — only touched buckets are
+        read and rewritten — plus the delete-specific pitfall handled
+        explicitly: dynamic partition overwrite only replaces partitions
+        PRESENT in the output, so a bucket whose last surviving row was
+        deleted would silently keep its stale files. Buckets touched by
+        the batch but left empty are removed directly (driver-side
+        metadata op on the partition dir, not a data job).
+
+        Returns the post-merge contents of the touched buckets.
+        """
+        import shutil
+
+        spark = changes.sparkSession
+        out_cols = [c for c in changes.columns if c != op_col]
+        tagged = changes.withColumn(BUCKET_COL, self._bucket())
+        touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+        if self._has_state:
+            old_touched = (
+                spark.read.parquet(self.path)
+                .filter(F.col(BUCKET_COL).isin(touched))
+                .localCheckpoint(eager=True)
+                # stored rows re-enter the contest as upserts at their
+                # own order value
+                .withColumn(op_col, F.lit("U"))
+            )
+            base = old_touched.unionByName(tagged.select(*old_touched.columns))
+        else:
+            base = tagged
+        winners = dedup_latest(
+            base.drop(BUCKET_COL), self.keys, order_col, tiebreakers
+        )
+        merged = (
+            winners.filter(F.col(op_col) != "D")
+            .drop(op_col)
+            .select(*out_cols)
+            .withColumn(BUCKET_COL, self._bucket())
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+        surviving = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
+        for b in set(touched) - surviving:
+            shutil.rmtree(f"{self.path}/{BUCKET_COL}={b}", ignore_errors=True)
+        self._has_state = True
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .localCheckpoint(eager=True)
+            .drop(BUCKET_COL)
+            .select(*out_cols)
+        )

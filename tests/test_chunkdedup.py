@@ -57,3 +57,68 @@ def test_streaming_chunk_dedup_state_reattach(spark, sf_dir, tmp_path):
     want = EXTRA_REGISTRY["chunk_dedup"].spark_fn(spark, sf_dir).toPandas()
     cols = ["chunk_fp", "n_tokens", "n_occurrences", "n_docs", "canonical_doc"]
     assert _rows(got[cols]) == _rows(want[cols])
+
+
+def test_merge_changes_cdc_apply(spark, tmp_path):
+    """CDC apply on bucketed state: upserts, deletes, delete-then-
+    reinsert ordering, stale rows, and the fully-emptied-bucket case
+    where dynamic overwrite alone would leave stale files."""
+    import os
+
+    from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+    path = str(tmp_path / "cdc_state")
+    st = BucketedKeyState(path, ["k"], n_buckets=4)
+
+    def apply(rows):
+        df = spark.createDataFrame(rows, "op string, k long, v string, ver long")
+        return st.merge_changes(df, "op", "ver")
+
+    # wave 1: plain inserts
+    apply([("U", k, f"v{k}", 1) for k in range(8)])
+    assert {(r.k, r.v) for r in st.read(spark).collect()} == {(k, f"v{k}") for k in range(8)}
+
+    # wave 2: update 0, delete 1, stale update of 2 (ver 0 loses to stored
+    # ver 1), delete-then-reinsert 3, insert-then-delete 4... within batch
+    apply(
+        [
+            ("U", 0, "v0b", 2),
+            ("D", 1, None, 2),
+            ("U", 2, "stale", 0),
+            ("D", 3, None, 2),
+            ("U", 3, "back", 3),
+            ("U", 9, "nine", 2),
+            ("D", 9, None, 3),
+        ]
+    )
+    got = {(r.k, r.v) for r in st.read(spark).collect()}
+    want = {(0, "v0b"), (2, "v2"), (3, "back"), (4, "v4"), (5, "v5"), (6, "v6"), (7, "v7")}
+    assert got == want
+
+    # wave 3: delete EVERY key of one bucket — its partition dir must
+    # disappear, not keep stale files
+    from pyspark.sql import functions as F
+
+    bucket_of = {
+        r.k: r.b
+        for r in spark.createDataFrame([(k,) for k in range(10)], "k long")
+        .withColumn("b", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int"))
+        .collect()
+    }
+    target = bucket_of[0]
+    victims = [k for k, _ in want if bucket_of[k] == target]
+    mtimes_before = {
+        d: os.path.getmtime(f"{path}/{d}") for d in os.listdir(path) if d.startswith("__bucket=")
+    }
+    apply([("D", k, None, 10) for k in victims])
+    assert not os.path.isdir(f"{path}/__bucket={target}")
+    got = {(r.k, r.v) for r in st.read(spark).collect()}
+    assert got == {(k, v) for k, v in want if bucket_of[k] != target}
+    # untouched buckets' files were not rewritten
+    for d, m in mtimes_before.items():
+        if d != f"__bucket={target}" and os.path.isdir(f"{path}/{d}"):
+            assert os.path.getmtime(f"{path}/{d}") == m, f"{d} was rewritten"
+
+    # reattach: a new instance sees the same state
+    st2 = BucketedKeyState(path, ["k"], n_buckets=4)
+    assert {(r.k, r.v) for r in st2.read(spark).collect()} == got
