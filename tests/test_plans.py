@@ -218,3 +218,21 @@ def test_runtime_bloom_filter_prunes_before_shuffle(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_build_single_exchange(spark, sf_dir):
+    """scd2_build's three window frames (tie-dedup, change detection,
+    close-out) share one partitioning and sort: exactly ONE Exchange and
+    ONE Sort in the physical plan."""
+    import re
+
+    from flink_playground_spark.operators.scd import scd2_build
+
+    events = load_table(spark, sf_dir, "events")
+    dim_src = events.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    scd = scd2_build(dim_src, ["user_id"], "ts", ["state"], tiebreaker="event_id")
+    plan = explain_str(scd, "physical")
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
