@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_playground_spark.operators.scd import point_in_time_join, scd2_build
@@ -98,3 +99,56 @@ def test_scd2_matches_interval_join(spark, scd, sf_dir):
     a = {tuple(r) for r in via_asof.select("fact_id", "state", "valid_from", "valid_to").collect()}
     b = {tuple(r) for r in via_interval.select("fact_id", "state", "valid_from", "valid_to").collect()}
     assert a == b
+
+
+def test_scd2_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Three changelog waves — the LAST one out of order (earlier ts than
+    already-applied changes, the boundary-resurrection case) — end in
+    exactly the intervals batch scd2_build derives from all changes; and
+    buckets untouched by a wave are not rewritten."""
+    import os
+
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.scd2 import Scd2Maintainer
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    m = Scd2Maintainer(
+        str(tmp_path / "scd2"), ["user_id"], "ts", ["state"], "event_id", n_buckets=8
+    )
+    # wave split: by ts order for waves 1-2, then wave 3 replays MIDDLE
+    # timestamps (out of order w.r.t. wave 2)
+    w = changes.withColumn(
+        "__w",
+        F.ntile(3).over(Window.orderBy("ts", "event_id")),
+    ).localCheckpoint(eager=True)
+    for wave in (1, 3, 2):  # apply the middle third LAST -> out of order
+        m.apply_batch(w.filter(F.col("__w") == wave).drop("__w"))
+
+    got = {tuple(r) for r in m.read(spark).collect()}
+    want = {
+        tuple(r)
+        for r in scd2_build(changes, ["user_id"], "ts", ["state"], "event_id").collect()
+    }
+    assert got == want
+
+    # IO contract: apply a single-key wave; other interval buckets' files
+    # must not be rewritten
+    one = changes.orderBy("event_id").limit(1).collect()[0]
+    bucket_dirs = [d for d in os.listdir(m.intervals_path) if d.startswith("__bucket=")]
+    mtimes = {d: os.path.getmtime(f"{m.intervals_path}/{d}") for d in bucket_dirs}
+    late = spark.createDataFrame(
+        [(one.user_id, one.ts, 10_000_000, "late-state")],
+        "user_id long, ts timestamp_ntz, event_id long, state string",
+    )
+    m.apply_batch(late)
+    import pyspark.sql.functions as SF
+
+    target = f"__bucket={spark.range(1).select(SF.pmod(SF.xxhash64(SF.lit(one.user_id).cast('long')), SF.lit(8)).cast('int')).first()[0]}"
+    for d, t in mtimes.items():
+        if d != target:
+            assert os.path.getmtime(f"{m.intervals_path}/{d}") == t, f"{d} rewritten"
+    # and the late row took effect
+    assert m.read(spark).filter(F.col("state") == "late-state").count() == 1
