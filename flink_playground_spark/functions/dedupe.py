@@ -351,3 +351,33 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination scan: training documents sharing at
+    least one word n-gram with an evaluation set, with the count of
+    distinct overlapping shingles — the standard pretraining hygiene
+    pass (flagged docs are dropped or audited so eval numbers are not
+    memorization).
+
+    Same inverted-index machinery as near-dup detection (hashed shingle
+    keys, no text comparison in the join): the eval side collapses to
+    DISTINCT shingle hashes — typically orders of magnitude smaller than
+    the corpus index and broadcastable; the train index then semi-joins
+    against it. One shuffle for each index build; the overlap join adds
+    none when the eval side broadcasts.
+    """
+    tr = shingle_index(train, id_col, text_col, n).select("doc", "shingle")
+    ev = shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("doc")
+        .agg(F.count_distinct("shingle").cast("long").alias("n_overlap"))
+        .select(F.col("doc").alias(id_col), "n_overlap")
+    )

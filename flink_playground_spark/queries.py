@@ -3349,3 +3349,36 @@ def leakage_safe_split(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.count_distinct("group_key").cast("bigint").alias("n_groups"),
     )
+
+
+_DECONTAM_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+       FROM t),
+tr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 37 <> 0),
+ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 37 = 0)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_overlap
+FROM tr JOIN ev USING (shingle) GROUP BY 1
+"""
+
+
+@register_extra("decontaminate_overlap", _DECONTAM_SQL, tags=("ext-dedup", "ext-text"), bench=False)
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 37 != 0)
+    sharing any word 3-gram with the held-out eval slice (doc_id % 37 ==
+    0), with distinct-overlap counts — the contamination scan run before
+    any pretraining eval is trusted. Hashed-shingle inverted index on
+    the train side, distinct eval shingles broadcast into the overlap
+    join (functions/dedupe.py: contamination_overlap)."""
+    from flink_playground_spark.functions.dedupe import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        "doc_id",
+        "text",
+        n=3,
+    )
