@@ -128,3 +128,61 @@ def heavy_hitters(
         ).select(col)
     est = cms_estimate(sketch, candidates, col, width)
     return est.filter(F.col("est_count") >= F.lit(float(phi)) * F.lit(float(n)))
+
+
+def hist_sketch(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Fixed-bin histogram sketch as a RELATION: ``(bin, cnt)``, at most
+    ``n_bins`` rows, one scan + one bounded shuffle.
+
+    The same engine-native sketch idea as ``count_min_sketch``:
+    ``percentile_approx`` is a mergeable sketch too, but its state lives
+    inside one aggregate call — it cannot be PERSISTED and merged with
+    tomorrow's data, shipped between jobs, or folded into bucketed
+    streaming state. A histogram relation can: merge = per-bin SUM
+    (``hist_merge`` or ``state_store.merge_aggregate`` keyed on bin).
+    Values are clamped to [lo, hi]; rank error of any quantile read is
+    bounded by the heaviest bin's mass.
+    """
+    x = F.least(F.greatest(F.col(col).cast("double"), F.lit(float(lo))), F.lit(float(hi)))
+    b = F.least(
+        F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_bins)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Per-bin sum of histogram sketches built with identical (lo, hi,
+    n_bins)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame, qs: Sequence[float], lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: running-sum window
+    over the (tiny) bin relation, first bin whose cumulative count
+    reaches q*N, bin-midpoint estimate. Output ``(q, est)``; rank error
+    <= the chosen bin's mass."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(sketch.agg(F.sum("cnt").alias("n")))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = (
+        cum.join(F.broadcast(qdf), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    width = float(hi - lo) / n_bins
+    return hit.select(
+        "q", (F.lit(float(lo)) + (F.col("bin") + F.lit(0.5)) * F.lit(width)).alias("est")
+    )

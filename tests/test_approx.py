@@ -121,3 +121,56 @@ def test_heavy_hitters_no_false_negatives(spark, sf_dir):
     }
     got = {r.term for r in heavy_hitters(toks, "term", phi=phi, candidates=toks.select("term")).collect()}
     assert exact_hh <= got
+
+
+def test_hist_sketch_quantiles_rank_bound(spark, sf_dir):
+    """Histogram-sketch quantile estimates land within the max-bin-mass
+    rank bound of the true quantile rank, for every probed q."""
+    from flink_playground_spark.functions.approx import hist_quantiles, hist_sketch
+    from flink_playground_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi, n_bins = 0.0, 600000.0, 256
+    sk = hist_sketch(orders, "o_totalprice", lo, hi, n_bins).localCheckpoint()
+    n = orders.count()
+    max_bin = sk.agg(F.max("cnt")).first()[0]
+    qs = [0.1, 0.5, 0.9, 0.99]
+    ests = {r.q: r.est for r in hist_quantiles(sk, qs, lo, hi, n_bins).collect()}
+    vals = sorted(r[0] for r in orders.select("o_totalprice").collect())
+    import bisect
+
+    for q in qs:
+        true_rank = q * n
+        est_rank = bisect.bisect_right(vals, ests[q])
+        assert abs(est_rank - true_rank) <= max_bin + 1, (q, est_rank, true_rank, max_bin)
+
+
+def test_hist_sketch_mergeable_and_streaming_state(spark, sf_dir, tmp_path):
+    """Per-bin sum merge == direct sketch; and the sketch folds into
+    bucketed streaming state wave by wave, ending exactly equal to the
+    batch sketch — persistent streaming percentiles."""
+    from flink_playground_spark.functions.approx import hist_merge, hist_sketch
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi, n_bins = 0.0, 20.0, 64
+    direct = {r.bin: r.cnt for r in hist_sketch(events, "value", lo, hi, n_bins).collect()}
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        r.bin: r.cnt
+        for r in hist_merge(
+            hist_sketch(a, "value", lo, hi, n_bins), hist_sketch(b, "value", lo, hi, n_bins)
+        ).collect()
+    }
+    assert merged == direct
+
+    st = BucketedKeyState(str(tmp_path / "hist_state"), ["bin"], n_buckets=4)
+    for wave in (a, b):
+        st.merge_aggregate(
+            hist_sketch(wave, "value", lo, hi, n_bins), [F.sum("cnt").alias("cnt")]
+        )
+    stateful = {r.bin: r.cnt for r in st.read(spark).collect()}
+    assert stateful == direct
