@@ -48,3 +48,33 @@ def test_per_batch_time_does_not_grow(four_wave_result):
     # would trend upward instead.)
     assert timings[-1] < 2.5 * timings[0]
     assert max(timings[1:]) < 3.0 * timings[0]
+
+
+def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):
+    """Three document waves through the streaming decontaminator end in
+    exactly the batch contamination_overlap ledger; and per-batch work
+    never re-shingles previously ingested docs (the eval side is read
+    from the persisted parquet, the batch side is the wave alone)."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.dedupe import contamination_overlap
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.decontam import StreamingDecontaminator
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+
+    d = StreamingDecontaminator(str(tmp_path / "decon"), eval_df, "doc_id", "text", n=3)
+    for w in range(3):
+        wave = train.filter(F.col("doc_id") % 3 == w)
+        flagged = d.apply_batch(wave)
+        # a wave's flags concern only that wave's docs
+        assert flagged.join(wave, "doc_id", "left_anti").count() == 0
+
+    got = {(r.doc_id, r.n_overlap) for r in d.read(spark).collect()}
+    want = {
+        (r.doc_id, r.n_overlap)
+        for r in contamination_overlap(train, eval_df, "doc_id", "text", n=3).collect()
+    }
+    assert got == want
