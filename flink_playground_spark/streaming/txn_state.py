@@ -1,0 +1,174 @@
+"""Transactional bucketed state: exactly-once foreachBatch merges.
+
+``BucketedKeyState`` (state_store.py) is correct under at-most-once
+batch delivery, but foreachBatch is AT-LEAST-ONCE: if the job dies
+after the state write and before Spark commits the batch's offsets to
+the checkpoint, the batch REPLAYS. Keep-latest merges absorb a replay
+(idempotent); aggregate merges DOUBLE-COUNT it — the one correctness
+hole in the plain store.
+
+This store closes it with the snapshot-manifest technique
+(operators/snapshots.py): data files are immutable and versioned, and a
+single atomic manifest replace is the commit point.
+
+Layout::
+
+    path/t<batch_id>/__bucket=<k>/...   immutable, never overwritten
+    path/manifest.json                  {"last_batch_id": n,
+                                         "buckets": {"3": 7, ...}}
+                                        (bucket -> batch id of its
+                                         current version)
+
+Merge protocol for batch ``b``:
+
+1. ``b <= last_batch_id``  →  REPLAY: skip, state already includes it;
+2. read the touched buckets' CURRENT versions via the manifest (never
+   via directory listing — uncommitted files are invisible by
+   construction);
+3. write the merged buckets under ``t<b>/`` (a brand-new directory:
+   nothing is overwritten, a crash mid-write leaves only orphans);
+4. atomically replace the manifest pointing the touched buckets at
+   ``b`` — the commit. A crash before (4) replays the batch against the
+   OLD manifest and reproduces the same merge; orphan files from the
+   failed attempt are shadowed, then garbage-collectable by ``vacuum``.
+
+On a cluster the same protocol works on any store with atomic
+single-object replace (every object store has PUT) — it is the
+single-writer core of what table formats call a transaction log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.dedup import dedup_latest
+
+BUCKET_COL = "__bucket"
+
+
+class TransactionalKeyState:
+    """Exactly-once keyed state over immutable versioned bucket files."""
+
+    def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 16):
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest(self) -> dict:
+        p = f"{self.path}/manifest.json"
+        if not os.path.exists(p):
+            return {"last_batch_id": None, "buckets": {}}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, f"{self.path}/manifest.json")  # the commit point
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+    def _bucket_paths(self, manifest: dict, buckets=None) -> list[str]:
+        return [
+            f"{self.path}/t{v}/{BUCKET_COL}={b}"
+            for b, v in manifest["buckets"].items()
+            if buckets is None or int(b) in buckets
+        ]
+
+    def _read_buckets(self, spark: SparkSession, manifest: dict, buckets=None) -> DataFrame | None:
+        paths = self._bucket_paths(manifest, buckets)
+        if not paths:
+            return None
+        # explicit leaf dirs: no partition discovery, no bucket column —
+        # and only COMMITTED files are reachable, orphans are invisible
+        return spark.read.parquet(*paths)
+
+    # -- merges ------------------------------------------------------------
+    def merge_aggregate(
+        self, batch_id: int, partials: DataFrame, agg_cols: Sequence[F.Column]
+    ) -> bool:
+        """Fold pre-aggregated partials in, exactly once. Returns False if
+        ``batch_id`` was already committed (replay skipped)."""
+        return self._merge(
+            batch_id,
+            partials,
+            lambda base, cols: base.groupBy(*self.keys).agg(*agg_cols).select(*cols),
+        )
+
+    def merge_keep_latest(
+        self,
+        batch_id: int,
+        batch: DataFrame,
+        order_col: str,
+        tiebreakers: Sequence[str] = (),
+    ) -> bool:
+        """Keep-latest upsert, exactly once (idempotent anyway; the skip
+        makes replays free instead of merely harmless)."""
+        return self._merge(
+            batch_id,
+            batch,
+            lambda base, cols: dedup_latest(base, self.keys, order_col, tiebreakers).select(*cols),
+        )
+
+    def _merge(self, batch_id: int, batch: DataFrame, combine) -> bool:
+        manifest = self._manifest()
+        last = manifest["last_batch_id"]
+        if last is not None and batch_id <= last:
+            return False  # replay of a committed batch: exactly-once skip
+        spark = batch.sparkSession
+        cols = batch.columns
+        tagged = batch.withColumn(BUCKET_COL, self._bucket())
+        touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+        old = self._read_buckets(spark, manifest, set(touched))
+        base = tagged.drop(BUCKET_COL) if old is None else old.unionByName(tagged.drop(BUCKET_COL))
+        merged = combine(base, cols).withColumn(BUCKET_COL, self._bucket())
+        # brand-new immutable directory; nothing existing is touched
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            f"{self.path}/t{batch_id}"
+        )
+        for b in touched:
+            manifest["buckets"][str(b)] = batch_id
+        manifest["last_batch_id"] = batch_id
+        self._commit(manifest)
+        return True
+
+    # -- reads & maintenance ----------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Current committed state (no bucket column), or None if empty."""
+        return self._read_buckets(spark, self._manifest())
+
+    def vacuum(self) -> int:
+        """Delete files no committed bucket version references (orphans of
+        crashed attempts, shadowed old versions). Returns dirs removed.
+        Safe any time: readers only follow the manifest."""
+        manifest = self._manifest()
+        live = {(v, int(b)) for b, v in manifest["buckets"].items()}
+        removed = 0
+        for entry in os.listdir(self.path):
+            if not entry.startswith("t"):
+                continue
+            try:
+                txn = int(entry[1:])
+            except ValueError:
+                continue
+            tdir = f"{self.path}/{entry}"
+            for bdir in os.listdir(tdir):
+                if not bdir.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(bdir.split("=")[1])
+                if (txn, b) not in live:
+                    shutil.rmtree(f"{tdir}/{bdir}", ignore_errors=True)
+                    removed += 1
+            if not any(d.startswith(BUCKET_COL) for d in os.listdir(tdir)):
+                shutil.rmtree(tdir, ignore_errors=True)
+        return removed

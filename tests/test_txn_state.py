@@ -1,0 +1,91 @@
+"""Exactly-once transactional bucketed state (streaming/txn_state.py)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark.sources.tables import load_table
+from flink_playground_spark.streaming.txn_state import TransactionalKeyState
+
+
+def _waves(events, k=3):
+    return [events.filter(F.col("event_id") % k == i) for i in range(k)]
+
+
+def _agg_partials(df):
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+
+
+def _batch_answer(events):
+    return {
+        (r.user_id, r.n, round(r.sv, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+
+
+def _state_answer(st, spark):
+    return {(r.user_id, r.n, round(r.sv, 6)) for r in st.read(spark).collect()}
+
+
+def test_replayed_batch_does_not_double_count(spark, sf_dir, tmp_path):
+    """Aggregate merges under at-least-once delivery: replaying a
+    committed batch id is skipped, so counts match the batch answer —
+    the failure BucketedKeyState.merge_aggregate would double-count."""
+    events = load_table(spark, sf_dir, "events")
+    st = TransactionalKeyState(str(tmp_path / "txn"), ["user_id"], n_buckets=8)
+    w = _waves(events)
+    agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
+    assert st.merge_aggregate(0, _agg_partials(w[0]), agg) is True
+    assert st.merge_aggregate(1, _agg_partials(w[1]), agg) is True
+    # the crash-replay: batch 1 delivered again
+    assert st.merge_aggregate(1, _agg_partials(w[1]), agg) is False
+    assert st.merge_aggregate(2, _agg_partials(w[2]), agg) is True
+    assert _state_answer(st, spark) == _batch_answer(events)
+
+
+def test_crash_before_commit_replays_cleanly(spark, sf_dir, tmp_path):
+    """Simulated crash between the data write and the manifest commit:
+    restore the pre-batch manifest (the data files become orphans), then
+    replay the batch — the merge reproduces exactly and orphans stay
+    invisible; vacuum removes them without disturbing reads."""
+    events = load_table(spark, sf_dir, "events")
+    st = TransactionalKeyState(str(tmp_path / "txn"), ["user_id"], n_buckets=8)
+    w = _waves(events)
+    agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
+    st.merge_aggregate(0, _agg_partials(w[0]), agg)
+    before = json.load(open(f"{st.path}/manifest.json"))
+    st.merge_aggregate(1, _agg_partials(w[1]), agg)
+    # crash: commit never happened — roll the manifest back, t1 files orphaned
+    json.dump(before, open(f"{st.path}/manifest.json", "w"))
+    # replay writes t1 again and commits this time
+    assert st.merge_aggregate(1, _agg_partials(w[1]), agg) is True
+    st.merge_aggregate(2, _agg_partials(w[2]), agg)
+    assert _state_answer(st, spark) == _batch_answer(events)
+    # vacuum drops shadowed versions/orphans; state unchanged
+    removed = st.vacuum()
+    assert removed >= 0
+    assert _state_answer(st, spark) == _batch_answer(events)
+
+
+def test_keep_latest_replay_skipped(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    st = TransactionalKeyState(str(tmp_path / "kl"), ["user_id"], n_buckets=4)
+    w = _waves(events, 2)
+    sel = lambda d: d.select("user_id", "ts", "event_id", "event_type")
+    assert st.merge_keep_latest(0, sel(w[0]), "ts", ("event_id",)) is True
+    assert st.merge_keep_latest(1, sel(w[1]), "ts", ("event_id",)) is True
+    assert st.merge_keep_latest(1, sel(w[1]), "ts", ("event_id",)) is False
+    from flink_playground_spark.operators.dedup import dedup_latest
+
+    want = {
+        tuple(r)
+        for r in dedup_latest(sel(events), ["user_id"], "ts", ("event_id",)).collect()
+    }
+    assert {tuple(r) for r in st.read(spark).collect()} == want
