@@ -13,7 +13,11 @@ Design:
   bounded collect per (doc, chunk) — functions/chunking.py) and
   pre-aggregates them to per-fingerprint partials: (chunk_fp, n_tokens,
   n_occurrences, n_docs, canonical_doc).
-- Partials fold into a ``BucketedKeyState`` via ``merge_aggregate``:
+- Partials fold into a ``TransactionalKeyState`` via ``merge_aggregate``
+  keyed by the foreachBatch epoch id — EXACTLY-ONCE under replay (a
+  crash between state write and checkpoint commit re-delivers the
+  batch; the committed-batch-id skip makes the re-delivery a no-op
+  instead of a double count — streaming/txn_state.py):
   only the hash buckets the batch's fingerprints touch are read and
   dynamically overwritten, so state IO is O(batch fingerprints), while
   total state grows with the corpus.
@@ -30,12 +34,13 @@ from __future__ import annotations
 
 import tempfile
 import time
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_playground_spark.functions.chunking import chunk_fingerprints
-from flink_playground_spark.streaming.state_store import BucketedKeyState
+from flink_playground_spark.streaming.txn_state import TransactionalKeyState
 
 def _merge_agg() -> list[F.Column]:
     # built lazily: classic-mode Columns need an active SparkContext
@@ -62,7 +67,8 @@ def streaming_chunk_dedup(
     every passage currently known to appear in ≥2 documents."""
     spark = doc_stream.sparkSession
     work = work_dir or tempfile.mkdtemp(prefix="fps_chunkdedup_")
-    state = BucketedKeyState(f"{work}/state", ["chunk_fp"], n_buckets=n_buckets)
+    state = TransactionalKeyState(f"{work}/state", ["chunk_fp"], n_buckets=n_buckets)
+    writer = uuid.uuid4().hex  # one logical query per drain; see txn_state docstring
     seen = {"any": False}
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
@@ -76,7 +82,7 @@ def streaming_chunk_dedup(
             F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
             F.min(F.col(id_col)).alias("canonical_doc"),
         )
-        state.merge_aggregate(partials, _merge_agg())
+        state.merge_aggregate(writer, epoch_id, partials, _merge_agg())
         seen["any"] = True
         if batch_seconds is not None:
             batch_seconds.append(time.monotonic() - t0)

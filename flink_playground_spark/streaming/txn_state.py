@@ -13,22 +13,31 @@ single atomic manifest replace is the commit point.
 
 Layout::
 
-    path/t<batch_id>/__bucket=<k>/...   immutable, never overwritten
-    path/manifest.json                  {"last_batch_id": n,
-                                         "buckets": {"3": 7, ...}}
-                                        (bucket -> batch id of its
-                                         current version)
+    path/t<txn>/__bucket=<k>/...   immutable, never overwritten
+    path/manifest.json             {"writers": {"<writer_id>": n, ...},
+                                    "txn": t,
+                                    "buckets": {"3": 7, ...}}
+                                   (bucket -> txn of its current version)
 
-Merge protocol for batch ``b``:
+Batch ids are only monotonic WITHIN one checkpointed streaming query —
+a different query (or a restarted one with a fresh checkpoint) starts
+over at 0 and its batches are NEW DATA, not replays. The replay skip is
+therefore scoped to a ``writer_id`` (the query's checkpoint identity):
+pass the same writer_id across restarts of one logical query and every
+re-delivered (writer, batch) pair is skipped; a different writer_id
+never collides.
 
-1. ``b <= last_batch_id``  →  REPLAY: skip, state already includes it;
+Merge protocol for writer ``w``, batch ``b``:
+
+1. ``b <= writers[w]``  →  REPLAY: skip, state already includes it;
 2. read the touched buckets' CURRENT versions via the manifest (never
    via directory listing — uncommitted files are invisible by
    construction);
-3. write the merged buckets under ``t<b>/`` (a brand-new directory:
-   nothing is overwritten, a crash mid-write leaves only orphans);
-4. atomically replace the manifest pointing the touched buckets at
-   ``b`` — the commit. A crash before (4) replays the batch against the
+3. write the merged buckets under a fresh ``t<txn>/`` (a brand-new
+   directory: nothing is overwritten, a crash mid-write leaves only
+   orphans);
+4. atomically replace the manifest pointing the touched buckets at the
+   new txn and recording ``writers[w] = b`` — the commit. A crash before (4) replays the batch against the
    OLD manifest and reproduces the same merge; orphan files from the
    failed attempt are shadowed, then garbage-collectable by ``vacuum``.
 
@@ -65,7 +74,7 @@ class TransactionalKeyState:
     def _manifest(self) -> dict:
         p = f"{self.path}/manifest.json"
         if not os.path.exists(p):
-            return {"last_batch_id": None, "buckets": {}}
+            return {"writers": {}, "txn": 0, "buckets": {}}
         with open(p) as fh:
             return json.load(fh)
 
@@ -95,11 +104,17 @@ class TransactionalKeyState:
 
     # -- merges ------------------------------------------------------------
     def merge_aggregate(
-        self, batch_id: int, partials: DataFrame, agg_cols: Sequence[F.Column]
+        self,
+        writer_id: str,
+        batch_id: int,
+        partials: DataFrame,
+        agg_cols: Sequence[F.Column],
     ) -> bool:
-        """Fold pre-aggregated partials in, exactly once. Returns False if
-        ``batch_id`` was already committed (replay skipped)."""
+        """Fold pre-aggregated partials in, exactly once per (writer,
+        batch). Returns False if this writer already committed
+        ``batch_id`` (replay skipped)."""
         return self._merge(
+            writer_id,
             batch_id,
             partials,
             lambda base, cols: base.groupBy(*self.keys).agg(*agg_cols).select(*cols),
@@ -107,6 +122,7 @@ class TransactionalKeyState:
 
     def merge_keep_latest(
         self,
+        writer_id: str,
         batch_id: int,
         batch: DataFrame,
         order_col: str,
@@ -115,16 +131,18 @@ class TransactionalKeyState:
         """Keep-latest upsert, exactly once (idempotent anyway; the skip
         makes replays free instead of merely harmless)."""
         return self._merge(
+            writer_id,
             batch_id,
             batch,
             lambda base, cols: dedup_latest(base, self.keys, order_col, tiebreakers).select(*cols),
         )
 
-    def _merge(self, batch_id: int, batch: DataFrame, combine) -> bool:
+    def _merge(self, writer_id: str, batch_id: int, batch: DataFrame, combine) -> bool:
         manifest = self._manifest()
-        last = manifest["last_batch_id"]
+        last = manifest["writers"].get(writer_id)
         if last is not None and batch_id <= last:
             return False  # replay of a committed batch: exactly-once skip
+        txn = manifest["txn"] + 1
         spark = batch.sparkSession
         cols = batch.columns
         tagged = batch.withColumn(BUCKET_COL, self._bucket())
@@ -134,11 +152,12 @@ class TransactionalKeyState:
         merged = combine(base, cols).withColumn(BUCKET_COL, self._bucket())
         # brand-new immutable directory; nothing existing is touched
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            f"{self.path}/t{batch_id}"
+            f"{self.path}/t{txn}"
         )
         for b in touched:
-            manifest["buckets"][str(b)] = batch_id
-        manifest["last_batch_id"] = batch_id
+            manifest["buckets"][str(b)] = txn
+        manifest["writers"][writer_id] = batch_id
+        manifest["txn"] = txn
         self._commit(manifest)
         return True
 

@@ -42,11 +42,11 @@ def test_replayed_batch_does_not_double_count(spark, sf_dir, tmp_path):
     st = TransactionalKeyState(str(tmp_path / "txn"), ["user_id"], n_buckets=8)
     w = _waves(events)
     agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
-    assert st.merge_aggregate(0, _agg_partials(w[0]), agg) is True
-    assert st.merge_aggregate(1, _agg_partials(w[1]), agg) is True
+    assert st.merge_aggregate("q1", 0, _agg_partials(w[0]), agg) is True
+    assert st.merge_aggregate("q1", 1, _agg_partials(w[1]), agg) is True
     # the crash-replay: batch 1 delivered again
-    assert st.merge_aggregate(1, _agg_partials(w[1]), agg) is False
-    assert st.merge_aggregate(2, _agg_partials(w[2]), agg) is True
+    assert st.merge_aggregate("q1", 1, _agg_partials(w[1]), agg) is False
+    assert st.merge_aggregate("q1", 2, _agg_partials(w[2]), agg) is True
     assert _state_answer(st, spark) == _batch_answer(events)
 
 
@@ -59,14 +59,14 @@ def test_crash_before_commit_replays_cleanly(spark, sf_dir, tmp_path):
     st = TransactionalKeyState(str(tmp_path / "txn"), ["user_id"], n_buckets=8)
     w = _waves(events)
     agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
-    st.merge_aggregate(0, _agg_partials(w[0]), agg)
+    st.merge_aggregate("q1", 0, _agg_partials(w[0]), agg)
     before = json.load(open(f"{st.path}/manifest.json"))
-    st.merge_aggregate(1, _agg_partials(w[1]), agg)
+    st.merge_aggregate("q1", 1, _agg_partials(w[1]), agg)
     # crash: commit never happened — roll the manifest back, t1 files orphaned
     json.dump(before, open(f"{st.path}/manifest.json", "w"))
     # replay writes t1 again and commits this time
-    assert st.merge_aggregate(1, _agg_partials(w[1]), agg) is True
-    st.merge_aggregate(2, _agg_partials(w[2]), agg)
+    assert st.merge_aggregate("q1", 1, _agg_partials(w[1]), agg) is True
+    st.merge_aggregate("q1", 2, _agg_partials(w[2]), agg)
     assert _state_answer(st, spark) == _batch_answer(events)
     # vacuum drops shadowed versions/orphans; state unchanged
     removed = st.vacuum()
@@ -79,9 +79,9 @@ def test_keep_latest_replay_skipped(spark, sf_dir, tmp_path):
     st = TransactionalKeyState(str(tmp_path / "kl"), ["user_id"], n_buckets=4)
     w = _waves(events, 2)
     sel = lambda d: d.select("user_id", "ts", "event_id", "event_type")
-    assert st.merge_keep_latest(0, sel(w[0]), "ts", ("event_id",)) is True
-    assert st.merge_keep_latest(1, sel(w[1]), "ts", ("event_id",)) is True
-    assert st.merge_keep_latest(1, sel(w[1]), "ts", ("event_id",)) is False
+    assert st.merge_keep_latest("q1", 0, sel(w[0]), "ts", ("event_id",)) is True
+    assert st.merge_keep_latest("q1", 1, sel(w[1]), "ts", ("event_id",)) is True
+    assert st.merge_keep_latest("q1", 1, sel(w[1]), "ts", ("event_id",)) is False
     from flink_playground_spark.operators.dedup import dedup_latest
 
     want = {
@@ -89,3 +89,16 @@ def test_keep_latest_replay_skipped(spark, sf_dir, tmp_path):
         for r in dedup_latest(sel(events), ["user_id"], "ts", ("event_id",)).collect()
     }
     assert {tuple(r) for r in st.read(spark).collect()} == want
+
+
+def test_distinct_writers_do_not_collide(spark, sf_dir, tmp_path):
+    """A NEW logical query restarting batch ids at 0 is new data, not a
+    replay — the writer scope keeps the skip from eating it (the bug a
+    global batch-id watermark would have)."""
+    events = load_table(spark, sf_dir, "events")
+    st = TransactionalKeyState(str(tmp_path / "w"), ["user_id"], n_buckets=4)
+    agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
+    a, b = _waves(events, 2)
+    assert st.merge_aggregate("qA", 0, _agg_partials(a), agg) is True
+    assert st.merge_aggregate("qB", 0, _agg_partials(b), agg) is True  # not skipped
+    assert _state_answer(st, spark) == _batch_answer(events)
