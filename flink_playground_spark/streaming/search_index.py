@@ -1,0 +1,117 @@
+"""Incremental search-index maintenance: BM25 over a document stream.
+
+Batch ``bm25_topk`` (functions/tfidf.py) scans the corpus per query;
+a serving system keeps the INDEX — postings (doc, term, tf), document
+lengths, and the corpus scalars — continuously up to date as documents
+arrive, and answers queries from the index alone without ever
+re-reading a document.
+
+All three state relations are mergeable aggregates, so ingestion is
+exactly the bucketed-state pattern:
+
+- postings ``(term, doc) -> tf``: per-wave term counts SUM in (append-
+  only ingestion: a doc arrives once, so waves never overlap on
+  (term, doc));
+- doclen ``doc -> dl``: per-wave doc lengths are final on arrival;
+- the corpus scalars (N, sum_dl) derive from doclen at query time — two
+  numbers, not state to maintain.
+
+Per-batch work ∝ the wave's tokens; nothing re-scans ingested docs.
+Queries score exactly like ``bm25_topk`` — same rational idf, same
+fixed-order term sum — so a drained index answers bit-identically to
+the batch function over the same corpus (the test's oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.tfidf import whitespace_tokens
+from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+
+class StreamingSearchIndex:
+    """Maintain BM25 index state over document waves; query any time."""
+
+    def __init__(self, path: str, id_col: str, text_col: str, n_buckets: int = 8):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.postings = BucketedKeyState(f"{path}/postings", ["term", id_col], n_buckets)
+        self.doclen = BucketedKeyState(f"{path}/doclen", [id_col], n_buckets)
+
+    def ingest(self, batch: DataFrame) -> None:
+        """Fold a document wave into the index (work ∝ wave tokens)."""
+        toks = whitespace_tokens(batch, self.id_col, self.text_col)
+        tf = toks.groupBy("term", self.id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        self.postings.merge_aggregate(tf, [F.sum("tf").cast("long").alias("tf")])
+        dl = toks.groupBy(self.id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        self.doclen.merge_aggregate(dl, [F.sum("dl").cast("long").alias("dl")])
+
+    def query(
+        self,
+        spark: SparkSession,
+        query_terms: list[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """BM25 top-k from index state alone — no document access. Same
+        arithmetic as ``bm25_topk`` (rational idf, fixed-order term sum,
+        two-level salted rank)."""
+        id_col = self.id_col
+        dl = self.doclen.read(spark)
+        g = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        tfq = self.postings.read(spark).filter(F.col("term").isin(*query_terms))
+        dft = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        contrib = (
+            tfq.join(F.broadcast(dft), "term")
+            .join(dl, id_col)
+            .join(F.broadcast(g))
+            .withColumn(
+                "c",
+                ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * ((F.col("dl") * F.col("n")) / F.col("sum_dl"))
+                        )
+                    )
+                ),
+            )
+        )
+        per_term = contrib.groupBy(id_col).agg(
+            *[
+                F.coalesce(
+                    F.first(F.when(F.col("term") == t, F.col("c")), ignorenulls=True),
+                    F.lit(0.0),
+                ).alias(f"__c{i}")
+                for i, t in enumerate(query_terms)
+            ]
+        )
+        score = None
+        for i in range(len(query_terms)):
+            col = F.col(f"__c{i}")
+            score = col if score is None else score + col
+        scored = per_term.withColumn("score", F.round(score, 6)).withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64))
+        )
+        w_local = Window.partitionBy("__salt").orderBy(F.desc("score"), F.asc(id_col))
+        survivors = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
+            F.col("__lr") <= k
+        )
+        w_global = Window.orderBy(F.desc("score"), F.asc(id_col))
+        return (
+            survivors.withColumn("rank", F.row_number().over(w_global).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "score", "rank")
+        )

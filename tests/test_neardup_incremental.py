@@ -78,3 +78,24 @@ def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):
         for r in contamination_overlap(train, eval_df, "doc_id", "text", n=3).collect()
     }
     assert got == want
+
+
+def test_streaming_search_index_matches_batch_bm25(spark, sf_dir, tmp_path):
+    """Three document waves into the incremental index; querying the
+    drained index is bit-identical to batch bm25_topk over the same
+    corpus — same rational idf, same fixed-order sums."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.tfidf import bm25_topk
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = StreamingSearchIndex(str(tmp_path / "sidx"), "doc_id", "text")
+    for w in range(3):
+        idx.ingest(docs.filter(F.col("doc_id") % 3 == w))
+
+    terms = ["vector", "hash", "stream"]
+    got = [tuple(r) for r in idx.query(spark, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()]
+    assert sorted(got) == sorted(want)
