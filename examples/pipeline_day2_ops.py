@@ -1,0 +1,93 @@
+"""Day-2 operations capstone: the maintenance jobs around a live table.
+
+Queries are day 1. A table that ingests forever needs the operational
+loop this example runs end to end:
+
+1. OBSERVE — ingest a fragmented write with in-flight quality metrics
+   (``observability.py``): row counts and null rates from the ingest
+   job's own tasks, no second scan;
+2. COMPACT — collapse the small files to byte-targeted, sorted files
+   (``operators/layout.py: compact_files``), atomically;
+3. SNAPSHOT — publish the compacted table as a manifest-committed
+   version (``operators/snapshots.py``), then publish an updated v2 and
+   time-travel back to v1;
+4. EXACTLY-ONCE AGG — maintain a running per-user aggregate over change
+   batches through the transactional state (``streaming/txn_state.py``),
+   surviving a replayed batch without double counting.
+
+Run: ``python examples/pipeline_day2_ops.py``
+"""
+
+import pathlib
+import sys
+import tempfile
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark import get_spark
+from flink_playground_spark.observability import observed, quality_metrics
+from flink_playground_spark.operators.layout import compact_files
+from flink_playground_spark.operators.snapshots import (
+    read_snapshot,
+    snapshot_history,
+    snapshot_write,
+)
+from flink_playground_spark.sources.tables import load_table
+from flink_playground_spark.streaming.txn_state import TransactionalKeyState
+
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark()
+    work = tempfile.mkdtemp(prefix="day2_")
+
+    # 1. observed ingest (deliberately fragmented: 48 writers)
+    events, obs = observed(
+        load_table(spark, SF, "events"), *quality_metrics(["props"], "value")
+    )
+    frag = f"{work}/events_raw"
+    events.repartition(48).write.parquet(frag)
+    print(f"ingested with metrics (no second scan): {obs.get}")
+
+    # 2. compaction: byte-targeted, clustered on user_id
+    stats = compact_files(spark, frag, target_bytes=1 << 20, sort_by=["user_id"])
+    print(f"compacted {stats['files_before']} files -> {stats['files_after']}")
+
+    # 3. versioned publish + time travel
+    table = f"{work}/events_table"
+    v1 = snapshot_write(spark.read.parquet(frag), table, ts=1000.0)
+    v2 = snapshot_write(
+        spark.read.parquet(frag).filter(F.col("event_type") != "error"), table, ts=2000.0
+    )
+    n_v1 = read_snapshot(spark, table, version=v1).count()
+    n_latest = read_snapshot(spark, table).count()
+    n_asof = read_snapshot(spark, table, as_of_ts=1500.0).count()
+    print(f"history={snapshot_history(table)}")
+    print(f"v1 rows={n_v1}, latest (v{v2}) rows={n_latest}, as-of t=1500 rows={n_asof}")
+    assert n_asof == n_v1 > n_latest
+
+    # 4. exactly-once running aggregate under a replayed batch
+    st = TransactionalKeyState(f"{work}/agg_state", ["user_id"], n_buckets=8)
+    agg = [F.sum("n").alias("n"), F.sum("v").alias("v")]
+
+    def partials(wave):
+        return wave.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+        )
+
+    w0 = events.filter(F.col("event_id") % 2 == 0)
+    w1 = events.filter(F.col("event_id") % 2 == 1)
+    st.merge_aggregate("ingestq", 0, partials(w0), agg)
+    st.merge_aggregate("ingestq", 1, partials(w1), agg)
+    replay = st.merge_aggregate("ingestq", 1, partials(w1), agg)  # crash replay
+    total = st.read(spark).agg(F.sum("n")).first()[0]
+    print(f"replayed batch applied={replay}; state rows total n={total}")
+    assert replay is False and total == events.count()
+    print("day-2 loop complete: observe -> compact -> snapshot -> exactly-once agg")
+
+
+if __name__ == "__main__":
+    main()
