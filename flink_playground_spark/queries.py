@@ -3413,3 +3413,46 @@ def variant_json_shred(spark, sf_dir):
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+_REPORT_CARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         md5(text) AS fp
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50_tokens,
+       CAST(quantile_cont(n_tokens, 0.95) AS DOUBLE) AS p95_tokens,
+       ROUND(1.0 - COUNT(DISTINCT fp) / COUNT(*), 6) AS exact_dup_rate
+FROM t GROUP BY lang
+"""
+
+
+@register_extra("corpus_report_card", _REPORT_CARD_SQL, tags=("ext-text", "ext-dedup"), bench=False)
+def corpus_report_card(spark, sf_dir):
+    """The corpus health summary a data team reads before training: per
+    language, document and token volumes, exact interpolated token-count
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    bit-exact), and the exact-duplicate rate from md5 fingerprints. One
+    scan, one (lang)-keyed shuffle; the distinct-fingerprint count
+    expands to the standard two-phase distinct aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    from flink_playground_spark.functions.text import tokens
+
+    t = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.95)").alias("p95_tokens"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("fp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
