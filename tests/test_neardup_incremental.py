@@ -99,3 +99,34 @@ def test_streaming_search_index_matches_batch_bm25(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in idx.query(spark, terms, k=10).collect()]
     want = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_streaming_ivf_index_recall_and_exact_sims(spark, tmp_path):
+    """Vector waves into the incremental IVF index: after 3 waves the
+    index equals a same-centroid batch assignment (recall vs brute force
+    holds, every returned sim is the exact cosine), and a re-ingested
+    vector moves to its current cell instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.similarity import brute_force_topk
+    from flink_playground_spark.streaming.ann_index import StreamingIVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    idx = StreamingIVFIndex(str(tmp_path / "ivf"), n_centroids=16, kmeans_iters=2)
+    for w in range(3):
+        idx.ingest(emb.filter(F.col("vec_id") % 3 == w))
+    # re-ingest one wave: keep-latest state, no duplicate neighbors
+    idx.ingest(emb.filter(F.col("vec_id") % 3 == 0))
+    assert idx.cells.read(spark).groupBy("vid").count().filter("count > 1").count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = idx.query(spark, queries, k=5, nprobe=4).collect()
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"streaming IVF recall {recall} collapsed"
+    sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in sims:
+            assert r.sim == sims[(r.query_id, r.neighbor_id)]
