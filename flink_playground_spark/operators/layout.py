@@ -128,6 +128,13 @@ def compact_files(
     import os
     import shutil
 
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        # a previous compaction crashed between its two renames (data was
+        # moved aside but the replacement never landed): restore the
+        # original before doing anything else — the input is never lost
+        os.rename(old, path)
+
     files = [
         e for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet")
     ]
@@ -140,7 +147,6 @@ def compact_files(
         out = df.repartition(n_out)
     tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

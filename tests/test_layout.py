@@ -180,3 +180,26 @@ def test_compact_files(spark, tmp_path):
     compact_files(spark, path, target_bytes=total // 4 + 1, sort_by=["o_custkey"])
     sorted_spans = spans(path)
     assert sum(sorted_spans) < sum(rr_spans) / 2
+
+
+def test_compact_files_crash_recovery(spark, tmp_path):
+    """A crash between the swap's two renames (input moved aside, output
+    never landed) is repaired on the next compact_files call: the input
+    is restored before anything else runs — data is never lost."""
+    import os
+    import shutil
+
+    from flink_playground_spark.operators.layout import compact_files
+    from flink_playground_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "t")
+    src.repartition(8).write.parquet(path)
+    n = src.count()
+    # simulate the torn state
+    os.rename(path, path + "._compact_old")
+    assert not os.path.isdir(path)
+    stats = compact_files(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] == 8
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.isdir(path + "._compact_old")
