@@ -34,3 +34,39 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
         assert again.filter(F.col("lang") == "de").count() == docs.filter(F.col("lang") == "de").count()
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_csv_json_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """S8 breadth: the same table through CSV (header + explicit schema)
+    and JSON lines round-trips value-identical to the parquet source —
+    with timestamp and float columns surviving serialization."""
+    from flink_playground_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    want = sorted(map(tuple, events.collect()))
+
+    csv_path = str(tmp_path / "ev_csv")
+    (
+        events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .write.option("header", True)
+        .csv(csv_path)
+    )
+    got_csv = (
+        spark.read.option("header", True)
+        .schema("event_id long, ts string, user_id long, event_type string, value double, props string")
+        .csv(csv_path)
+        .withColumn("ts", F.to_timestamp_ntz("ts", F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+        .select(*events.columns)
+    )
+    assert sorted(map(tuple, got_csv.collect())) == want
+
+    json_path = str(tmp_path / "ev_json")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"  # default drops microseconds
+    events.write.option("timestampNTZFormat", fmt).json(json_path)
+    got_json = (
+        spark.read.schema(events.schema)
+        .option("timestampNTZFormat", fmt)
+        .json(json_path)
+        .select(*events.columns)
+    )
+    assert sorted(map(tuple, got_json.collect())) == want
