@@ -178,3 +178,79 @@ def pydatagen_stream(
     if rows_per_second is not None:
         r = r.option("rows-per-second", rows_per_second)
     return _apply_fields(r.load(), fields)
+
+
+# ---------------------------------------------------------------------------
+# Writer side: the OTHER half of the Python DataSource contract — a JSONL
+# sink with the two-phase commit every distributed writer needs: tasks
+# stage their partition's file and return a commit message; the DRIVER
+# moves staged files into place and stamps _SUCCESS only if every task
+# succeeded. A reader that requires _SUCCESS can never observe a torn
+# write — the same data-then-commit-point discipline as
+# operators/snapshots.py and streaming/txn_state.py, here at the
+# task/driver protocol level Spark exposes through the DataSource API.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import datetime
+        import json
+        import os
+        import uuid
+
+        staging = f"{self.path}/_staging"
+        os.makedirs(staging, exist_ok=True)
+        staged = f"{staging}/{uuid.uuid4().hex}.jsonl"
+
+        def enc(v):
+            if isinstance(v, datetime.datetime):
+                return v.strftime(_TS_FMT)
+            raise TypeError(type(v).__name__)
+
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=enc) + "\n")
+        return _StagedFile(staged)
+
+    def commit(self, messages):
+        import os
+
+        for i, m in enumerate(messages):
+            os.replace(m.staged, f"{self.path}/part-{i:05d}.jsonl")
+        with open(f"{self.path}/_SUCCESS", "w"):
+            pass
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlSinkSource(DataSource):
+    """``df.write.format("pyjsonl").option("path", p).mode("append").save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlWriter:
+        return _JsonlWriter(self.options)
+
+
+def register_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(JsonlSinkSource)

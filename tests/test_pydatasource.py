@@ -84,3 +84,33 @@ def test_python_source_wall_clock_rate_mode(spark):
     got = _drain(stream, expected_rows=12)
     want = datagen_batch(spark, 12, FIELDS)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_python_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """The writer half of the DataSource contract: tasks stage files, the
+    driver commits them and stamps _SUCCESS; the data round-trips
+    value-identical (timestamps to the microsecond) and no staging
+    residue survives a successful commit."""
+    import glob
+    import os
+
+    from flink_playground_spark.sources.pydatasource import register_sink
+    from flink_playground_spark.sources.tables import load_table
+
+    register_sink(spark)
+    events = load_table(spark, sf_dir, "events").limit(500)
+    out = str(tmp_path / "jsonl_sink")
+    events.repartition(4).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 4
+    assert not glob.glob(f"{out}/_staging/*")  # staging fully drained
+
+    got = (
+        spark.read.schema(events.schema)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(f"{out}/part-*.jsonl")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
