@@ -2249,7 +2249,7 @@ def q10_returned_top_customers(spark, sf_dir):
 # -- Full-suite TPC-H shapes (Q4..Q22, adapted to the reduced schema) ------
 #
 # The testdata has no partsupp table and no l_commitdate/l_receiptdate/
-# l_shipmode/c_phone/p_container columns, so the shapes that need them are
+# l_linestatus/c_phone/p_container columns, so the shapes that need them are
 # adapted: the JOIN/SUBQUERY STRUCTURE of each official query is preserved
 # (that is what exercises the engine), with available columns standing in
 # for missing ones. Each docstring names the substitution.
@@ -2489,7 +2489,7 @@ GROUP BY 1
 )
 def q12_priority_by_linestatus(spark, sf_dir):
     """TPC-H Q12-shaped: lines per status split into high/low order
-    priority (l_shipmode and the commit/receipt predicates are absent;
+    priority (l_linestatus and the commit/receipt predicates are absent;
     l_linestatus stands in for the grouping and the year filter for the
     receipt window). lineitem date-filters at the scan; the single
     fact-fact shuffle is the orderkey join; the conditional counts
@@ -3455,4 +3455,37 @@ def corpus_report_card(spark, sf_dir):
         F.round(
             F.lit(1.0) - F.count_distinct("fp").cast("double") / F.count(F.lit(1)), 6
         ).alias("exact_dup_rate"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@register_extra("grouping_sets_pricing", _GROUPING_SETS_SQL, tags=("G1",), bench=False)
+def grouping_sets_pricing(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form of which rollup/cube
+    (rollup_cube_pricing) are the two fixed lattices: here the flag×status
+    cells, the status margins, and the grand total, WITHOUT the flag-only
+    margin a cube would add. One pass: Spark expands the sets into an
+    Expand node feeding a single hash aggregate, the same shape the
+    oracle engine plans. Exact decimal sums, doubles only at the edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
     )
