@@ -61,6 +61,10 @@ from flink_playground_spark.operators.dedup import dedup_latest
 BUCKET_COL = "__bucket"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a merge while one was in flight."""
+
+
 class TransactionalKeyState:
     """Exactly-once keyed state over immutable versioned bucket files."""
 
@@ -138,6 +142,29 @@ class TransactionalKeyState:
         )
 
     def _merge(self, writer_id: str, batch_id: int, batch: DataFrame, combine) -> bool:
+        import fcntl
+
+        # ENFORCE the single-writer protocol rather than assuming it: two
+        # concurrent merges would both read manifest M and the second
+        # commit would silently drop the first's bucket pointers. An
+        # exclusive flock held across read-manifest..commit makes the
+        # overlap a loud error instead (ConcurrentWriteError), which a
+        # scheduler-level retry can handle.
+        lock = open(f"{self.path}/.writer.lock", "w")
+        try:
+            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            lock.close()
+            raise ConcurrentWriteError(
+                f"another merge holds the writer lock on {self.path}"
+            ) from None
+        try:
+            return self._merge_locked(writer_id, batch_id, batch, combine)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+            lock.close()
+
+    def _merge_locked(self, writer_id: str, batch_id: int, batch: DataFrame, combine) -> bool:
         manifest = self._manifest()
         last = manifest["writers"].get(writer_id)
         if last is not None and batch_id <= last:

@@ -102,3 +102,30 @@ def test_distinct_writers_do_not_collide(spark, sf_dir, tmp_path):
     assert st.merge_aggregate("qA", 0, _agg_partials(a), agg) is True
     assert st.merge_aggregate("qB", 0, _agg_partials(b), agg) is True  # not skipped
     assert _state_answer(st, spark) == _batch_answer(events)
+
+
+def test_concurrent_merge_is_a_loud_error(spark, sf_dir, tmp_path):
+    """The single-writer protocol is enforced, not assumed: a merge
+    attempted while another holds the writer lock raises
+    ConcurrentWriteError instead of silently dropping commits."""
+    import fcntl
+
+    import pytest
+
+    from flink_playground_spark.streaming.txn_state import ConcurrentWriteError
+
+    events = load_table(spark, sf_dir, "events")
+    st = TransactionalKeyState(str(tmp_path / "cc"), ["user_id"], n_buckets=4)
+    agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
+    st.merge_aggregate("q", 0, _agg_partials(events), agg)
+
+    holder = open(f"{st.path}/.writer.lock", "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            st.merge_aggregate("q", 1, _agg_partials(events), agg)
+    finally:
+        fcntl.flock(holder, fcntl.LOCK_UN)
+        holder.close()
+    # released: the merge goes through
+    assert st.merge_aggregate("q", 1, _agg_partials(events), agg) is True
