@@ -100,3 +100,29 @@ def read_snapshot(
     else:
         chosen = versions[-1]
     return spark.read.parquet(f"{table_path}/_v={chosen['version']}")
+
+
+def snapshot_vacuum(table_path: str, keep_last: int = 3) -> int:
+    """Retention: drop all but the newest ``keep_last`` snapshots.
+
+    The manifest commits FIRST (truncated history), then the orphaned
+    snapshot dirs are deleted — a crash in between leaves invisible
+    garbage, never a manifest entry pointing at deleted data. Returns
+    the number of snapshots removed. Time-travel reads older than the
+    retained window fail loudly afterwards (by design — that is what
+    retention means)."""
+    import shutil
+
+    versions = _load_manifest(table_path)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(versions) <= keep_last:
+        return 0
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(keep, fh)
+    os.replace(tmp, _manifest_path(table_path))
+    for v in drop:
+        shutil.rmtree(f"{table_path}/_v={v['version']}", ignore_errors=True)
+    return len(drop)

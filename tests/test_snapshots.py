@@ -59,3 +59,27 @@ def test_snapshot_torn_write_invisible(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         read_snapshot(spark, path, version=99)
     assert os.path.isdir(f"{path}/_v=99")  # garbage, but harmless
+
+
+def test_snapshot_vacuum_retention(spark, sf_dir, tmp_path):
+    """Retention keeps the newest N snapshots; older time-travel reads
+    fail loudly; the manifest truncates BEFORE data deletion so a crash
+    between the two can never leave a dangling manifest entry."""
+    import os
+
+    from flink_playground_spark.operators.snapshots import snapshot_vacuum
+
+    path = str(tmp_path / "dim")
+    nation = load_table(spark, sf_dir, "nation")
+    for i in range(1, 6):
+        snapshot_write(nation.limit(i), path, ts=float(i * 100))
+    assert snapshot_vacuum(path, keep_last=2) == 3
+    assert [v["version"] for v in snapshot_history(path)] == [4, 5]
+    assert read_snapshot(spark, path, version=5).count() == 5
+    assert read_snapshot(spark, path, as_of_ts=450.0).count() == 4
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, version=2)
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, as_of_ts=250.0)  # outside retained window
+    assert not os.path.isdir(f"{path}/_v=1")
+    assert snapshot_vacuum(path, keep_last=2) == 0  # idempotent
