@@ -86,7 +86,6 @@ class BucketedKeyState:
         exactly what a changelog diff needs.
         """
         spark = batch.sparkSession
-        cols = batch.columns
         tagged = batch.withColumn(BUCKET_COL, self._bucket())
         touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
         if self._has_state:
@@ -94,20 +93,26 @@ class BucketedKeyState:
             # not lazily re-read the very files the dynamic overwrite is
             # about to replace, and the returned `old_touched` must stay
             # the PRE-merge contents. Materialized size is bounded by the
-            # touched buckets, not total state.
+            # touched buckets, not total state. mergeSchema: bucket files
+            # written before a column existed still read (as nulls).
             old_touched = (
-                spark.read.parquet(self.path)
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
                 .filter(F.col(BUCKET_COL).isin(touched))
                 .localCheckpoint(eager=True)
             )
         else:
             old_touched = spark.createDataFrame([], tagged.schema)
+        # additive schema evolution: a batch may carry columns the state
+        # has never seen (old rows take null) and vice versa — the merged
+        # schema is the union, nothing is dropped
         merged = dedup_latest(
-            old_touched.unionByName(tagged).drop(BUCKET_COL),
+            old_touched.unionByName(tagged, allowMissingColumns=True).drop(BUCKET_COL),
             self.keys,
             order_col,
             tiebreakers,
         ).withColumn(BUCKET_COL, self._bucket())
+        cols = [c for c in merged.columns if c != BUCKET_COL]
         # Dynamic overwrite replaces only the partitions present in
         # `merged` (= the touched buckets); other buckets' files survive.
         (
@@ -118,12 +123,19 @@ class BucketedKeyState:
         )
         self._has_state = True
         new_touched = (
-            spark.read.parquet(self.path)
+            spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
             .filter(F.col(BUCKET_COL).isin(touched))
             .localCheckpoint(eager=True)
         )
+        old_aligned = old_touched.drop(BUCKET_COL)
+        for c in cols:
+            if c not in old_aligned.columns:
+                old_aligned = old_aligned.withColumn(
+                    c, F.lit(None).cast(merged.schema[c].dataType)
+                )
         return (
-            old_touched.drop(BUCKET_COL).select(*cols),
+            old_aligned.select(*cols),
             new_touched.drop(BUCKET_COL).select(*cols),
         )
 
@@ -142,11 +154,12 @@ class BucketedKeyState:
         touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
         if self._has_state:
             old_touched = (
-                spark.read.parquet(self.path)
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
                 .filter(F.col(BUCKET_COL).isin(touched))
                 .localCheckpoint(eager=True)
             )
-            base = old_touched.unionByName(tagged)
+            base = old_touched.unionByName(tagged, allowMissingColumns=True)
         else:
             base = tagged
         merged = (
@@ -203,14 +216,15 @@ class BucketedKeyState:
         touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
         if self._has_state:
             old_touched = (
-                spark.read.parquet(self.path)
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
                 .filter(F.col(BUCKET_COL).isin(touched))
                 .localCheckpoint(eager=True)
                 # stored rows re-enter the contest as upserts at their
                 # own order value
                 .withColumn(op_col, F.lit("U"))
             )
-            base = old_touched.unionByName(tagged.select(*old_touched.columns))
+            base = old_touched.unionByName(tagged, allowMissingColumns=True)
         else:
             base = tagged
         winners = dedup_latest(

@@ -122,3 +122,34 @@ def test_merge_changes_cdc_apply(spark, tmp_path):
     # reattach: a new instance sees the same state
     st2 = BucketedKeyState(path, ["k"], n_buckets=4)
     assert {(r.k, r.v) for r in st2.read(spark).collect()} == got
+
+
+def test_bucketed_state_schema_evolution(spark, tmp_path):
+    """Additive schema evolution on keep-latest state: a later wave may
+    carry a new column (old rows read as null) and an even later wave
+    may omit it again (retained values survive) — the merged schema is
+    the union, nothing is dropped."""
+    from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+    st = BucketedKeyState(str(tmp_path / "evo"), ["k"], n_buckets=4)
+    st.merge_keep_latest(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, v string, ts long"),
+        "ts",
+    )
+    # wave 2 ADDS `quality`
+    st.merge_keep_latest(
+        spark.createDataFrame(
+            [(2, "b2", 2, 0.9), (3, "c", 2, 0.5)],
+            "k long, v string, ts long, quality double",
+        ),
+        "ts",
+    )
+    got = {r.k: (r.v, r.quality) for r in st.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5)}
+    # wave 3 OMITS `quality` again: existing values survive, the new row
+    # takes null
+    st.merge_keep_latest(
+        spark.createDataFrame([(4, "d", 3)], "k long, v string, ts long"), "ts"
+    )
+    got = {r.k: (r.v, r.quality) for r in st.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5), 4: ("d", None)}
