@@ -70,3 +70,59 @@ def test_csv_json_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
         .select(*events.columns)
     )
     assert sorted(map(tuple, got_json.collect())) == want
+
+
+def test_parquet_aggregate_pushdown_v2(spark, sf_dir):
+    """COUNT/MIN/MAX answered from parquet footer statistics under the
+    v2 scan (PushedAggregation) — a 100 TB count(*) that reads metadata,
+    not data. Values must equal the v1 full-scan answers."""
+    df_v1 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = df_v1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+    ).collect()[0]
+
+    saved = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+        )
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        agg = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan[:1500]
+        assert agg.collect()[0] == want
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", saved)
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
+
+
+def test_metadata_columns_provenance(spark, sf_dir, tmp_path):
+    """Row provenance via the hidden _metadata struct: every row knows its
+    source file and row index — the lineage a training-data pipeline
+    records at ingest (which shard did this example come from)."""
+    src = str(tmp_path / "sharded")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(4).write.parquet(src)
+
+    tagged = spark.read.parquet(src).select(
+        "event_id",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.row_index").alias("src_row"),
+    )
+    rows = tagged.collect()
+    assert len(rows) == events.count()
+    assert len({r.src_file for r in rows}) == 4  # all shards represented
+    # (file, row) is a unique physical address
+    assert len({(r.src_file, r.src_row) for r in rows}) == len(rows)
+    # indexes are dense per file
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r.src_file, []).append(r.src_row)
+    for f, idxs in per_file.items():
+        assert sorted(idxs) == list(range(len(idxs)))
