@@ -72,3 +72,43 @@ def stratified_topk_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("__h")
     )
+
+
+def mixing_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    targets: dict[str, float],
+    total_n: int,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Domain mixing: a deterministic sample hitting TARGET PROPORTIONS
+    per stratum — the composition step of every pretraining data recipe
+    (up-weight scarce domains, cap dominant ones) made reproducible.
+
+    Per-stratum quota ``k_s = floor(total_n * share + 0.5)`` (half-up,
+    engine-portable); strata outside ``targets`` are excluded. Each
+    stratum yields its ``k_s`` smallest sample hashes via the same
+    two-level salted rank as ``stratified_topk_sample`` (pruned at the
+    max quota, then per-stratum cut by a broadcast quota table) — so the
+    sample is stable under repartitioning and identical across engines.
+    A stratum smaller than its quota contributes everything it has (the
+    under-run is visible in the output counts, not silently rebalanced).
+    """
+    ks = {s: int(total_n * share + 0.5) for s, share in targets.items()}
+    spark = df.sparkSession
+    ranked = stratified_topk_sample(
+        df.filter(F.col(stratum_col).isin(list(ks))),
+        [stratum_col],
+        key_col,
+        max(ks.values()),
+        n_salt,
+    )
+    kdf = spark.createDataFrame(
+        [(s, k) for s, k in ks.items()], f"{stratum_col} string, __k long"
+    )
+    return (
+        ranked.join(F.broadcast(kdf), stratum_col)
+        .filter(F.col("sample_rank") <= F.col("__k"))
+        .drop("__k")
+    )

@@ -3489,3 +3489,48 @@ def grouping_sets_pricing(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+_MIXING_SQL = """
+WITH quotas(lang, k) AS (VALUES ('en', 100), ('zh', 60), ('de', 30), ('fr', 10)),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS sample_rank
+  FROM documents d JOIN quotas q ON d.lang = q.lang),
+cut AS (
+  SELECT r.doc_id, r.lang, CAST(r.sample_rank AS BIGINT) AS sample_rank
+  FROM ranked r JOIN quotas q ON r.lang = q.lang
+  WHERE r.sample_rank <= q.k)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+FROM cut GROUP BY lang
+"""
+
+
+@register_extra("domain_mixing_sample", _MIXING_SQL, tags=("ext-sampling",), bench=False)
+def domain_mixing_sample(spark, sf_dir):
+    """Data-mixing composition: sample the corpus to target per-language
+    proportions (en 50%, zh 30%, de 15%, fr 5% of a 200-doc budget;
+    es excluded) with the deterministic md5-rank machinery — quotas as a
+    broadcast table cutting a single two-level stratified rank. zh's
+    target (60) exceeds what exists at this SF only at smaller scales;
+    under-runs surface in the counts rather than being silently
+    rebalanced. Summarized per language so the oracle comparison is
+    stable (doc-level membership is itself deterministic and pinned by
+    the sampling tests)."""
+    from flink_playground_spark.functions.sampling import mixing_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = mixing_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.50, "zh": 0.30, "de": 0.15, "fr": 0.05},
+        total_n=200,
+    )
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc"),
+    )

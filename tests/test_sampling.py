@@ -138,3 +138,27 @@ def test_chunk_fingerprints_catch_offset_shifted_passages(spark):
     for fp in multi["chunk_fp"].unique():
         if len(shared[fp]) >= 2:
             assert 3 not in shared[fp]  # doc 3 shares no substantive chunk
+
+
+def test_mixing_sample_hits_targets_and_underruns_visibly(spark, sf_dir):
+    """Quotas are hit exactly where the stratum is large enough, the
+    under-run stratum contributes everything it has, excluded strata
+    contribute nothing, and the sample is stable under repartitioning."""
+    from flink_playground_spark.functions.sampling import mixing_sample
+    from flink_playground_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.50, "zh": 0.30, "de": 0.15, "fr": 0.05}
+    sample = mixing_sample(docs, "lang", "doc_id", targets, total_n=200)
+    counts = {r.lang: r.n for r in sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, share in targets.items():
+        quota = int(200 * share + 0.5)
+        assert counts.get(lang, 0) == min(quota, avail[lang]), (lang, counts, avail)
+    assert "es" not in counts  # excluded stratum
+
+    # repartition-stability: identical membership from a different layout
+    again = mixing_sample(docs.repartition(13), "lang", "doc_id", targets, total_n=200)
+    a = sorted(r.doc_id for r in sample.collect())
+    b = sorted(r.doc_id for r in again.collect())
+    assert a == b
