@@ -89,3 +89,50 @@ def chunk_fingerprints(
         F.md5(text.cast("binary")).alias("chunk_fp"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing: assign documents to fixed-token-budget
+    bins — the batch-construction step between a cleaned corpus and a
+    trainer (pack short documents together so a context window wastes no
+    tokens).
+
+    Deterministic contiguous fill: documents are taken in ``order_col``
+    order (default: the id), each starts at the running token offset of
+    everything before it, and its bin is ``floor(start_offset /
+    budget)``. A document straddling a boundary stays in the bin it
+    started in (greedy packing accepts the overflow; the trainer's
+    truncation policy is downstream). Output: id, n_tokens, bin_id,
+    offset_in_bin.
+
+    One window cumsum over a single global ordering — at 100 TB the
+    global running sum is the textbook two-pass prefix-sum (per-partition
+    partials + broadcast offsets); Spark's window with no partition runs
+    single-stream, which is this operator's documented small-corpus
+    shape, while the per-shard variant (pack within date/source shards)
+    partitions the window and scales without coordination.
+    """
+    from flink_playground_spark.functions.text import tokens
+
+    order = order_col or id_col
+    w = Window.orderBy(F.asc(order)).rowsBetween(Window.unboundedPreceding, -1)
+    t = df.select(
+        F.col(id_col),
+        F.col(order).alias("__o"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    packed = t.withColumn(
+        "__start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("__start") / F.lit(budget)).cast("long").alias("bin_id"),
+        F.pmod(F.col("__start"), F.lit(budget)).cast("long").alias("offset_in_bin"),
+    )

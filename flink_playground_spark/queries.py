@@ -3534,3 +3534,32 @@ def domain_mixing_sample(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.sum("doc_id").cast("bigint").alias("sum_doc"),
     )
+
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(start / 2048) AS BIGINT) AS bin_id,
+       CAST(start % 2048 AS BIGINT) AS offset_in_bin
+FROM p
+"""
+
+
+@register_extra("sequence_packing", _PACKING_SQL, tags=("ext-sampling", "ext-text"), bench=False)
+def sequence_packing(spark, sf_dir):
+    """Contiguous sequence packing at a 2048-token budget: every document
+    gets its bin and intra-bin offset from one running token cumsum —
+    the corpus-to-context-window batch construction step
+    (functions/chunking.py: pack_sequences). Greedy contiguous fill: a
+    straddling document stays in the bin it started in."""
+    from flink_playground_spark.functions.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=2048)

@@ -162,3 +162,24 @@ def test_mixing_sample_hits_targets_and_underruns_visibly(spark, sf_dir):
     a = sorted(r.doc_id for r in sample.collect())
     b = sorted(r.doc_id for r in again.collect())
     assert a == b
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    """Golden packing: bins fill contiguously, a straddling doc stays in
+    its starting bin, offsets restart correctly."""
+    from flink_playground_spark.functions.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # 4 tokens, start 0  -> bin 0, off 0
+            (2, "e f g"),            # 3 tokens, start 4  -> bin 0, off 4
+            (3, "h i j k l m"),      # 6 tokens, start 7  -> bin 0, off 7 (straddles)
+            (4, "n o"),              # 2 tokens, start 13 -> bin 1, off 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.offset_in_bin)
+        for r in pack_sequences(docs, "doc_id", "text", budget=10).collect()
+    }
+    assert got == {1: (4, 0, 0), 2: (3, 0, 4), 3: (6, 0, 7), 4: (2, 1, 3)}
