@@ -182,3 +182,60 @@ def test_match_plus_matches_python_reference(spark, rows):
                     )
             j += 1
     assert got == want
+
+
+scd_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # key
+        st.integers(0, 15),         # time ordinal
+        st.integers(0, 99),         # seq (tiebreaker; may repeat — fine)
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=scd_rows)
+def test_scd2_build_matches_python_reference(spark, rows):
+    """scd2_build vs a straightforward Python SCD2: tie-dedup by max
+    (seq), collapse equal consecutive states, close intervals at the
+    next change."""
+    from flink_playground_spark.operators.scd import scd2_build
+
+    # make (key, ts, seq) unique the way real changelogs are (seq is an
+    # event id); hypothesis may repeat, keep the max-seq row per (k, t, s)
+    uniq = {}
+    for k, t, s, v in rows:
+        uniq[(k, t, s)] = v
+    data = [(k, t, s, v) for (k, t, s), v in uniq.items()]
+
+    df = from_rows(
+        spark,
+        [(k, _ts(t), s, v) for k, t, s, v in data],
+        ["k", "ts", "seq", "state"],
+        [int, "timestamp_ntz", int, str],
+    )
+    got = {
+        (r.k, r.state, r.valid_from, r.valid_to)
+        for r in scd2_build(df, ["k"], "ts", ["state"], "seq").collect()
+    }
+
+    want = set()
+    bykey: dict = {}
+    for k, t, s, v in data:
+        bykey.setdefault(k, {})
+        cur = bykey[k].get(t)
+        if cur is None or s > cur[0]:
+            bykey[k][t] = (s, v)  # tie-dedup: max seq wins per (k, ts)
+    for k, tv in bykey.items():
+        hist = sorted(tv.items())  # (t, (s, v)) by time
+        collapsed = []
+        for t, (_, v) in hist:
+            if not collapsed or collapsed[-1][1] != v:
+                collapsed.append((t, v))
+        for i, (t, v) in enumerate(collapsed):
+            nxt = _ts(collapsed[i + 1][0]) if i + 1 < len(collapsed) else None
+            want.add((k, v, _ts(t), nxt))
+    assert got == want
