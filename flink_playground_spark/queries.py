@@ -3563,3 +3563,53 @@ def sequence_packing(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", budget=2048)
+
+
+_GOPHER_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               count(*) AS n_types, max(tf) AS maxtf
+        FROM tf GROUP BY 1),
+sig AS (
+  SELECT t.doc_id, t.lang,
+         COALESCE(agg.n_tokens, 0) AS n_tokens,
+         COALESCE(ROUND(agg.n_types / agg.n_tokens, 6), 0.0) AS ttr,
+         COALESCE(ROUND(agg.maxtf / agg.n_tokens, 6), 0.0) AS top_tok_frac
+  FROM t LEFT JOIN agg USING (doc_id)),
+flagged AS (
+  SELECT lang,
+         (n_tokens BETWEEN 50 AND 1000)
+         AND ttr >= 0.2 AND top_tok_frac <= 0.2 AS kept
+  FROM sig)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY lang
+"""
+
+
+@register_extra("gopher_quality_filter", _GOPHER_FILTER_SQL, tags=("ext-text",), bench=False)
+def gopher_quality_filter(spark, sf_dir):
+    """The quality SIGNALS applied as a GATE: Gopher-style keep rules
+    (length window 50..1000 tokens, type-token ratio >= 0.2, top-token
+    share <= 0.2 — the repetition family of Rae et al. 2021 App. A1.1,
+    thresholds adapted to the synthetic corpus) and per-language
+    kept/dropped counts. Same two map-side-combined aggregations as
+    quality_signals; the filter itself is free column arithmetic."""
+    from flink_playground_spark.functions.quality import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", "lang").join(
+        repetition_signals(docs, "doc_id", "text"), "doc_id", "left"
+    )
+    kept = (
+        F.col("n_tokens").between(50, 1000)
+        & (F.col("ttr") >= 0.2)
+        & (F.col("top_tok_frac") <= 0.2)
+    )
+    return sig.withColumn("kept", kept).groupBy("lang").agg(
+        F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).cast("bigint").alias("n_dropped"),
+    )
