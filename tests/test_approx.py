@@ -174,3 +174,46 @@ def test_hist_sketch_mergeable_and_streaming_state(spark, sf_dir, tmp_path):
         )
     stateful = {r.bin: r.cnt for r in st.read(spark).collect()}
     assert stateful == direct
+
+
+def test_streaming_hll_distinct_state(spark, sf_dir, tmp_path):
+    """Streaming approximate distinct counts: per-wave HLL sketch
+    partials fold into bucketed state via hll_union_agg. HLL union is
+    commutative and associative, so the drained state's estimates equal
+    the batch sketch EXACTLY (not approximately-equal: the same sketch
+    bytes) — mergeable-sketch state as the streaming distinct-count
+    path."""
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d"))
+        .collect()
+    }
+
+    st = BucketedKeyState(str(tmp_path / "hll"), ["event_type"], n_buckets=4)
+    for w in range(3):
+        wave = events.filter(F.col("event_id") % 3 == w)
+        partials = wave.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        )
+        st.merge_aggregate(partials, [F.hll_union_agg("sk").alias("sk")])
+
+    got = {
+        r.event_type: r.d
+        for r in st.read(spark)
+        .select("event_type", F.hll_sketch_estimate("sk").alias("d"))
+        .collect()
+    }
+    assert got == want  # exact sketch equality, not tolerance
+
+    # exact distinct for context: the estimates are within HLL's band
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type").agg(F.count_distinct("user_id").alias("d")).collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
