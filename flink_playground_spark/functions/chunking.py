@@ -121,7 +121,7 @@ def pack_sequences(
     from flink_playground_spark.functions.text import tokens
 
     order = order_col or id_col
-    w = Window.orderBy(F.asc(order)).rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.orderBy(F.asc("__o")).rowsBetween(Window.unboundedPreceding, -1)
     t = df.select(
         F.col(id_col),
         F.col(order).alias("__o"),

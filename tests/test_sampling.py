@@ -183,3 +183,52 @@ def test_pack_sequences_bins_and_offsets(spark):
         for r in pack_sequences(docs, "doc_id", "text", budget=10).collect()
     }
     assert got == {1: (4, 0, 0), 2: (3, 0, 4), 3: (6, 0, 7), 4: (2, 1, 3)}
+
+
+def test_curriculum_packed_export(spark, sf_dir, tmp_path):
+    """The last mile to a trainer: quality-gate the corpus, order it by
+    quality (curriculum), pack to a token budget, write one shard per
+    bin. Every shard but the last fills to within one document of the
+    budget, and shard membership is exactly the packing assignment."""
+    from pyspark.sql import Window
+
+    from flink_playground_spark.functions.chunking import pack_sequences
+    from flink_playground_spark.functions.quality import repetition_signals
+    from flink_playground_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.join(repetition_signals(docs, "doc_id", "text"), "doc_id")
+    kept = sig.filter((F.col("n_tokens") >= 50) & (F.col("ttr") >= 0.2))
+    # curriculum: highest type-token ratio first, deterministic ties
+    ordered = kept.withColumn(
+        "__order",
+        F.row_number().over(Window.orderBy(F.desc("ttr"), F.asc("doc_id"))).cast("long"),
+    )
+    budget = 4096
+    packed = pack_sequences(ordered, "doc_id", "text", budget=budget, order_col="__order")
+
+    out = str(tmp_path / "shards")
+    (
+        docs.join(packed.select("doc_id", "bin_id"), "doc_id")
+        .write.partitionBy("bin_id")
+        .parquet(out)
+    )
+
+    stats = {
+        r.bin_id: (r.toks, r.n)
+        for r in packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(stats) >= 2
+    max_doc = packed.agg(F.max("n_tokens")).first()[0]
+    last = max(stats)
+    for b, (toks, _) in stats.items():
+        if b != last:
+            # a bin closes only once its budget is crossed
+            assert toks >= budget - max_doc, (b, toks)
+            assert toks <= budget + max_doc, (b, toks)
+
+    # shard membership on disk == the packing assignment
+    back = spark.read.parquet(out).groupBy("bin_id").count().collect()
+    assert {r.bin_id: r["count"] for r in back} == {b: n for b, (_, n) in stats.items()}
