@@ -3271,7 +3271,7 @@ FROM s ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
-@register_extra("bm25_search", _BM25_SQL, tags=("ext-text",), bench=False)
+@register_extra("bm25_search", _BM25_SQL, tags=("ext-text",), bench=True)
 def bm25_search(spark, sf_dir):
     """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed bag-of-terms
     query over the documents table, rational-idf variant (log-free for
@@ -3364,7 +3364,7 @@ FROM tr JOIN ev USING (shingle) GROUP BY 1
 """
 
 
-@register_extra("decontaminate_overlap", _DECONTAM_SQL, tags=("ext-dedup", "ext-text"), bench=False)
+@register_extra("decontaminate_overlap", _DECONTAM_SQL, tags=("ext-dedup", "ext-text"), bench=True)
 def decontaminate_overlap(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 37 != 0)
     sharing any word 3-gram with the held-out eval slice (doc_id % 37 ==
