@@ -1,6 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line LAST:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+and writes the full per-query breakdown (including round-over-round
+ratios) to ``BENCH_FULL.json`` beside this file. Round 2's single long
+line was truncated by the driver's tail capture (BENCH_r02.json:
+``parsed: null``), so the machine line is kept small and emitted last.
 
 Each query is materialized via the ``noop`` datasource — full execution
 (scan, shuffles, aggregation) without driver-side collection, so the
@@ -45,7 +49,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    out = {
+    full = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -54,8 +58,22 @@ def main() -> None:
     }
     prev = _load_previous_round()
     if prev:
-        out["vs_prev"] = _compare(times, prev)
-    print(json.dumps(out))
+        full["vs_prev"] = _compare(times, prev)
+    sidecar = pathlib.Path(__file__).resolve().parent / "BENCH_FULL.json"
+    sidecar.write_text(json.dumps(full, indent=1) + "\n")
+    # Full line first (for humans / generous captures), compact machine
+    # line LAST so a bounded tail capture always parses the headline.
+    print(json.dumps(full, separators=(",", ":")))
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "regressions": (full.get("vs_prev") or {}).get("regressions", {}),
+        "full": sidecar.name,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
@@ -78,16 +96,22 @@ _CHANGED = {
 
 def _load_previous_round() -> dict | None:
     here = pathlib.Path(__file__).resolve().parent
-    rounds = sorted(here.glob("BENCH_r*.json"))
-    if not rounds:
-        return None
-    try:
-        data = json.loads(rounds[-1].read_text())
-    except (OSError, json.JSONDecodeError):
-        return None
-    # the driver wraps our JSON line under "parsed"
-    queries = data.get("queries") or (data.get("parsed") or {}).get("queries") or {}
-    return {"file": rounds[-1].name, "queries": queries}
+    # Prefer the committed sidecar (full per-query dict from the previous
+    # round's bench run), then walk driver round files newest-first until
+    # one has a parseable queries dict (r02's was tail-truncated).
+    candidates = [here / "BENCH_FULL.json"] + sorted(
+        here.glob("BENCH_r*.json"), reverse=True
+    )
+    for path in candidates:
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps our JSON line under "parsed"
+        queries = data.get("queries") or (data.get("parsed") or {}).get("queries")
+        if queries:
+            return {"file": path.name, "queries": queries}
+    return None
 
 
 def _compare(times: dict[str, float], prev: dict) -> dict:
