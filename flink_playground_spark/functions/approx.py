@@ -113,19 +113,38 @@ def heavy_hitters(
     """Values with estimated frequency >= ``phi`` of all rows, via CMS.
 
     CMS cannot enumerate, so candidates come from a separate (cheap)
-    source — by default the distinct values of a deterministic 10%
-    md5-hash sample (any true phi-heavy hitter appears in such a sample
-    with overwhelming probability; pass ``candidates`` to control this).
-    One-sided CMS error means NO FALSE NEGATIVES among candidates:
-    every true heavy hitter whose value is in the candidate set is
-    returned (some near-threshold values may over-report in).
+    source — by default the values that are locally phi-heavy in at
+    least one scan partition (the distributed Misra-Gries argument: if
+    c_p < phi*n_p in EVERY partition p, then sum c_p < phi*n — so a
+    global phi-heavy hitter is a local one somewhere). That makes the
+    default candidate set a deterministic SUPERSET of the true heavy
+    hitters with no sampling step at all; combined with one-sided CMS
+    error there are NO FALSE NEGATIVES: every true heavy hitter is
+    returned (some near-threshold values may over-report in, and which
+    ones can vary with partitioning). Candidate-set size is bounded by
+    partitions/phi. Pass ``candidates`` to control the set explicitly.
+
+    (A previous revision hash-sampled VALUES, which dropped any given
+    heavy hitter with fixed probability ~7/8 — value-deterministic
+    sampling can never see more trials for more-frequent values.)
     """
     n = df.count()
     sketch = count_min_sketch(df, col, depth, width)
     if candidates is None:
-        candidates = df.filter(
-            F.substring(F.md5(F.col(col).cast("string")), 1, 1).isin(*"01")
-        ).select(col)
+        from pyspark.sql import Window
+
+        local = (
+            df.select(F.spark_partition_id().alias("__p"), F.col(col).alias("__v"))
+            .groupBy("__p", "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        part_total = F.sum("__c").over(Window.partitionBy("__p"))
+        candidates = (
+            local.withColumn("__t", part_total)
+            .filter(F.col("__c") >= F.lit(float(phi)) * F.col("__t"))
+            .select(F.col("__v").alias(col))
+            .distinct()
+        )
     est = cms_estimate(sketch, candidates, col, width)
     return est.filter(F.col("est_count") >= F.lit(float(phi)) * F.lit(float(n)))
 

@@ -134,6 +134,12 @@ def compact_files(
         # moved aside but the replacement never landed): restore the
         # original before doing anything else — the input is never lost
         os.rename(old, path)
+    elif os.path.isdir(old):
+        # crashed AFTER the replacement landed but before cleanup: `path`
+        # is the valid compacted data and `old` is a stale leftover whose
+        # presence would wedge the rename below (ENOTEMPTY) — drop it
+        # (r2 ADVICE).
+        shutil.rmtree(old)
 
     files = [
         e for e in os.scandir(path) if e.is_file() and e.name.endswith(".parquet")

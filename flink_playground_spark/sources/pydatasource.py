@@ -202,8 +202,9 @@ class _StagedFile(WriterCommitMessage):
 
 
 class _JsonlWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import datetime
@@ -226,10 +227,24 @@ class _JsonlWriter(DataSourceWriter):
         return _StagedFile(staged)
 
     def commit(self, messages):
+        import glob
         import os
+        import uuid
 
+        # Per-commit unique prefix: a second append to the same path must
+        # ACCUMULATE files, never clobber an earlier commit's part-00000
+        # (r2 ADVICE — os.replace silently destroyed the previous save).
+        commit_id = uuid.uuid4().hex[:12]
+        if self.overwrite:
+            # overwrite semantics: drop the commit point first, then the
+            # old parts — a _SUCCESS-gated reader never sees a torn mix.
+            success = f"{self.path}/_SUCCESS"
+            if os.path.exists(success):
+                os.remove(success)
+            for old in glob.glob(f"{self.path}/part-*.jsonl"):
+                os.remove(old)
         for i, m in enumerate(messages):
-            os.replace(m.staged, f"{self.path}/part-{i:05d}.jsonl")
+            os.replace(m.staged, f"{self.path}/part-{commit_id}-{i:05d}.jsonl")
         with open(f"{self.path}/_SUCCESS", "w"):
             pass
 
@@ -249,7 +264,7 @@ class JsonlSinkSource(DataSource):
         return "pyjsonl"
 
     def writer(self, schema, overwrite: bool) -> _JsonlWriter:
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite)
 
 
 def register_sink(spark: SparkSession) -> None:

@@ -20,6 +20,12 @@ Per-batch work ∝ the wave's tokens; nothing re-scans ingested docs.
 Queries score exactly like ``bm25_topk`` — same rational idf, same
 fixed-order term sum — so a drained index answers bit-identically to
 the batch function over the same corpus (the test's oracle).
+
+Both stores are TRANSACTIONAL (txn_state.py): tf/dl are aggregate
+merges, which double-count under foreachBatch's at-least-once delivery
+unless replays are skipped — pass the streaming epoch id as
+``batch_id`` and a re-delivered wave is a no-op (r2 ADVICE; the same
+hole chunkdedup was migrated off in r2).
 """
 
 from __future__ import annotations
@@ -28,27 +34,50 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_playground_spark.functions.tfidf import whitespace_tokens
-from flink_playground_spark.streaming.state_store import BucketedKeyState
+from flink_playground_spark.streaming.txn_state import TransactionalKeyState
 
 
 class StreamingSearchIndex:
     """Maintain BM25 index state over document waves; query any time."""
 
-    def __init__(self, path: str, id_col: str, text_col: str, n_buckets: int = 8):
+    def __init__(
+        self,
+        path: str,
+        id_col: str,
+        text_col: str,
+        n_buckets: int = 8,
+        writer_id: str = "search-index",
+    ):
         self.id_col = id_col
         self.text_col = text_col
-        self.postings = BucketedKeyState(f"{path}/postings", ["term", id_col], n_buckets)
-        self.doclen = BucketedKeyState(f"{path}/doclen", [id_col], n_buckets)
+        self.writer_id = writer_id
+        self.postings = TransactionalKeyState(f"{path}/postings", ["term", id_col], n_buckets)
+        self.doclen = TransactionalKeyState(f"{path}/doclen", [id_col], n_buckets)
 
-    def ingest(self, batch: DataFrame) -> None:
-        """Fold a document wave into the index (work ∝ wave tokens)."""
+    def ingest(self, batch: DataFrame, batch_id: int | None = None) -> bool:
+        """Fold a document wave into the index (work ∝ wave tokens),
+        exactly once per (writer_id, batch_id). Pass the foreachBatch
+        epoch id as ``batch_id``; a replayed batch returns False and
+        changes nothing. Without one, the next unseen id is assigned
+        (each call then counts — only explicit ids are replay-safe).
+
+        A crash between the two store commits is safe: on replay the
+        already-committed store skips, the other applies."""
+        if batch_id is None:
+            last = self.postings._manifest()["writers"].get(self.writer_id)
+            batch_id = 0 if last is None else last + 1
         toks = whitespace_tokens(batch, self.id_col, self.text_col)
         tf = toks.groupBy("term", self.id_col).agg(
             F.count(F.lit(1)).cast("long").alias("tf")
         )
-        self.postings.merge_aggregate(tf, [F.sum("tf").cast("long").alias("tf")])
+        applied = self.postings.merge_aggregate(
+            self.writer_id, batch_id, tf, [F.sum("tf").cast("long").alias("tf")]
+        )
         dl = toks.groupBy(self.id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-        self.doclen.merge_aggregate(dl, [F.sum("dl").cast("long").alias("dl")])
+        self.doclen.merge_aggregate(
+            self.writer_id, batch_id, dl, [F.sum("dl").cast("long").alias("dl")]
+        )
+        return applied
 
     def query(
         self,

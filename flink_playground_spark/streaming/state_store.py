@@ -211,7 +211,6 @@ class BucketedKeyState:
         import shutil
 
         spark = changes.sparkSession
-        out_cols = [c for c in changes.columns if c != op_col]
         tagged = changes.withColumn(BUCKET_COL, self._bucket())
         touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
         if self._has_state:
@@ -227,6 +226,12 @@ class BucketedKeyState:
             base = old_touched.unionByName(tagged, allowMissingColumns=True)
         else:
             base = tagged
+        # additive schema evolution both ways (same contract as the
+        # sibling merges): out_cols is the UNION of stored-state and
+        # batch columns — a state column absent from this batch must
+        # survive the rewrite (null-filled on batch rows), not be
+        # silently dropped from persisted state (r2 ADVICE).
+        out_cols = [c for c in base.columns if c not in (op_col, BUCKET_COL)]
         winners = dedup_latest(
             base.drop(BUCKET_COL), self.keys, order_col, tiebreakers
         )

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_playground_spark.functions.approx import approx_distinct_rollup
+from flink_playground_spark.sources.memory import from_rows
 from flink_playground_spark.sources.tables import load_table
 
 
@@ -106,8 +107,10 @@ def test_cms_mergeability(spark, sf_dir):
 
 
 def test_heavy_hitters_no_false_negatives(spark, sf_dir):
-    """Every true phi-heavy token is returned (candidates = full vocab to
-    isolate the CMS guarantee from sampling)."""
+    """Every true phi-heavy token is returned — with the DEFAULT
+    candidate generation (per-partition local heavy hitters), not a
+    caller-supplied full vocabulary: the local-phi-heavy argument must
+    surface every global heavy hitter on its own."""
     from flink_playground_spark.functions.approx import heavy_hitters
     from flink_playground_spark.functions.tfidf import whitespace_tokens
     from flink_playground_spark.sources.tables import load_table
@@ -119,8 +122,23 @@ def test_heavy_hitters_no_false_negatives(spark, sf_dir):
         r.term
         for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= phi * n).collect()
     }
-    got = {r.term for r in heavy_hitters(toks, "term", phi=phi, candidates=toks.select("term")).collect()}
+    got = {r.term for r in heavy_hitters(toks, "term", phi=phi).collect()}
     assert exact_hh <= got
+    # and the repartitioned frame still surfaces every true heavy hitter
+    got_rep = {r.term for r in heavy_hitters(toks.repartition(13), "term", phi=phi).collect()}
+    assert exact_hh <= got_rep
+
+
+def test_heavy_hitters_skewed_value_not_dropped(spark):
+    """Regression (r2 ADVICE): a single dominant value must always be
+    found. The old value-hash sampling dropped any given value with
+    fixed probability ~7/8 regardless of its frequency."""
+    from flink_playground_spark.functions.approx import heavy_hitters
+
+    rows = [(i, "dominant" if i % 2 == 0 else f"rare_{i}") for i in range(2000)]
+    df = from_rows(spark, rows, ["id", "term"], [int, str])
+    got = {r.term for r in heavy_hitters(df, "term", phi=0.2).collect()}
+    assert got == {"dominant"}
 
 
 def test_hist_sketch_quantiles_rank_bound(spark, sf_dir):

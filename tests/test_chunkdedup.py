@@ -153,3 +153,44 @@ def test_bucketed_state_schema_evolution(spark, tmp_path):
     )
     got = {r.k: (r.v, r.quality) for r in st.read(spark).collect()}
     assert got == {1: ("a", None), 2: ("b2", 0.9), 3: ("c", 0.5), 4: ("d", None)}
+
+
+def test_merge_changes_schema_evolution_keeps_state_columns(spark, tmp_path):
+    """Additive schema evolution on CDC state (r2 ADVICE): a column added
+    by an earlier wave must survive a later wave that omits it — out_cols
+    is the union of stored-state and batch columns, like the sibling
+    merges."""
+    from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+    st = BucketedKeyState(str(tmp_path / "cdc_evo"), ["k"], n_buckets=4)
+    st.merge_changes(
+        spark.createDataFrame(
+            [("U", 1, "a", 1, 0.9), ("U", 2, "b", 1, 0.5)],
+            "op string, k long, v string, ver long, quality double",
+        ),
+        "op",
+        "ver",
+    )
+    # later wave OMITS `quality`: stored values must survive, the new
+    # row takes null, key 2's update nulls-but-keeps the column
+    st.merge_changes(
+        spark.createDataFrame(
+            [("U", 2, "b2", 2), ("U", 3, "c", 2), ("D", 1, None, 2)],
+            "op string, k long, v string, ver long",
+        ),
+        "op",
+        "ver",
+    )
+    got = {r.k: (r.v, r.quality) for r in st.read(spark).collect()}
+    assert got == {2: ("b2", None), 3: ("c", None)}
+    # and a re-adding wave restores values for its rows
+    st.merge_changes(
+        spark.createDataFrame(
+            [("U", 3, "c2", 3, 0.7)],
+            "op string, k long, v string, ver long, quality double",
+        ),
+        "op",
+        "ver",
+    )
+    got = {r.k: (r.v, r.quality) for r in st.read(spark).collect()}
+    assert got == {2: ("b2", None), 3: ("c2", 0.7)}

@@ -203,3 +203,25 @@ def test_compact_files_crash_recovery(spark, tmp_path):
     assert stats["files_before"] == 8
     assert spark.read.parquet(path).count() == n
     assert not os.path.isdir(path + "._compact_old")
+
+
+def test_compact_files_stale_old_dir_removed(spark, tmp_path):
+    """Crash AFTER the replacement landed but before cleanup: `path` is
+    valid and `._compact_old` is a stale leftover. The next run must
+    clear it and compact normally instead of wedging on ENOTEMPTY
+    (r2 ADVICE)."""
+    import os
+
+    from flink_playground_spark.operators.layout import compact_files
+    from flink_playground_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "t")
+    src.repartition(8).write.parquet(path)
+    n = src.count()
+    # simulate: valid compacted data at path + stale moved-aside dir
+    src.limit(10).write.parquet(path + "._compact_old")
+    stats = compact_files(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] == 8
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.isdir(path + "._compact_old")

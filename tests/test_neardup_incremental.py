@@ -93,7 +93,10 @@ def test_streaming_search_index_matches_batch_bm25(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     idx = StreamingSearchIndex(str(tmp_path / "sidx"), "doc_id", "text")
     for w in range(3):
-        idx.ingest(docs.filter(F.col("doc_id") % 3 == w))
+        assert idx.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
+
+    # at-least-once delivery: a replayed wave must NOT double-count tf/dl
+    assert not idx.ingest(docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
 
     terms = ["vector", "hash", "stream"]
     got = [tuple(r) for r in idx.query(spark, terms, k=10).collect()]

@@ -114,3 +114,27 @@ def test_python_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
         .json(f"{out}/part-*.jsonl")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, events.collect()))
+
+
+def test_jsonl_sink_append_accumulates_overwrite_replaces(spark, sf_dir, tmp_path):
+    """Regression (r2 ADVICE): a second append must ACCUMULATE part files
+    (per-commit unique prefix), and mode('overwrite') must replace the
+    previous commit's parts rather than being ignored."""
+    import glob
+
+    from flink_playground_spark.sources.pydatasource import register_sink
+    from flink_playground_spark.sources.tables import load_table
+
+    register_sink(spark)
+    events = load_table(spark, sf_dir, "events").limit(100)
+    out = str(tmp_path / "jsonl_sink_modes")
+    w = lambda mode: (
+        events.repartition(2).write.format("pyjsonl").option("path", out).mode(mode).save()
+    )
+    w("append")
+    w("append")
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 4
+    assert spark.read.json(f"{out}/part-*.jsonl").count() == 200
+    w("overwrite")
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 2
+    assert spark.read.json(f"{out}/part-*.jsonl").count() == 100
