@@ -37,18 +37,29 @@ class QueryDef:
     oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
     tags: tuple[str, ...] = field(default=())
     bench: bool = False  # include in bench.py headline set
+    # Python reference oracle for hash-seeded queries DuckDB cannot
+    # express: (sf_dir) -> pandas.DataFrame with the same columns. Used
+    # by tools/check.py + tests for full value comparison where the
+    # driver's SQL gate records rows-only (functions/reference.py).
+    py_oracle: Callable[[str], object] | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    py_oracle: Callable[[str], object] | None = None,
+):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench)
+        REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench, py_oracle)
         return wrapped
 
     return deco
@@ -57,7 +68,13 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: b
 EXTRA_REGISTRY: dict[str, QueryDef] = {}
 
 
-def register_extra(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = True):
+def register_extra(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = True,
+    py_oracle: Callable[[str], object] | None = None,
+):
     """Bench-extra queries: oracle-checked shapes beyond the 50-entry
     driver registry. The driver's CORRECTNESS gate caps at 50 rows, so
     these live in EXTRA_REGISTRY: bench.py times them and the local gate
@@ -69,7 +86,7 @@ def register_extra(name: str, oracle: str | None, tags: tuple[str, ...] = (), be
             tune(spark)
             return fn(spark, sf_dir)
 
-        EXTRA_REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench)
+        EXTRA_REGISTRY[name] = QueryDef(name, wrapped, oracle, tags, bench, py_oracle)
         return wrapped
 
     return deco
@@ -1529,11 +1546,19 @@ def streaming_minhash_neardup(spark, sf_dir):
     return streaming_neardup(stream, threshold=0.8)
 
 
-@register("simhash_neardup", None, tags=("ext-dedup",))
+def _simhash_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import simhash_neardup_ref
+
+    return simhash_neardup_ref(sf_dir)
+
+
+@register("simhash_neardup", None, tags=("ext-dedup",), py_oracle=_simhash_py_oracle)
 def simhash_neardup(spark, sf_dir):
     """SimHash-64 near-dups (Hamming ≤ 3) by pigeonhole banding. Hash
-    construction is xxhash64-specific → rows-only oracle; correctness is
-    pinned by golden tests (tests/test_extensions.py)."""
+    construction is xxhash64-specific → no SQL oracle, but the driver's
+    rows-only check is backed by a full-value PYTHON oracle
+    (functions/reference.py: bit-exact xxh64 + SimHash replica) run by
+    tools/check.py and tests/test_reference_oracles.py."""
     from flink_playground_spark.functions.dedupe import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1656,11 +1681,26 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
-@register("embedding_neardup_lsh", None, tags=("ext-dedup", "ext-sim"))
+def _emb_lsh_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import embedding_neardup_lsh_ref
+
+    return embedding_neardup_lsh_ref(sf_dir)
+
+
+@register(
+    "embedding_neardup_lsh",
+    None,
+    tags=("ext-dedup", "ext-sim"),
+    py_oracle=_emb_lsh_py_oracle,
+)
 def embedding_neardup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: hyperplane-LSH bucket join
     produces candidates, exact cosine re-scores them — sub-quadratic.
-    Hash-derived hyperplanes → rows-only oracle; recall pinned in tests."""
+    Hash-derived hyperplanes → no SQL oracle, but a full-value PYTHON
+    oracle (functions/reference.py: bit-exact xxh64 hyperplanes +
+    sequential-fold cosine) value-checks it in tools/check.py and
+    tests/test_reference_oracles.py; recall additionally pinned in
+    tests."""
     from flink_playground_spark.functions.similarity import cosine, lsh_buckets
 
     v = _t(spark, sf_dir, "embeddings")

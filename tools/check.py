@@ -67,12 +67,19 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
-        if q.oracle is None:
+        if q.oracle is None and q.py_oracle is None:
             status = "ROWS-ONLY" if len(spark_pdf) >= 0 else "FAIL"
             print(f"{status:9s} {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            oracle_pdf = con.sql(q.oracle).fetchdf()
+            if q.oracle is not None:
+                oracle_pdf = con.sql(q.oracle).fetchdf()
+                tag = "OK"
+            else:
+                # hash-seeded query: full-value Python reference oracle
+                # (functions/reference.py) instead of DuckDB SQL
+                oracle_pdf = q.py_oracle(sf_dir)
+                tag = "OK-PYREF"
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
@@ -82,7 +89,7 @@ def main() -> int:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"OK        {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"{tag:9s} {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 
