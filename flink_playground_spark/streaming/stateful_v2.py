@@ -6,10 +6,15 @@ dedup_latest_stream` but built on ``StatefulProcessor`` + typed
 ``ValueState`` — the API Spark is converging on for custom stateful
 operators (state schema evolution, multiple state variables, timers).
 Requires the RocksDB state store provider (built into Spark) AND the
-``protobuf`` Python package (the v2 state-server protocol) — absent in
-this image, so the operator is gated behind :func:`stateful_v2_available`
-with the v1 ``applyInPandasWithState`` path as the default engine
-operator (streaming/stateful.py).
+``protobuf`` Python runtime (the v2 state-server protocol). The image
+has no installed protobuf, but :mod:`streaming.protobuf_compat` aliases
+the pure-Python copy the on-machine Google Cloud SDK vendors — installed
+at this module's import time so BOTH the driver and the python workers
+(which import this module when unpickling the StatefulProcessor, before
+PySpark's lazy ``StateMessage_pb2`` import) can speak the protocol. If
+no runtime is obtainable the operator stays gated behind
+:func:`stateful_v2_available` with the v1 ``applyInPandasWithState``
+path as the default engine operator (streaming/stateful.py).
 """
 
 from __future__ import annotations
@@ -18,21 +23,24 @@ from collections.abc import Iterator, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
-from pyspark.sql import types as T
-from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+from flink_playground_spark.streaming.protobuf_compat import ensure_protobuf
+
+_PROTOBUF_OK = ensure_protobuf()  # before any pyspark.sql.streaming import
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
 def stateful_v2_available() -> bool:
-    """transformWithStateInPandas needs the protobuf Python runtime."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    """transformWithStateInPandas needs the protobuf Python runtime —
+    real, or the vendored cloud-sdk copy protobuf_compat aliases in."""
+    return _PROTOBUF_OK or ensure_protobuf()
 
 
 class KeepLatestProcessor(StatefulProcessor):
