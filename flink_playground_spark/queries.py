@@ -916,6 +916,83 @@ def streaming_changelog_dedup(spark, sf_dir):
     return log.select("op", "batch_id", "user_id", "event_id", "ts", "event_type", "value")
 
 
+_OUTER_JOIN_CHANGELOG_ORACLE = """
+WITH p AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300),
+e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+w1 AS (SELECT event_id, ts, user_id, event_type, value FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM e WHERE event_id % 2 = 0) t WHERE rn = 1),
+wa AS (SELECT event_id, ts, user_id, event_type, value FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM e) t WHERE rn = 1),
+chg AS (SELECT p.c_custkey, p.c_name,
+               w1.event_id AS o_event_id, w1.ts AS o_ts,
+               w1.event_type AS o_event_type, w1.value AS o_value,
+               wa.event_id, wa.ts, wa.event_type, wa.value
+        FROM p JOIN wa ON p.c_custkey = wa.user_id
+        LEFT JOIN w1 ON w1.user_id = wa.user_id
+        WHERE w1.user_id IS NULL OR w1.event_id <> wa.event_id)
+SELECT '+I' AS op, CAST(0 AS BIGINT) AS batch_id, c_custkey, c_name,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value FROM p
+UNION ALL
+SELECT '-U', 1, p.c_custkey, p.c_name, NULL, NULL, NULL, NULL
+FROM p JOIN w1 ON p.c_custkey = w1.user_id
+UNION ALL
+SELECT '+U', 1, p.c_custkey, p.c_name, w1.event_id, w1.ts, w1.event_type, w1.value
+FROM p JOIN w1 ON p.c_custkey = w1.user_id
+UNION ALL
+SELECT '-U', 2, c_custkey, c_name, o_event_id, o_ts, o_event_type, o_value FROM chg
+UNION ALL
+SELECT '+U', 2, c_custkey, c_name, event_id, ts, event_type, value FROM chg
+"""
+
+
+@register_extra(
+    "streaming_outer_join_changelog",
+    _OUTER_JOIN_CHANGELOG_ORACLE,
+    tags=("T6", "J4", "W2"),
+)
+def streaming_outer_join_changelog(spark, sf_dir):
+    """Retraction changelog of the reference's PRINTED query — ``people
+    LEFT OUTER JOIN latest(countries)`` as the dim stream arrives
+    (``WithStateTtlJob.java:79-90``: outer join against the PK'd upsert
+    view, ``toChangelogStream().print()``). Customers are the probe,
+    events replayed in two deterministic parity waves are the dim:
+    batch 0 emits ``+I(probe, NULL…)`` per probe row (the outer join's
+    null-extended arrival), each dim wave emits ``-U``/``+U`` pairs only
+    for probe rows whose key's kept dim row changed — the first match
+    retracts the null row, a later winner retracts the previous join
+    row, probe keys that never match keep their ``+I`` (the "four rows
+    for 'a'" collapse seen through the JOIN's own changelog). The parity
+    split makes every op SQL-reconstructible: the oracle rebuilds the
+    exact log from the two keep-latest views. Per-batch work is
+    touched-bucket-proportional; only affected probe rows are re-joined
+    (left-semi against touched keys)."""
+    from flink_playground_spark.streaming.changelog import outer_join_changelog_stream
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    probe = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300).select(
+        "c_custkey", "c_name"
+    )
+    dim = replay_events_waves(spark, sf_dir, waves=2).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    log = outer_join_changelog_stream(
+        probe,
+        dim,
+        on=[("c_custkey", "user_id")],
+        dim_keys=["user_id"],
+        dim_order_col="ts",
+        dim_tiebreakers=("event_id",),
+        probe_keys=["c_custkey"],
+        n_buckets=16,
+    )
+    return log.select(
+        "op", "batch_id", "c_custkey", "c_name", "event_id", "ts", "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Capability superset: semi/anti joins, set operations, rollup, distinct
 # aggregation, window frames, sessionization. The reference exercises none
