@@ -118,19 +118,23 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    keep_sim: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: each vector joins its ``nprobe`` nearest
     centroids (by cosine). Centroids are broadcast (they are few); the
     per-vector argmax is a rank window over (vector, centroid) scores —
-    fully codegen'd, one pass over the data."""
+    fully codegen'd, one pass over the data. ``keep_sim`` also returns
+    the vector↔centroid cosine (``csim``) — the fit signal the streaming
+    index's drift monitor aggregates."""
     c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cvec"))
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     scored = v.join(F.broadcast(c)).withColumn("csim", cosine(F.col("vec"), F.col("cvec")))
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    keep = ["vid", "vec", "centroid_id"] + (["csim"] if keep_sim else [])
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
-        .select("vid", "vec", "centroid_id")
+        .select(*keep)
     )
 
 

@@ -17,6 +17,20 @@ come from the cell join, never a cross product, and their cosines are
 the exact scores (same ``cosine`` as the batch path), so every returned
 similarity matches the brute-force value bit-for-bit even though the
 candidate SET is approximate.
+
+STALENESS: frozen geometry silently degrades when the ingest
+distribution drifts — new vectors land far from every centroid, cells
+bloat unevenly, recall drops with no error anywhere. Each ingest
+therefore records the wave's FIT (mean cosine distance of its vectors
+to their assigned centroid, a per-wave aggregate of the assignment the
+ingest computes anyway — zero extra passes). ``drift_report`` exposes
+the series; ``needs_retrain`` compares the latest wave's drift against
+the geometry's own training fit (ratio > threshold ⇒ stale);
+``retrain`` is the explicit offline rebuild: re-run Lloyd over the
+CURRENT state, swap the geometry, reassign every stored vector once,
+and reset the fit baseline. The trigger is exposed, not automatic —
+rebuild cost is a capacity decision, the engine's job is to make the
+drift visible and the rebuild one call.
 """
 
 from __future__ import annotations
@@ -51,29 +65,125 @@ class StreamingIVFIndex:
         self.n_centroids = n_centroids
         self.kmeans_iters = kmeans_iters
         self.centroids_path = f"{path}/centroids"
+        self.metrics_path = f"{path}/metrics"
         self.cells = BucketedKeyState(f"{path}/cells", ["vid"], n_buckets)
         self._trained = os.path.isdir(self.centroids_path)
+        self._wave = None  # lazily counted from the metrics log on reattach
 
     def _centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.centroids_path)
 
+    def _next_wave(self, spark: SparkSession) -> int:
+        import os
+
+        if self._wave is None:
+            self._wave = (
+                spark.read.parquet(self.metrics_path).count()
+                if os.path.isdir(self.metrics_path)
+                else 0
+            )
+        w, self._wave = self._wave, self._wave + 1
+        return w
+
+    def _record(self, assigned: DataFrame, phase: str, wave: int) -> None:
+        """Append one (wave, phase, n, mean_drift) row: the wave's mean
+        cosine DISTANCE to its assigned centroid. One tiny aggregate of
+        the assignment DataFrame the caller already computed."""
+        m = assigned.agg(
+            F.count("*").alias("n"),
+            F.avg(1.0 - F.col("csim")).alias("mean_drift"),
+        ).select(
+            F.lit(wave).alias("wave"),
+            F.lit(phase).alias("phase"),
+            "n",
+            "mean_drift",
+        )
+        m.coalesce(1).write.mode("append").parquet(self.metrics_path)
+
     def ingest(self, batch: DataFrame) -> None:
         """Assign a vector wave to frozen centroids and upsert the cells.
-        The first wave also trains (then freezes) the centroids."""
+        The first wave also trains (then freezes) the centroids. Every
+        wave appends its fit to the drift log."""
         spark = batch.sparkSession
-        if not self._trained:
+        first = not self._trained
+        if first:
             kmeans_centroids(
                 batch, self.id_col, self.vec_col, self.n_centroids, self.kmeans_iters
             ).write.mode("overwrite").parquet(self.centroids_path)
             self._trained = True
         assigned = ivf_assign(
-            batch, self._centroids(spark), self.id_col, self.vec_col, nprobe=1
-        )
+            batch, self._centroids(spark), self.id_col, self.vec_col, nprobe=1,
+            keep_sim=True,
+        ).localCheckpoint(eager=True)  # one assignment pass feeds state AND metrics
+        self._record(assigned, "train" if first else "ingest", self._next_wave(spark))
         # (vid, vec, centroid_id); __seq lets keep-latest resolve
         # re-ingestion deterministically (later merge wins)
         import time
 
-        stamped = assigned.withColumn("__seq", F.lit(int(time.time() * 1e6)))
+        stamped = assigned.drop("csim").withColumn(
+            "__seq", F.lit(int(time.time() * 1e6))
+        )
+        self.cells.merge_keep_latest(stamped, "__seq")
+
+    def drift_report(self, spark: SparkSession) -> DataFrame:
+        """Per-wave fit series: (wave, phase, n, mean_drift, baseline,
+        ratio). ``baseline`` is the most recent train/retrain fit at or
+        before the wave — the geometry each wave was assigned under."""
+        m = Window.orderBy("wave").rowsBetween(Window.unboundedPreceding, 0)
+        base = F.last(
+            F.when(F.col("phase").isin("train", "retrain"), F.col("mean_drift")),
+            ignorenulls=True,
+        ).over(m)
+        return (
+            spark.read.parquet(self.metrics_path)
+            .withColumn("baseline", base)
+            .withColumn("ratio", F.col("mean_drift") / F.col("baseline"))
+        )
+
+    def needs_retrain(
+        self,
+        spark: SparkSession,
+        threshold: float = 1.5,
+        min_delta: float = 0.05,
+    ) -> bool:
+        """True when the latest wave's mean drift exceeds ``threshold`` ×
+        the current geometry's training fit AND the absolute degradation
+        exceeds ``min_delta`` (cosine-distance units). The floor keeps a
+        snug geometry (baseline ≈ 0, where held-out noise inflates the
+        ratio) from triggering a full rebuild over an immaterial absolute
+        change. One-row collect of a bounded (per-wave) log."""
+        last = (
+            self.drift_report(spark).orderBy(F.desc("wave")).limit(1).collect()
+        )
+        if not last or last[0]["ratio"] is None:
+            return False
+        r = last[0]
+        return r["ratio"] > threshold and (r["mean_drift"] - r["baseline"]) > min_delta
+
+    def retrain(self, spark: SparkSession) -> None:
+        """Offline geometry rebuild: Lloyd over the CURRENT state, swap
+        centroids, reassign every stored vector once, reset the fit
+        baseline. Cost is one full pass over state — the documented
+        rebuild lifecycle, now one call instead of a new index."""
+        state = self.cells.read(spark)
+        if state is None:
+            raise RuntimeError("retrain before any ingest")
+        corpus = state.select(
+            F.col("vid").alias(self.id_col), F.col("vec").alias(self.vec_col)
+        )
+        kmeans_centroids(
+            corpus, self.id_col, self.vec_col, self.n_centroids, self.kmeans_iters
+        ).write.mode("overwrite").parquet(self.centroids_path)
+        assigned = ivf_assign(
+            corpus, self._centroids(spark), self.id_col, self.vec_col, nprobe=1,
+            keep_sim=True,
+        ).localCheckpoint(eager=True)
+        self._record(assigned, "retrain", self._next_wave(spark))
+        import time
+
+        stamped = assigned.drop("csim").withColumn(
+            "__seq", F.lit(int(time.time() * 1e6))
+        )
         self.cells.merge_keep_latest(stamped, "__seq")
 
     def query(

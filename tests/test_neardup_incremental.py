@@ -133,3 +133,76 @@ def test_streaming_ivf_index_recall_and_exact_sims(spark, tmp_path):
     for r in approx:
         if (r.query_id, r.neighbor_id) in sims:
             assert r.sim == sims[(r.query_id, r.neighbor_id)]
+
+
+def test_streaming_ivf_drift_detection_and_retrain(spark, tmp_path):
+    """Frozen-geometry staleness: a clustered corpus (8 tight clusters on
+    axes 0–7, noise = scaled testdata embeddings — deterministic) trains a
+    snug geometry; a shifted domain (clusters on axes 32–39) fits it
+    badly, driving the drift ratio orders of magnitude past threshold;
+    retrain() rebuilds over current state, resets the baseline, and
+    restores recall for shifted-domain queries."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.similarity import brute_force_topk
+    from flink_playground_spark.streaming.ann_index import StreamingIVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    def clustered(df, axis_base, id_off):
+        # cluster center = 3·e_(axis_base + (vec_id/2)%8); member = center
+        # + 0.1·emb. Axis from vec_id/2 so the even/odd wave split below
+        # is uncorrelated with cluster membership.
+        return df.select(
+            (F.col("vec_id") + id_off).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(0.1*x + "
+                f"IF(i = {axis_base} + pmod(CAST(vec_id/2 AS BIGINT), 8), 3.0, 0.0)"
+                " AS DOUBLE))"
+            ).alias("embedding"),
+        )
+
+    a = clustered(emb.filter(F.col("vec_id") < 400), 0, 0)
+    b = clustered(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 800)), 32, 100000
+    )
+
+    idx = StreamingIVFIndex(str(tmp_path / "ivf"), n_centroids=16, kmeans_iters=2)
+    idx.ingest(a.filter(F.col("vec_id") % 2 == 0))  # trains geometry
+    idx.ingest(a.filter(F.col("vec_id") % 2 == 1))  # same distribution
+    assert not idx.needs_retrain(spark, threshold=1.5)
+
+    idx.ingest(b)  # shifted distribution
+    rows = {r["wave"]: r for r in idx.drift_report(spark).collect()}
+    # in-distribution wave: absolute degradation under the min_delta floor
+    assert rows[1]["mean_drift"] - rows[1]["baseline"] < 0.05, rows[1]
+    assert rows[2]["ratio"] > 10, f"drift not detected: {rows[2]}"
+    assert idx.needs_retrain(spark, threshold=1.5)
+
+    # recall for shifted-domain queries under the stale geometry
+    corpus = idx.cells.read(spark).select(
+        F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    queries = b.filter(F.col("vec_id") < 100440)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall():
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in idx.query(spark, queries, k=5, nprobe=4).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    stale_recall = recall()
+    idx.retrain(spark)
+    fresh = idx.drift_report(spark).orderBy(F.desc("wave")).first()
+    assert fresh["phase"] == "retrain" and fresh["ratio"] == 1.0
+    assert not idx.needs_retrain(spark, threshold=1.5)
+    retrained_recall = recall()
+    assert retrained_recall >= stale_recall
+    assert retrained_recall >= 0.8, (
+        f"retrain did not restore recall: {stale_recall} -> {retrained_recall}"
+    )
