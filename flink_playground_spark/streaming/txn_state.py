@@ -68,10 +68,25 @@ class ConcurrentWriteError(RuntimeError):
 class TransactionalKeyState:
     """Exactly-once keyed state over immutable versioned bucket files."""
 
-    def __init__(self, path: str, keys: Sequence[str], n_buckets: int = 16):
+    def __init__(
+        self,
+        path: str,
+        keys: Sequence[str],
+        n_buckets: int = 16,
+        retain_txns: int = 4,
+    ):
+        """``retain_txns``: steady-state retention — every commit prunes
+        bucket versions that are BOTH shadowed (a newer committed version
+        exists) and older than the newest ``retain_txns`` transactions.
+        The grace window keeps a concurrent reader's already-resolved
+        paths alive for N more commits (readers resolve paths from the
+        manifest once, then scan); replay safety needs no history at all —
+        replays are skipped via the writers map before any state read.
+        0 disables auto-pruning (explicit ``vacuum()`` only)."""
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        self.retain_txns = retain_txns
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -186,6 +201,12 @@ class TransactionalKeyState:
         manifest["writers"][writer_id] = batch_id
         manifest["txn"] = txn
         self._commit(manifest)
+        if self.retain_txns:
+            # steady-state retention: shadowed versions older than the
+            # grace window go now, so file count is bounded by
+            # O(buckets + retain_txns × touched-per-batch) regardless of
+            # how many batches ever committed
+            self.vacuum(keep_newer_than=txn - self.retain_txns)
         return True
 
     # -- reads & maintenance ----------------------------------------------
@@ -193,10 +214,16 @@ class TransactionalKeyState:
         """Current committed state (no bucket column), or None if empty."""
         return self._read_buckets(spark, self._manifest())
 
-    def vacuum(self) -> int:
+    def vacuum(self, keep_newer_than: int | None = None) -> int:
         """Delete files no committed bucket version references (orphans of
         crashed attempts, shadowed old versions). Returns dirs removed.
-        Safe any time: readers only follow the manifest."""
+        Safe any time: readers only follow the manifest.
+
+        ``keep_newer_than``: also spare shadowed/orphaned dirs of txns
+        strictly newer than this id — the steady-state grace window for
+        concurrent readers mid-scan on paths they resolved from an older
+        manifest. ``None`` (a full vacuum) spares nothing but the live
+        set."""
         manifest = self._manifest()
         live = {(v, int(b)) for b, v in manifest["buckets"].items()}
         removed = 0
@@ -206,6 +233,8 @@ class TransactionalKeyState:
             try:
                 txn = int(entry[1:])
             except ValueError:
+                continue
+            if keep_newer_than is not None and txn > keep_newer_than:
                 continue
             tdir = f"{self.path}/{entry}"
             for bdir in os.listdir(tdir):

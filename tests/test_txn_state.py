@@ -129,3 +129,37 @@ def test_concurrent_merge_is_a_loud_error(spark, sf_dir, tmp_path):
         holder.close()
     # released: the merge goes through
     assert st.merge_aggregate("q", 1, _agg_partials(events), agg) is True
+
+
+def test_retention_bounds_files_over_long_replay(spark, sf_dir, tmp_path):
+    """Steady-state retention: 12 committed batches with retain_txns=3
+    leave a bounded version-dir count (old shadowed versions pruned at
+    commit), replays are still skipped, and the final state equals the
+    batch answer. A zero-retention store run side-by-side keeps growing."""
+    import os
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1200)
+    n_waves = 12
+    waves = _waves(events, k=n_waves)
+    agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
+
+    def tdirs(p):
+        return sorted(d for d in os.listdir(p) if d.startswith("t") and d[1:].isdigit())
+
+    st = TransactionalKeyState(str(tmp_path / "r"), ["user_id"], n_buckets=4, retain_txns=3)
+    un = TransactionalKeyState(str(tmp_path / "u"), ["user_id"], n_buckets=4, retain_txns=0)
+    for i, w in enumerate(waves):
+        assert st.merge_aggregate("q", i, _agg_partials(w), agg) is True
+        assert un.merge_aggregate("q", i, _agg_partials(w), agg) is True
+    # unbounded store: one version dir per commit survives
+    assert len(tdirs(tmp_path / "u")) == n_waves
+    # retained store: current versions + grace window only
+    assert len(tdirs(tmp_path / "r")) <= 3 + 1 + 1, tdirs(tmp_path / "r")
+    # replay of an old committed batch: skipped, state untouched
+    assert st.merge_aggregate("q", 5, _agg_partials(waves[5]), agg) is False
+    assert _state_answer(st, spark) == _batch_answer(events)
+    # every manifest-referenced bucket path still exists (pruning never
+    # touches the live set)
+    man = json.load(open(tmp_path / "r" / "manifest.json"))
+    for b, v in man["buckets"].items():
+        assert os.path.isdir(tmp_path / "r" / f"t{v}" / f"__bucket={b}")
