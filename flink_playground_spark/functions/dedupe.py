@@ -439,6 +439,57 @@ def minhash_lsh_edges(
     return star.unionByName(rep_pairs)
 
 
+def minhash_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    max_iter: int = 25,
+) -> DataFrame:
+    """MinHash near-dup clusters with exact-dup members attached OUTSIDE
+    the iterative loop: connected components runs on the REPRESENTATIVE
+    graph only (one node per exact-dup class); class members join their
+    rep's component afterward with plain equi-joins.
+
+    Output is identical to ``duplicate_clusters(minhash_lsh_edges(...))``
+    — ``(doc_id, cluster_id, cluster_size, is_canonical)``, cluster_id =
+    min member id (rep = class min, CC label = min rep) — but a
+    boilerplate class of m documents contributes ONE node to every CC
+    round instead of m star edges. At web scale the per-round shuffles
+    are sized by distinct content, not corpus rows; the member re-attach
+    is two equi-joins plus one aggregate, outside the loop."""
+    from flink_playground_spark.operators.graph import connected_components
+
+    members, idx, rep_pairs = _lsh_rep_pairs(
+        df, id_col, text_col, k, bands, n, threshold, True, max_bucket
+    )
+    have_sh = idx.select(F.col("doc").alias("rep")).distinct()
+    mem_ok = members.join(have_sh, "rep", "left_semi")
+    comp = connected_components(rep_pairs, "id_a", "id_b", max_iter=max_iter).select(
+        F.col("node").alias("rep"), F.col("comp")
+    )
+    csz = mem_ok.groupBy("rep").agg(F.count(F.lit(1)).alias("__csz"))
+    # a doc participates iff its class has >=2 members (within-class
+    # pairs at Jaccard 1.0) or its rep near-dups another class
+    expanded = (
+        mem_ok.join(csz, "rep")
+        .join(comp, "rep", "left")
+        .filter((F.col("__csz") > 1) | F.col("comp").isNotNull())
+        .select("doc", F.coalesce("comp", F.col("rep")).alias("cluster_id"))
+    )
+    sizes = expanded.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return expanded.join(sizes, "cluster_id").select(
+        F.col("doc").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document: sign-sum of token-hash bits,
     folded to a long.

@@ -3152,15 +3152,15 @@ def dedup_clusters(spark, sf_dir):
     deterministic canonical survivor. The oracle recomputes components
     with a recursive CTE over the same exact-Jaccard pair set.
 
-    Feeds CC with minhash_lsh_edges — star edges for exact-dup classes
-    (m-1 edges instead of m²/2 pairs) + rep-level near-dup pairs — which
-    has identical components and min-label cluster ids (dedupe.py)."""
-    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
-    from flink_playground_spark.operators.graph import duplicate_clusters
+    Scale shape: CC runs on the REPRESENTATIVE graph only (one node per
+    exact-dup class, minhash_dup_clusters) — class members are attached
+    after the loop with plain joins, so per-round shuffle size tracks
+    distinct content, not corpus rows. Output identical to CC over the
+    full star+pair edge set (oracle + parity test)."""
+    from flink_playground_spark.functions.dedupe import minhash_dup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    edges = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
-    return duplicate_clusters(edges, "id_a", "id_b")
+    return minhash_dup_clusters(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
 
 
 _QUALITY_SIGNALS_SQL = f"""
@@ -3336,17 +3336,16 @@ def neardup_clean_pipeline(spark, sf_dir):
     corpus_clean_pipeline's big sibling: exact dedup collapses byte-
     identical copies; this one removes near-identical rewrites too — the
     standard pretraining-data recipe (MinHash banding -> clusters ->
-    survivor). Every stage is banded/bucketed, no all-pairs; the oracle
+    survivor). Every stage is banded/bucketed, no all-pairs; CC runs on
+    class representatives only (minhash_dup_clusters); the oracle
     recomputes the drop set with exact Jaccard + a recursive CTE."""
-    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
+    from flink_playground_spark.functions.dedupe import minhash_dup_clusters
     from flink_playground_spark.functions.text import tokens
-    from flink_playground_spark.operators.graph import duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
-    drop = duplicate_clusters(pairs, "id_a", "id_b").filter(
-        ~F.col("is_canonical")
-    ).select("doc_id")
+    drop = minhash_dup_clusters(
+        docs, "doc_id", "text", k=128, bands=32, threshold=0.8
+    ).filter(~F.col("is_canonical")).select("doc_id")
     flagged = docs.join(
         drop.withColumn("dropped", F.lit(True)), "doc_id", "left"
     ).select(
@@ -3447,15 +3446,13 @@ def leakage_safe_split(spark, sf_dir):
     GROUP key -> per-(split, lang) counts. Same md5 convention as
     corpus_clean_pipeline, so both engines assign identically; the
     oracle recomputes clusters from exact Jaccard with a recursive
-    CTE."""
-    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
-    from flink_playground_spark.operators.graph import connected_components
+    CTE. CC runs on class representatives only (minhash_dup_clusters)."""
+    from flink_playground_spark.functions.dedupe import minhash_dup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
-    cc = connected_components(pairs, "id_a", "id_b").select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
-    )
+    cc = minhash_dup_clusters(
+        docs, "doc_id", "text", k=128, bands=32, threshold=0.8
+    ).select("doc_id", "cluster_id")
     grouped = docs.join(cc, "doc_id", "left").select(
         "doc_id", "lang", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key")
     )

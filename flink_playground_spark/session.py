@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 
 # Configs that must be set at session build time.
 BUILD_CONF: dict[str, str] = {
+    # local[32] runs the whole engine in one JVM; PySpark's 1g default
+    # heap starves 32 executor threads (localCheckpoint blocks, shuffle
+    # spill) long before the machine's memory does. Sized for the
+    # sf1 step-up fixture; override via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -160,3 +160,29 @@ def test_streaming_matches_batch_with_exact_dup_waves(spark, tmp_path):
     assert (10, 17) in {(a, b) for a, b, _ in got}  # case-4 late fan-out
     assert (9, 12, 1.0) in got  # within-class exact pair
     assert not any({13, 14} & {a, b} for a, b, _ in got)  # no-shingle class
+
+
+def test_minhash_dup_clusters_equals_full_edge_cc(spark, big_class):
+    """Rep-graph CC + member re-attach (minhash_dup_clusters) returns the
+    exact rows of CC over the full star+pair edge set — on a corpus with
+    a 500-member exact class, a near-dup pair, and noise."""
+    from flink_playground_spark.functions.dedupe import minhash_dup_clusters
+    from flink_playground_spark.operators.graph import duplicate_clusters
+
+    via_edges = {
+        tuple(r)
+        for r in duplicate_clusters(
+            minhash_lsh_edges(big_class, "doc_id", "text", threshold=0.5),
+            "id_a",
+            "id_b",
+        ).collect()
+    }
+    via_reps = {
+        tuple(r)
+        for r in minhash_dup_clusters(
+            big_class, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert via_reps == via_edges
+    # the boilerplate class is one cluster of 500 with min id canonical
+    assert (0, 0, 500, True) in via_reps and (499, 0, 500, False) in via_reps

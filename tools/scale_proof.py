@@ -1,0 +1,96 @@
+"""Scale step-up proof: time heavy shapes at sf0.1 vs a 10× fixture.
+
+``python tools/scale_up.py`` first (writes ``.scaledata/sf1``), then
+``python tools/scale_proof.py [small_dir] [big_dir]``. For each probe
+query: min-of-2 wall time at both SFs, the time ratio, and the ratio
+normalized by the 10× data growth (``scaling`` < 1.0 = sublinear, ≈1 =
+linear; >1 needs a root cause). Also probes the connected-components
+round count at both SFs — pointer doubling must hold it O(log n), so
+10× data may add at most ~log₂10 ≈ 3 rounds. Results go to
+``SCALE_PROOF.json`` and are summarized in PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from flink_playground_spark import get_spark  # noqa: E402
+from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY  # noqa: E402
+
+PROBES = [
+    "dedup_clusters",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "bm25_search",
+    "cep_pattern_match",
+    "exact_dedup_docs",
+    "text_analysis",
+    "corpus_clean_pipeline",
+    "flagship_dedup_join",
+    "q1_pricing_summary",
+    "q3_revenue_by_order",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "cosine_topk",
+]
+
+ALL = {**REGISTRY, **EXTRA_REGISTRY}
+
+
+def _time(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        ALL[name].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _cc_rounds(spark, sf_dir: str) -> int:
+    from flink_playground_spark.functions.dedupe import minhash_lsh_edges
+    from flink_playground_spark.operators.graph import connected_components
+    from flink_playground_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
+    stats: dict = {}
+    connected_components(edges, "id_a", "id_b", stats=stats).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    return stats["iterations"]
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1"
+    factor = 10.0
+    spark = get_spark("scale_proof")
+    spark.range(10_000).selectExpr("sum(id)").collect()
+
+    rows = {}
+    for name in PROBES:
+        t_small = _time(spark, name, small)
+        t_big = _time(spark, name, big)
+        ratio = round(t_big / t_small, 2)
+        rows[name] = {
+            "sf0.1_s": t_small,
+            "sf1_s": t_big,
+            "ratio": ratio,
+            "scaling": round(ratio / factor, 2),
+        }
+        print(f"{name:28s} {t_small:8.2f}s {t_big:8.2f}s  x{ratio:<6} scaling {ratio / factor:.2f}")
+
+    cc = {"sf0.1": _cc_rounds(spark, small), "sf1": _cc_rounds(spark, big)}
+    print(f"cc_rounds sf0.1={cc['sf0.1']} sf1={cc['sf1']}")
+    out = {"factor": factor, "queries": rows, "cc_rounds": cc}
+    pathlib.Path("SCALE_PROOF.json").write_text(json.dumps(out, indent=1) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
