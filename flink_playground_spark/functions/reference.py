@@ -147,3 +147,133 @@ def embedding_neardup_lsh_ref(
     return pd.DataFrame(out, columns=["id_a", "id_b", "sim"]).astype(
         {"id_a": "int64", "id_b": "int64", "sim": "float64"}
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_topk: functions/similarity.py lsh_topk + ivf_topk (queries.py ann_topk)
+# ---------------------------------------------------------------------------
+
+
+def _topk_ref(cand_sims: dict, k: int) -> list[tuple[int, int, float, int]]:
+    """(query, neighbor, sim, rank): row_number over (sim DESC,
+    neighbor ASC) per query, rank <= k — the exact window in
+    lsh_topk/ivf_topk."""
+    out = []
+    for q in sorted(cand_sims):
+        ranked = sorted(cand_sims[q].items(), key=lambda it: (-it[1], it[0]))
+        for rank, (nb, sim) in enumerate(ranked[:k], start=1):
+            out.append((q, nb, sim, rank))
+    return out
+
+
+def _decimal_mean_ref(vals: list[float]) -> float:
+    """kmeans_centroids' per-dim mean: each double is cast to
+    decimal(30,12) (HALF_UP on the shortest round-trip repr — Spark's
+    double→decimal cast), summed exactly, cast back to double, divided
+    by the count in double. Order-independent by construction."""
+    q = Decimal("1e-12")
+    s = Decimal(0)
+    for v in vals:
+        s += Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)
+    return float(s) / len(vals)
+
+
+def _ivf_assign_ref(vecs: dict, cents: dict, nprobe: int) -> dict:
+    """vid -> list of nprobe nearest centroid ids (csim DESC, id ASC) —
+    ivf_assign()'s rank window."""
+    out = {}
+    for vid, vec in vecs.items():
+        scored = sorted(
+            ((cid, cosine_ref(vec, cv)) for cid, cv in cents.items()),
+            key=lambda it: (-it[1], it[0]),
+        )
+        out[vid] = [cid for cid, _ in scored[:nprobe]]
+    return out
+
+
+def kmeans_centroids_ref(
+    vecs: dict, n_centroids: int, iters: int
+) -> dict:
+    """kmeans_centroids(): seeds = the n_centroids lowest vector ids,
+    then `iters` rounds of assign-to-nearest + exact-decimal per-dim
+    mean. Empty cells drop out."""
+    seed_ids = sorted(vecs)[:n_centroids]
+    cents = {vid: [float(x) for x in vecs[vid]] for vid in seed_ids}
+    for _ in range(iters):
+        members: dict[int, list] = {}
+        for vid, cids in _ivf_assign_ref(vecs, cents, 1).items():
+            members.setdefault(cids[0], []).append(vecs[vid])
+        cents = {
+            cid: [
+                _decimal_mean_ref([float(v[d]) for v in vs])
+                for d in range(len(vs[0]))
+            ]
+            for cid, vs in members.items()
+        }
+    return cents
+
+
+def ann_topk_ref(
+    sf_dir: str,
+    k: int = 5,
+    tables: int = 8,
+    planes: int = 4,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    probe_below: int = 8,
+) -> pd.DataFrame:
+    """(method, query_id, neighbor_id, sim, rank) — equals the ann_topk
+    query exactly: union of the hyperplane-LSH and IVF candidate paths,
+    exact cosine on candidates, round 6, per-query top-k."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    probes = {vid: v for vid, v in vecs.items() if vid < probe_below}
+
+    def collect(cand_pairs):
+        sims: dict[int, dict[int, float]] = {}
+        for q, nb in cand_pairs:
+            sims.setdefault(q, {})[nb] = spark_round(
+                cosine_ref(probes[q], vecs[nb]), 6
+            )
+        return sims
+
+    # LSH branch: bucket collisions across tables
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid, vec in vecs.items():
+        for tb in lsh_bucket_ref(vec, tables, planes):
+            buckets.setdefault(tb, []).append(vid)
+    lsh_cand = set()
+    for vid, vec in probes.items():
+        for tb in lsh_bucket_ref(vec, tables, planes):
+            for nb in buckets.get(tb, ()):
+                if nb != vid:
+                    lsh_cand.add((vid, nb))
+    lsh_rows = _topk_ref(collect(lsh_cand), k)
+
+    # IVF branch: probe nprobe cells of the Lloyd-refined geometry
+    cents = kmeans_centroids_ref(vecs, n_centroids, kmeans_iters)
+    cells = _ivf_assign_ref(vecs, cents, 1)
+    inv: dict[int, list[int]] = {}
+    for vid, cids in cells.items():
+        inv.setdefault(cids[0], []).append(vid)
+    ivf_cand = set()
+    for vid in probes:
+        for cid in _ivf_assign_ref({vid: probes[vid]}, cents, nprobe)[vid]:
+            for nb in inv.get(cid, ()):
+                if nb != vid:
+                    ivf_cand.add((vid, nb))
+    ivf_rows = _topk_ref(collect(ivf_cand), k)
+
+    rows = [("lsh", *r) for r in lsh_rows] + [("ivf", *r) for r in ivf_rows]
+    return pd.DataFrame(
+        rows, columns=["method", "query_id", "neighbor_id", "sim", "rank"]
+    ).astype(
+        {
+            "method": "string",
+            "query_id": "int64",
+            "neighbor_id": "int64",
+            "sim": "float64",
+            "rank": "int32",
+        }
+    )

@@ -148,10 +148,17 @@ def kmeans_centroids(
     """Lloyd's k-means as pure DataFrame aggregations (no UDF, no driver
     math): seed = the first ``n_centroids`` corpus vectors (deterministic),
     then ``iters`` rounds of assign-to-nearest (broadcast centroids, rank
-    window) and recompute-mean (posexplode → per-(centroid, dim) avg →
+    window) and recompute-mean (posexplode → per-(centroid, dim) mean →
     array_sort rebuild). Each round is one corpus scan + one shuffle on
     (centroid_id, pos) — the textbook distributed k-means layout. A cell
-    that loses all members drops out (its id simply stops matching)."""
+    that loses all members drops out (its id simply stops matching).
+
+    The per-dim mean sums components as DECIMAL (exact, so the sum — and
+    therefore every centroid, assignment, and downstream similarity — is
+    independent of partitioning/aggregation order; a double sum is not),
+    then divides in double. Determinism costs nothing measurable here
+    (k×dim aggregates) and makes the whole IVF construction replicable
+    by the Python reference oracle (functions/reference.py)."""
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -162,7 +169,12 @@ def kmeans_centroids(
         exploded = assign.select(
             "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
         )
-        means = exploded.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        means = exploded.groupBy("centroid_id", "pos").agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         cents = (
             means.groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))

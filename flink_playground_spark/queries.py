@@ -952,6 +952,7 @@ SELECT '+U', 2, c_custkey, c_name, event_id, ts, event_type, value FROM chg
     "streaming_outer_join_changelog",
     _OUTER_JOIN_CHANGELOG_ORACLE,
     tags=("T6", "J4", "W2"),
+    bench=False,  # wave replay measures micro-batch plumbing, not engine throughput
 )
 def streaming_outer_join_changelog(spark, sf_dir):
     """Retraction changelog of the reference's PRINTED query — ``people
@@ -1670,14 +1671,22 @@ def cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@register("ann_topk", None, tags=("ext-sim",))
+def _ann_topk_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import ann_topk_ref
+
+    return ann_topk_ref(sf_dir)
+
+
+@register("ann_topk", None, tags=("ext-sim",), py_oracle=_ann_topk_py_oracle)
 def ann_topk(spark, sf_dir):
     """Approximate nearest-neighbor top-k, both scale families union-tagged:
     ``lsh`` = random-hyperplane LSH bucket join, ``ivf`` = inverted-file
     nearest-centroid cells with nprobe probing (k-means-refined centroids).
     Neither is a cross product — candidates come from bucket/cell joins,
-    the 100 TB path. Hash-/data-dependent → rows-only oracle; recall vs
-    brute force is asserted in tests for both."""
+    the 100 TB path. Hash-seeded → no SQL oracle, but fully value-checked
+    by a bit-exact PYTHON oracle (functions/reference.py ann_topk_ref:
+    xxh64 hyperplanes, exact-decimal k-means means, Spark fold orders);
+    recall vs brute force is asserted in tests for both."""
     from flink_playground_spark.functions.similarity import ivf_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -72,3 +72,19 @@ def test_embedding_neardup_lsh_matches_reference(spark, sf_dir):
     assert sorted(map(tuple, got[["id_a", "id_b", "sim"]].values.tolist())) == sorted(
         map(tuple, ref.values.tolist())
     )
+
+
+def test_ann_topk_matches_reference(spark, sf_dir):
+    """Full value equality for BOTH ANN branches: xxh64-hyperplane LSH
+    buckets and the Lloyd-refined IVF geometry (exact-decimal means make
+    the centroids aggregation-order-independent, so the Python replica
+    reproduces every sim and rank bit-for-bit)."""
+    from flink_playground_spark.functions.reference import ann_topk_ref
+    from flink_playground_spark.queries import REGISTRY
+
+    got = REGISTRY["ann_topk"].spark_fn(spark, sf_dir).toPandas()
+    ref = ann_topk_ref(sf_dir)
+    cols = ["method", "query_id", "neighbor_id", "sim", "rank"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == sorted(
+        map(tuple, ref[cols].values.tolist())
+    )
