@@ -277,3 +277,56 @@ def ann_topk_ref(
             "rank": "int32",
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_similarity: per-source shingle sets, corpus-level MinHash vs exact
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes_ref(text: str, n: int = 3) -> set[int]:
+    """shingle_index(): xxhash64 of the space-joined lowercase-token
+    n-gram."""
+    toks = _TOKEN_RE.findall(text.lower())
+    return {
+        spark_xxhash64(" ".join(toks[i : i + n]))
+        for i in range(len(toks) - n + 1)
+    }
+
+
+def corpus_similarity_ref(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """(src_a, src_b, est_jaccard, exact_jaccard) — equals the
+    corpus_similarity query: per-source shingle sets, K-permutation
+    corpus MinHash signatures (min over xxhash64(shingle, i)), exact
+    Jaccard, round 6."""
+    from flink_playground_spark.functions.xxh64_ref import Long
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    sets: dict[str, set[int]] = {}
+    for r in docs.itertuples():
+        sets.setdefault(str(r.source), set()).update(_shingle_hashes_ref(r.text))
+    sigs = {
+        src: [min(spark_xxhash64(Long(sh), i) for sh in shs) for i in range(k)]
+        for src, shs in sets.items()
+    }
+    out = []
+    for sa in sorted(sets):
+        for sb in sorted(sets):
+            if sa >= sb:
+                continue
+            inter = len(sets[sa] & sets[sb])
+            union = len(sets[sa] | sets[sb])
+            est = sum(1 for i in range(k) if sigs[sa][i] == sigs[sb][i]) / k
+            out.append((sa, sb, est, spark_round(inter / union, 6)))
+    return pd.DataFrame(
+        out, columns=["src_a", "src_b", "est_jaccard", "exact_jaccard"]
+    ).astype(
+        {
+            "src_a": "string",
+            "src_b": "string",
+            "est_jaccard": "float64",
+            "exact_jaccard": "float64",
+        }
+    )

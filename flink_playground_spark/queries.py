@@ -3740,3 +3740,155 @@ def gopher_quality_filter(spark, sf_dir):
         F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("n_kept"),
         F.count(F.when(~F.col("kept"), 1)).cast("bigint").alias("n_dropped"),
     )
+
+
+_ADAPTIVE_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               count(*) AS n_types FROM tf GROUP BY 1),
+sig AS (
+  SELECT t.doc_id, t.lang,
+         COALESCE(ROUND(agg.n_types / agg.n_tokens, 6), 0.0) AS ttr
+  FROM t LEFT JOIN agg USING (doc_id)),
+r AS (SELECT lang, doc_id, ttr,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM sig),
+f AS (SELECT lang, ttr, rn > cnt // 4 AS kept FROM r)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+       MIN(ttr) FILTER (WHERE kept) AS threshold_ttr
+FROM f GROUP BY lang
+"""
+
+
+@register_extra(
+    "adaptive_quality_filter", _ADAPTIVE_QUALITY_SQL, tags=("ext-text", "ext-sampling"), bench=False
+)
+def adaptive_quality_filter(spark, sf_dir):
+    """ADAPTIVE quality gate: instead of one fixed threshold for every
+    language (gopher_quality_filter), drop each language's worst
+    quartile by type-token ratio — the per-domain calibration every
+    mixed-language corpus needs, because an absolute TTR cut tuned on
+    English over-filters ideographic languages. Rank-based (drop the
+    floor(n/4) lowest by (ttr, doc_id)), so the cut is exact integer
+    logic — no interpolated-percentile float edge between engines — and
+    the effective per-language threshold is REPORTED (min kept ttr), not
+    configured. Plan: the repetition_signals aggregations (two map-side
+    combined aggs keyed by doc) + one lang-keyed rank window; at scale
+    the window state per language is a counter, not a buffer."""
+    from pyspark.sql import Window
+
+    from flink_playground_spark.functions.quality import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select("doc_id", "lang").join(
+        repetition_signals(docs, "doc_id", "text").select(
+            F.col("doc_id"), F.col("ttr")
+        ),
+        "doc_id",
+        "left",
+    )
+    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    cw = Window.partitionBy("lang")
+    ranked = sig.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(cw)
+    )
+    f = ranked.withColumn("kept", F.col("rn") > F.floor(F.col("cnt") / 4))
+    return f.groupBy("lang").agg(
+        F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).cast("bigint").alias("n_dropped"),
+        F.min(F.when(F.col("kept"), F.col("ttr"))).alias("threshold_ttr"),
+    )
+
+
+def _corpus_similarity_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import corpus_similarity_ref
+
+    return corpus_similarity_ref(sf_dir)
+
+
+@register_extra(
+    "corpus_similarity",
+    None,
+    tags=("ext-dedup", "ext-text"),
+    bench=False,
+    py_oracle=_corpus_similarity_py_oracle,
+)
+def corpus_similarity(spark, sf_dir):
+    """Corpus-to-corpus content overlap — the drift/contamination measure
+    a data team runs BETWEEN corpora (is src7 a re-crawl of src3? how
+    close is the eval domain to training?): for every source pair, the
+    Jaccard similarity of their 3-gram shingle SETS, twice —
+
+    - ``est_jaccard``: corpus-level MinHash (K=64 permutation mins per
+      SOURCE — the whole corpus compresses to a 64-long signature, the
+      pair comparison is signature-only). At 100 TB this is the only
+      runnable form: per-source signatures are one map-side-combined
+      aggregation, pairwise comparison never touches the data again.
+    - ``exact_jaccard``: the exact set intersection/union via one
+      shingle-keyed self-join — runnable here, the calibration check for
+      the estimate (|est - exact| is bounded by ~1/sqrt(K)).
+
+    Hash-seeded → Python reference oracle (corpus_similarity_ref)
+    replicates signatures and exact sets bit-for-bit."""
+    from flink_playground_spark.functions.dedupe import shingle_index
+
+    K = 64
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        shingle_index(docs, "doc_id", "text", 3)
+        .join(docs.select(F.col("doc_id").alias("doc"), "source"), "doc")
+        .select("source", "shingle")
+    )
+    sigs = sh.groupBy("source").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}") for i in range(K)]
+    )
+    sig = sigs.select("source", F.array(*[f"m{i}" for i in range(K)]).alias("sig"))
+    d = sh.distinct()
+    card = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = (
+        card.alias("x")
+        .join(card.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+            F.col("x.n_sh").alias("na"),
+            F.col("y.n_sh").alias("nb"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    )
+    est = (
+        pairs.join(F.broadcast(sig.withColumnRenamed("source", "src_a").withColumnRenamed("sig", "sa")), "src_a")
+        .join(F.broadcast(sig.withColumnRenamed("source", "src_b").withColumnRenamed("sig", "sb")), "src_b")
+        .withColumn(
+            "matches",
+            F.aggregate(
+                F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    return est.select(
+        "src_a",
+        "src_b",
+        (F.col("matches") / F.lit(K)).alias("est_jaccard"),
+        F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+        ).alias("exact_jaccard"),
+    )

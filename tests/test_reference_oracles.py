@@ -88,3 +88,18 @@ def test_ann_topk_matches_reference(spark, sf_dir):
     assert sorted(map(tuple, got[cols].values.tolist())) == sorted(
         map(tuple, ref[cols].values.tolist())
     )
+
+
+def test_corpus_similarity_matches_reference_and_estimate_calibrated(spark, sf_dir):
+    from flink_playground_spark.functions.reference import corpus_similarity_ref
+    from flink_playground_spark.queries import EXTRA_REGISTRY
+
+    got = EXTRA_REGISTRY["corpus_similarity"].spark_fn(spark, sf_dir).toPandas()
+    ref = corpus_similarity_ref(sf_dir)
+    cols = ["src_a", "src_b", "est_jaccard", "exact_jaccard"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == sorted(
+        map(tuple, ref[cols].values.tolist())
+    )
+    # K=64 MinHash estimate: mean |est - exact| well inside 1/sqrt(K)
+    err = (got["est_jaccard"] - got["exact_jaccard"]).abs()
+    assert err.mean() < 0.125, f"estimate uncalibrated: mean err {err.mean()}"
