@@ -3862,7 +3862,7 @@ def corpus_similarity(spark, sf_dir):
     )
     pairs = (
         card.alias("x")
-        .join(card.alias("y"), F.col("x.source") < F.col("y.source"))
+        .join(F.broadcast(card.alias("y")), F.col("x.source") < F.col("y.source"))
         .select(
             F.col("x.source").alias("src_a"),
             F.col("y.source").alias("src_b"),

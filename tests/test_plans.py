@@ -285,3 +285,44 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
+    """Blanket guard over EVERY batch registry query: no
+    BroadcastNestedLoopJoin or CartesianProduct in any physical plan,
+    except the known scalar-broadcast shapes (a one-row aggregate or the
+    <=dozen-row query-vector set crossed into the flow — the plan Spark
+    itself builds for scalar subqueries; constant-size build side, not a
+    corpus-by-corpus loop). Catches the classic silent regression where
+    an equi-join degrades to a nested loop after a refactor."""
+    from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
+
+    allowed_bnlj = {
+        # scalar/constant build sides, reviewed: see PLANS.md header
+        "ann_topk": 2,
+        "cosine_topk": 1,
+        "embedding_neardup": 1,
+        "q10_returned_top_customers": 1,
+        "q11_important_parts": 1,
+        "q15_top_supplier": 1,
+        "bm25_search": 2,
+        "activity_profile_similarity": 1,
+        "semantic_dedup_clusters": 1,
+        "streaming_outer_join_changelog": 1,
+        "corpus_sampling": 1,
+        "q22_dormant_customers": 1,
+        "tfidf_top_terms": 1,
+        "corpus_similarity": 1,  # 20-source pair generator, broadcast side
+    }
+    bad = {}
+    for name, q in {**REGISTRY, **EXTRA_REGISTRY}.items():
+        try:
+            df = q.spark_fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # streaming-only entries execute eagerly elsewhere
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        cart = plan.count("CartesianProduct")
+        if cart or bnlj > allowed_bnlj.get(name, 0):
+            bad[name] = {"bnlj": bnlj, "cartesian": cart}
+    assert not bad, f"nested-loop/cartesian joins appeared: {bad}"
