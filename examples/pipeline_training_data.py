@@ -4,7 +4,9 @@ operators — the 100 TB shape, runnable on the local corpus.
 documents → exact dedup → near-dup removal (MinHash-LSH verified) →
 quality/language filter → token accounting → cross-document passage
 audit (content-defined chunking) → corpus signature terms (tf-idf) →
-deterministic stratified eval sample + Bernoulli train/heldout split.
+deterministic stratified eval sample + Bernoulli train/heldout split →
+decontamination of train against eval (8-gram overlap) → domain mixing
+to target proportions → fixed-token-budget sequence packing.
 Every stage is a shuffle-aware DataFrame transform; nothing collects to
 the driver until the final show.
 """
@@ -96,6 +98,38 @@ def main() -> None:
     train = bernoulli_hash_sample(rest, "doc_id", "e0")  # ~87.5 %
     heldout = rest.filter(sample_hash("doc_id") >= "e0")
 
+    # 8. decontaminate TRAIN against the eval set (round-3 stage): any
+    #    train doc sharing an 8-token shingle with an eval doc is dropped
+    #    — the leakage document-level dedup can't see
+    from flink_playground_spark.functions.dedupe import contamination_overlap
+
+    contaminated = contamination_overlap(
+        train, eval_set, "doc_id", "text", n=8
+    ).select("doc_id")
+    clean_train = train.join(contaminated, "doc_id", "left_anti")
+
+    # 9. mix to target domain proportions (broadcast quota table,
+    #    under-runs visible) and pack into fixed-token-budget sequences
+    #    for the trainer — the export shape a 100 TB run shards by bin
+    from flink_playground_spark.functions.chunking import pack_sequences
+    from flink_playground_spark.functions.sampling import mixing_sample
+
+    langs = [r["lang"] for r in clean_train.select("lang").distinct().collect()]
+    mixed = clean_train.join(
+        mixing_sample(
+            clean_train,
+            "lang",
+            "doc_id",
+            {lang: 1.0 / len(langs) for lang in langs},
+            total_n=200,
+        ).select("doc_id"),
+        "doc_id",
+    )
+    packed = pack_sequences(mixed, "doc_id", "text", budget=2048)
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("fill")
+    )
+
     print(f"documents: {n0} → exact-dedup {n1} → near-dup {n2} → quality/lang gate {n3}")
     ledger.show(25, truncate=False)
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -107,6 +141,11 @@ def main() -> None:
     print(
         f"eval {eval_set.count()} (5/lang) | train {train.count()} | heldout {heldout.count()}"
     )
+    print(
+        f"decontam dropped {train.count() - clean_train.count()} train docs "
+        f"sharing 8-grams with eval | mixed sample {mixed.count()} docs"
+    )
+    bins.orderBy("bin_id").show(5, truncate=False)
     curated.select("doc_id", fingerprint("text").alias("fp")).show(5, truncate=False)
     spark.stop()
 
