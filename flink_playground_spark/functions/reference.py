@@ -307,6 +307,9 @@ def corpus_similarity_ref(sf_dir: str, k: int = 64) -> pd.DataFrame:
     sets: dict[str, set[int]] = {}
     for r in docs.itertuples():
         sets.setdefault(str(r.source), set()).update(_shingle_hashes_ref(r.text))
+    # a source with no >=3-token documents has no shingles and no
+    # signature — Spark's aggregate drops it, so drop it here too
+    sets = {src: shs for src, shs in sets.items() if shs}
     sigs = {
         src: [min(spark_xxhash64(Long(sh), i) for sh in shs) for i in range(k)]
         for src, shs in sets.items()

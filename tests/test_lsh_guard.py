@@ -186,3 +186,20 @@ def test_minhash_dup_clusters_equals_full_edge_cc(spark, big_class):
     assert via_reps == via_edges
     # the boilerplate class is one cluster of 500 with min id canonical
     assert (0, 0, 500, True) in via_reps and (499, 0, 500, False) in via_reps
+
+
+def test_minhash_dup_clusters_exact_dups_only(spark):
+    """Corpus where the representative graph has ZERO near-dup edges
+    (one exact-dup class + an unrelated singleton): CC on an empty edge
+    set must not blow up, the class still forms its cluster via the
+    member re-attach, and the singleton (never in any pair) is absent —
+    the duplicate_clusters contract."""
+    from flink_playground_spark.functions.dedupe import minhash_dup_clusters
+
+    rows = [(i, BOILER) for i in range(6)] + [(100, FAR)]
+    df = from_rows(spark, rows, ["doc_id", "text"], [int, str])
+    got = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in minhash_dup_clusters(df, "doc_id", "text", threshold=0.8).collect()
+    )
+    assert got == [(i, 0, 6, i == 0) for i in range(6)]
