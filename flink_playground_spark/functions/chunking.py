@@ -28,6 +28,8 @@ counterpart.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,6 +99,7 @@ def pack_sequences(
     text_col: str,
     budget: int,
     order_col: str | None = None,
+    shard_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: assign documents to fixed-token-budget
     bins — the batch-construction step between a cleaned corpus and a
@@ -111,18 +114,27 @@ def pack_sequences(
     truncation policy is downstream). Output: id, n_tokens, bin_id,
     offset_in_bin.
 
-    One window cumsum over a single global ordering — at 100 TB the
-    global running sum is the textbook two-pass prefix-sum (per-partition
-    partials + broadcast offsets); Spark's window with no partition runs
-    single-stream, which is this operator's documented small-corpus
-    shape, while the per-shard variant (pack within date/source shards)
-    partitions the window and scales without coordination.
+    With no ``shard_cols``, one window cumsum over a single global
+    ordering — Spark's window with no partition runs single-stream, this
+    operator's documented small-corpus shape (at 100 TB the global
+    running sum is the textbook two-pass prefix-sum: per-partition
+    partials + broadcast offsets). ``shard_cols`` is the SCALE path:
+    packing runs independently WITHIN each shard (date, source, bucket)
+    — the window partitions on the shard key, every shard fills its own
+    bin sequence in parallel, no global coordination. Trainers consume
+    shards independently anyway, so per-shard bins are the shape a real
+    export uses; output gains the shard columns, and ``bin_id`` is
+    per-shard.
     """
     from flink_playground_spark.functions.text import tokens
 
     order = order_col or id_col
-    w = Window.orderBy(F.asc("__o")).rowsBetween(Window.unboundedPreceding, -1)
+    shards = list(shard_cols or [])
+    w = (
+        Window.partitionBy(*shards) if shards else Window
+    ).orderBy(F.asc("__o")).rowsBetween(Window.unboundedPreceding, -1)
     t = df.select(
+        *shards,
         F.col(id_col),
         F.col(order).alias("__o"),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
@@ -131,6 +143,7 @@ def pack_sequences(
         "__start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
     return packed.select(
+        *shards,
         id_col,
         "n_tokens",
         F.floor(F.col("__start") / F.lit(budget)).cast("long").alias("bin_id"),

@@ -3892,3 +3892,38 @@ def corpus_similarity(spark, sf_dir):
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
         ).alias("exact_jaccard"),
     )
+
+
+_PACKING_SHARDED_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(start / 2048) AS BIGINT) AS bin_id,
+       CAST(start % 2048 AS BIGINT) AS offset_in_bin
+FROM p
+"""
+
+
+@register_extra(
+    "sequence_packing_sharded",
+    _PACKING_SHARDED_SQL,
+    tags=("ext-sampling", "ext-text"),
+    bench=False,
+)
+def sequence_packing_sharded(spark, sf_dir):
+    """Per-SHARD sequence packing — the scale path of sequence_packing:
+    each source fills its own bin sequence via a partitioned window
+    (parallel across shards, zero global coordination — the global
+    variant's single-stream cumsum is the thing that cannot scale).
+    Trainers consume shards independently, so per-shard bins are the
+    shape a real 100 TB export writes (partitionBy(source, bin_id))."""
+    from flink_playground_spark.functions.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=2048, shard_cols=["source"])
