@@ -37,6 +37,11 @@ PROBES = [
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "cosine_topk",
+    "semantic_dedup_clusters",
+    "decontaminate_overlap",
+    "corpus_similarity",
+    "adaptive_quality_filter",
+    "sequence_packing_sharded",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
