@@ -62,9 +62,12 @@ def simhash_neardup_ref(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     the 4x16-bit banding is a complete candidate generator for
     Hamming <= 3, so the brute-force scan is the same set."""
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # token-less documents produce NO fingerprint row in Spark (the
+    # explode drops them); fingerprint 0 here would fabricate pairs
     fps = [
         (int(doc_id), simhash_fingerprint_ref(text))
         for doc_id, text in zip(docs["doc_id"], docs["text"])
+        if _TOKEN_RE.search(text.lower())
     ]
     fps.sort()
     out = []

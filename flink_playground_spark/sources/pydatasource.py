@@ -235,16 +235,27 @@ class _JsonlWriter(DataSourceWriter):
         # ACCUMULATE files, never clobber an earlier commit's part-00000
         # (r2 ADVICE — os.replace silently destroyed the previous save).
         commit_id = uuid.uuid4().hex[:12]
-        if self.overwrite:
-            # overwrite semantics: drop the commit point first, then the
-            # old parts — a _SUCCESS-gated reader never sees a torn mix.
-            success = f"{self.path}/_SUCCESS"
-            if os.path.exists(success):
-                os.remove(success)
-            for old in glob.glob(f"{self.path}/part-*.jsonl"):
-                os.remove(old)
+        old_parts = (
+            [
+                p
+                for p in glob.glob(f"{self.path}/part-*.jsonl")
+                if f"part-{commit_id}-" not in p
+            ]
+            if self.overwrite
+            else []
+        )
+        # crash-safe order: land the NEW parts first, then retire the old
+        # ones, then the commit point — at every instant at least one
+        # complete copy exists on disk (deleting old data before the new
+        # parts land would lose BOTH on a crash in between)
         for i, m in enumerate(messages):
             os.replace(m.staged, f"{self.path}/part-{commit_id}-{i:05d}.jsonl")
+        if self.overwrite:
+            success = f"{self.path}/_SUCCESS"
+            if os.path.exists(success):
+                os.remove(success)  # gate readers off the soon-torn mix
+            for old in old_parts:
+                os.remove(old)
         with open(f"{self.path}/_SUCCESS", "w"):
             pass
 

@@ -137,7 +137,10 @@ class StreamingIVFIndex:
         return (
             spark.read.parquet(self.metrics_path)
             .withColumn("baseline", base)
-            .withColumn("ratio", F.col("mean_drift") / F.col("baseline"))
+            # try_divide: a perfectly-fit geometry has baseline 0.0 and
+            # under ANSI x/0 throws; NULL ratio is handled (and still
+            # triggers) in needs_retrain via the absolute floor
+            .withColumn("ratio", F.try_divide(F.col("mean_drift"), F.col("baseline")))
         )
 
     def needs_retrain(
@@ -155,10 +158,19 @@ class StreamingIVFIndex:
         last = (
             self.drift_report(spark).orderBy(F.desc("wave")).limit(1).collect()
         )
-        if not last or last[0]["ratio"] is None:
+        if not last or last[0]["baseline"] is None:
             return False
         r = last[0]
-        return r["ratio"] > threshold and (r["mean_drift"] - r["baseline"]) > min_delta
+        delta = r["mean_drift"] - r["baseline"]
+        if delta <= min_delta:
+            return False
+        # a perfectly-fit geometry (baseline 0.0 — Spark's /0 yields a
+        # NULL ratio, and an fp-epsilon-negative baseline flips its
+        # sign) must not mask drift: past the absolute floor, a
+        # degenerate baseline alone is staleness
+        if r["ratio"] is None or r["baseline"] <= 0:
+            return True
+        return r["ratio"] > threshold
 
     def retrain(self, spark: SparkSession) -> None:
         """Offline geometry rebuild: Lloyd over the CURRENT state, swap

@@ -56,9 +56,16 @@ def ensure_protobuf() -> bool:
         return False
     google = sys.modules.get("google")
     if google is None:
-        google = types.ModuleType("google")
-        google.__path__ = []
-        sys.modules["google"] = google
+        # import the REAL `google` namespace package if one exists (other
+        # google-* distributions may provide it); a synthetic module with
+        # an empty __path__ would shadow them and break every later
+        # `import google.x` in this process
+        try:
+            google = importlib.import_module("google")
+        except ImportError:
+            google = types.ModuleType("google")
+            google.__path__ = []
+            sys.modules["google"] = google
     sys.modules["google.protobuf"] = cloud_pb
     google.protobuf = cloud_pb
     if not hasattr(cloud_pb, "runtime_version"):

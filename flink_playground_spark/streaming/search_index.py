@@ -58,14 +58,22 @@ class StreamingSearchIndex:
         """Fold a document wave into the index (work ∝ wave tokens),
         exactly once per (writer_id, batch_id). Pass the foreachBatch
         epoch id as ``batch_id``; a replayed batch returns False and
-        changes nothing. Without one, the next unseen id is assigned
-        (each call then counts — only explicit ids are replay-safe).
+        changes nothing. Without one, the next unseen id is assigned.
 
-        A crash between the two store commits is safe: on replay the
-        already-committed store skips, the other applies."""
+        A crash between the two store commits is safe UNDER BOTH MODES:
+        on replay (same explicit id, or the auto-assigned id below) the
+        already-committed store skips, the lagging one applies. The
+        auto id is derived from the store that is BEHIND — if a crash
+        left postings one batch ahead of doclen, re-ingesting the same
+        wave reuses the postings-committed id, so postings skips it and
+        doclen catches up, instead of postings double-counting under a
+        fresh id while doclen stays a batch short forever."""
         if batch_id is None:
-            last = self.postings._manifest()["writers"].get(self.writer_id)
-            batch_id = 0 if last is None else last + 1
+            nxt = [
+                st._manifest()["writers"].get(self.writer_id, -1) + 1
+                for st in (self.postings, self.doclen)
+            ]
+            batch_id = min(nxt)
         toks = whitespace_tokens(batch, self.id_col, self.text_col)
         tf = toks.groupBy("term", self.id_col).agg(
             F.count(F.lit(1)).cast("long").alias("tf")
@@ -74,10 +82,12 @@ class StreamingSearchIndex:
             self.writer_id, batch_id, tf, [F.sum("tf").cast("long").alias("tf")]
         )
         dl = toks.groupBy(self.id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-        self.doclen.merge_aggregate(
+        dl_applied = self.doclen.merge_aggregate(
             self.writer_id, batch_id, dl, [F.sum("dl").cast("long").alias("dl")]
         )
-        return applied
+        # True if ANY store advanced (a catch-up after a mid-ingest crash
+        # applies to exactly one side); False only for a full replay
+        return applied or dl_applied
 
     def query(
         self,

@@ -206,3 +206,71 @@ def test_streaming_ivf_drift_detection_and_retrain(spark, tmp_path):
     assert retrained_recall >= 0.8, (
         f"retrain did not restore recall: {stale_recall} -> {retrained_recall}"
     )
+
+
+def test_search_index_crash_between_stores_resyncs(spark, sf_dir, tmp_path):
+    """Crash between the postings and doclen commits, then the natural
+    recovery (re-ingest the same wave with auto batch ids): the
+    auto-assigned id comes from the store that is BEHIND, so postings
+    skips its committed batch, doclen catches up, and the final index
+    equals the uninterrupted run — no double-counted tf, no missing dl."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.tfidf import bm25_topk
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    waves = [docs.filter(F.col("doc_id") % 2 == w) for w in range(2)]
+
+    idx = StreamingSearchIndex(str(tmp_path / "cidx"), "doc_id", "text")
+    assert idx.ingest(waves[0]) is True
+    # simulate the crash: wave 1's postings commit landed, doclen's didn't
+    from flink_playground_spark.functions.tfidf import whitespace_tokens
+
+    toks = whitespace_tokens(waves[1], "doc_id", "text")
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    assert idx.postings.merge_aggregate(
+        idx.writer_id, 1, tf, [F.sum("tf").cast("long").alias("tf")]
+    )
+    # recovery: re-ingest the same wave, auto id — reuses the
+    # postings-committed id, so postings skips and doclen catches up
+    assert idx.ingest(waves[1]) is True  # doclen catch-up counts as applied
+    # explicit-id replay after resync: both stores skip
+    assert idx.ingest(waves[1], batch_id=1) is False
+
+    got = [tuple(r) for r in idx.query(spark, ["vector", "stream"], k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", ["vector", "stream"], k=10).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_ivf_drift_detected_with_perfect_baseline(spark, tmp_path):
+    """A geometry that fits its training wave EXACTLY (distinct vectors
+    <= n_centroids, so each is its own centroid: mean_drift 0.0) must
+    still detect drift — Spark's x/0.0 is NULL, and the NULL-ratio path
+    previously disabled needs_retrain forever."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.streaming.ann_index import StreamingIVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    one_hot = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(IF(i = vec_id, 1.0, 0.0) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    idx = StreamingIVFIndex(str(tmp_path / "ivf0"), n_centroids=8, kmeans_iters=1)
+    idx.ingest(one_hot)  # trains; every vector IS its centroid
+    base = idx.drift_report(spark).orderBy("wave").first()
+    assert base["mean_drift"] == 0.0
+    assert not idx.needs_retrain(spark)
+
+    shifted = one_hot.select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(IF(i = 32 + pmod(vec_id, 8), 1.0, 0.0) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    idx.ingest(shifted)
+    assert idx.needs_retrain(spark), "zero baseline masked real drift"
