@@ -26,9 +26,27 @@ Incrementality is real, not nominal:
   exact-duplicate text class is ever signed, indexed or banded — an
   arriving exact duplicate costs a fingerprint join plus its O(members)
   output pairs, never 32 bucket probes. Boilerplate classes therefore
-  cannot snowball the bucket state; buckets that still exceed
-  ``max_bucket`` distinct texts are excluded from the join per batch
-  (same guard as ``dedupe.lsh_band_candidates``).
+  cannot snowball the bucket state. Bucket sizes are maintained
+  INCREMENTALLY (a bucketed count state merged per batch, IO ∝ buckets
+  the new bands touch — never a re-aggregation of the accumulated band
+  state), and a bucket that crosses ``max_bucket`` distinct texts is
+  appended to an overflow LEDGER (``<work>/bucket_overflow``) and
+  excluded from every later join — the streaming counterpart of
+  ``dedupe.lsh_bucket_overflow``, surfaced loudly rather than dropped
+  silently.
+- All per-batch joins are restricted to TOUCHED subsets: within-class
+  pairs join only classes that gained a member this batch, and rep-pair
+  fan-out joins only the classes of this batch's new/touched rep pairs.
+  Reading the append-only state files is a columnar scan; the shuffles
+  on top of them are batch-sized.
+
+CONTRACT under the cap: drained stream == batch answer whenever no
+bucket crosses ``max_bucket`` mid-stream (equivalently: the final
+corpus has no overflowing buckets — the tested regime). On a corpus
+that DOES overflow, the batch formulation excludes the bucket wholesale
+while the stream keeps pairs it emitted before the crossing (emitted
+pairs are never retracted) and excludes the bucket from then on; the
+ledger names every such bucket so the divergence is auditable.
 
 Class bookkeeping per batch (fingerprint = dedupe.exact_dup_members
 semantics — equal fp ⟹ identical shingle set ⟹ Jaccard exactly 1.0):
@@ -90,8 +108,14 @@ def streaming_neardup(
     members_path = f"{work}/members"  # (fp, doc)
     classes_path = f"{work}/classes"  # (fp, rep, has_sh)
     rep_pairs_path = f"{work}/rep_pairs"  # (id_a, id_b, jaccard) among reps
+    overflow_path = f"{work}/bucket_overflow"  # (band, bucket) ledger
     out_path = f"{work}/pairs"
-    state = {"has": False, "has_rep_pairs": False, "emitted": False}
+    state = {"has": False, "has_rep_pairs": False, "emitted": False, "has_over": False}
+    from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+    # incremental (band, bucket) -> distinct-rep count; per-batch IO is
+    # proportional to the buckets the NEW bands touch
+    bucket_counts = BucketedKeyState(f"{work}/bucket_counts", ["band", "bucket"], 16)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
@@ -145,7 +169,14 @@ def streaming_neardup(
         all_members = old_members.unionByName(new_members)
 
         # --- (2) within-class pairs: new member x any member, Jaccard 1.0
-        cls_ok = all_classes.filter(F.col("has_sh")).select("fp")
+        # (restricted to classes that gained a member THIS batch — other
+        # classes cannot produce a new within pair)
+        touched_fps = new_members.select("fp").distinct()
+        cls_ok = (
+            all_classes.filter(F.col("has_sh"))
+            .select("fp")
+            .join(touched_fps, "fp", "left_semi")
+        )
         nm = new_members.join(cls_ok, "fp", "left_semi")
         am = all_members.join(cls_ok, "fp", "left_semi")
         within = (
@@ -168,14 +199,24 @@ def streaming_neardup(
         # sides, the same guard as dedupe.lsh_band_candidates.
         probe, build = new_bands, all_bands
         if max_bucket is not None:
-            over = (
-                all_bands.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("m"))
-                .filter(F.col("m") > max_bucket)
-                .select("band", "bucket")
+            # fold this batch's bucket occupancy into the incremental
+            # count state (IO ∝ touched buckets); buckets crossing the
+            # cap land in the append-only overflow ledger. Counts only
+            # grow, so exclusion is naturally sticky.
+            new_counts = new_bands.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("m")
             )
-            probe = probe.join(F.broadcast(over), ["band", "bucket"], "left_anti")
-            build = build.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+            merged = bucket_counts.merge_aggregate(
+                new_counts, [F.sum("m").cast("long").alias("m")]
+            )
+            newly_over = merged.filter(F.col("m") > max_bucket).select("band", "bucket")
+            if newly_over.limit(1).count():
+                newly_over.write.mode("append").parquet(overflow_path)
+                state["has_over"] = True
+            if state["has_over"]:
+                over = sess.read.parquet(overflow_path).distinct()
+                probe = probe.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+                build = build.join(F.broadcast(over), ["band", "bucket"], "left_anti")
         cand = (
             probe.alias("np")
             .join(
@@ -192,12 +233,23 @@ def streaming_neardup(
         )
         new_rep_pairs = verify_pairs(all_idx, cand, threshold).persist()
 
-        mem_a = all_members.join(all_classes, "fp").select(
-            F.col("rep").alias("id_a"), F.col("doc").alias("__ma")
-        )
-        mem_b = all_members.join(all_classes, "fp").select(
-            F.col("rep").alias("id_b"), F.col("doc").alias("__mb")
-        )
+        # member fan-out sides restricted to the classes actually
+        # referenced by the pairs being fanned — the full members×classes
+        # join would shuffle the whole registry every batch
+        def member_side(pairs_df, alias_id):
+            reps = (
+                pairs_df.select(F.col("id_a").alias("rep"))
+                .unionByName(pairs_df.select(F.col("id_b").alias("rep")))
+                .distinct()
+            )
+            cls = all_classes.join(F.broadcast(reps), "rep", "left_semi")
+            return all_members.join(cls.select("fp", "rep"), "fp").select(
+                F.col("rep").alias(alias_id),
+                F.col("doc").alias("__ma" if alias_id == "id_a" else "__mb"),
+            )
+
+        mem_a = member_side(new_rep_pairs, "id_a")
+        mem_b = member_side(new_rep_pairs, "id_b")
         fan_new = (
             new_rep_pairs.join(mem_a, "id_a")
             .join(mem_b, "id_b")
@@ -208,27 +260,47 @@ def streaming_neardup(
             )
         )
 
-        # --- (4) OLD rep pairs x members that just arrived: only the new
-        # member side fans out (the old x old combinations were emitted in
-        # earlier batches).
+        # --- (4) OLD rep pairs x members that just arrived: only pairs
+        # touching a class that gained members matter, and only the new
+        # member side fans out (old x old was emitted in earlier batches).
         if state["has_rep_pairs"]:
-            old_rep_pairs = sess.read.parquet(rep_pairs_path)
+            new_touch_reps = (
+                new_members.join(all_classes, "fp").select("rep").distinct()
+            )
+            all_old = sess.read.parquet(rep_pairs_path)
+            old_rep_pairs = (
+                all_old.join(
+                    F.broadcast(new_touch_reps.withColumnRenamed("rep", "id_a")),
+                    "id_a",
+                    "left_semi",
+                )
+                .unionByName(
+                    all_old.join(
+                        F.broadcast(new_touch_reps.withColumnRenamed("rep", "id_b")),
+                        "id_b",
+                        "left_semi",
+                    )
+                )
+                .distinct()
+            )
             new_mem_a = new_members.join(all_classes, "fp").select(
                 F.col("rep").alias("id_a"), F.col("doc").alias("__ma")
             )
             new_mem_b = new_members.join(all_classes, "fp").select(
                 F.col("rep").alias("id_b"), F.col("doc").alias("__mb")
             )
+            old_mem_a = member_side(old_rep_pairs, "id_a")
+            old_mem_b = member_side(old_rep_pairs, "id_b")
             fan_old = (
                 old_rep_pairs.join(new_mem_a, "id_a")
-                .join(mem_b, "id_b")
+                .join(old_mem_b, "id_b")
                 .select(
                     F.least("__ma", "__mb").alias("id_a"),
                     F.greatest("__ma", "__mb").alias("id_b"),
                     "jaccard",
                 )
                 .unionByName(
-                    old_rep_pairs.join(mem_a, "id_a")
+                    old_rep_pairs.join(old_mem_a, "id_a")
                     .join(new_mem_b, "id_b")
                     .select(
                         F.least("__ma", "__mb").alias("id_a"),
