@@ -45,7 +45,9 @@ def main() -> None:
     docs = docs.withColumn("quality", quality_score("text")).withColumn(
         "pred_lang", lang_id("text")
     )
-    curated = docs.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") != "und"))
+    curated = docs.filter(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") != "und")
+    ).persist()  # consumed by the ledger, passage audit, tf-idf and split below
     n3 = curated.count()
 
     # 4. token accounting per source (the training-mix ledger)
@@ -95,7 +97,8 @@ def main() -> None:
     # lang-IDs as English, so pred_lang has one stratum)
     eval_set = stratified_topk_sample(curated, ["lang"], "doc_id", 5)
     rest = curated.join(eval_set.select("doc_id"), "doc_id", "left_anti")
-    train = bernoulli_hash_sample(rest, "doc_id", "e0")  # ~87.5 %
+    train = bernoulli_hash_sample(rest, "doc_id", "e0").persist()  # ~87.5 %
+    n_train = train.count()
     heldout = rest.filter(sample_hash("doc_id") >= "e0")
 
     # 8. decontaminate TRAIN against the eval set (round-3 stage): any
@@ -106,7 +109,7 @@ def main() -> None:
     contaminated = contamination_overlap(
         train, eval_set, "doc_id", "text", n=8
     ).select("doc_id")
-    clean_train = train.join(contaminated, "doc_id", "left_anti")
+    clean_train = train.join(contaminated, "doc_id", "left_anti").persist()
 
     # 9. mix to target domain proportions (broadcast quota table,
     #    under-runs visible) and pack into fixed-token-budget sequences
@@ -139,10 +142,10 @@ def main() -> None:
     )
     top_terms.orderBy("doc_id").show(5, truncate=False)
     print(
-        f"eval {eval_set.count()} (5/lang) | train {train.count()} | heldout {heldout.count()}"
+        f"eval {eval_set.count()} (5/lang) | train {n_train} | heldout {heldout.count()}"
     )
     print(
-        f"decontam dropped {train.count() - clean_train.count()} train docs "
+        f"decontam dropped {n_train - clean_train.count()} train docs "
         f"sharing 8-grams with eval | mixed sample {mixed.count()} docs"
     )
     bins.orderBy("bin_id").show(5, truncate=False)

@@ -244,16 +244,20 @@ class _JsonlWriter(DataSourceWriter):
             if self.overwrite
             else []
         )
-        # crash-safe order: land the NEW parts first, then retire the old
-        # ones, then the commit point — at every instant at least one
-        # complete copy exists on disk (deleting old data before the new
-        # parts land would lose BOTH on a crash in between)
-        for i, m in enumerate(messages):
-            os.replace(m.staged, f"{self.path}/part-{commit_id}-{i:05d}.jsonl")
+        # crash-safe overwrite order: drop the commit point FIRST (so a
+        # _SUCCESS-gated reader never observes the old+new mix as
+        # committed), then land the new parts, then retire the old ones,
+        # then re-stamp _SUCCESS. At every instant a complete copy exists
+        # on disk (old data is deleted only after the new parts landed);
+        # a crash mid-commit leaves the directory ungated, never torn-
+        # but-stamped.
         if self.overwrite:
             success = f"{self.path}/_SUCCESS"
             if os.path.exists(success):
-                os.remove(success)  # gate readers off the soon-torn mix
+                os.remove(success)
+        for i, m in enumerate(messages):
+            os.replace(m.staged, f"{self.path}/part-{commit_id}-{i:05d}.jsonl")
+        if self.overwrite:
             for old in old_parts:
                 os.remove(old)
         with open(f"{self.path}/_SUCCESS", "w"):

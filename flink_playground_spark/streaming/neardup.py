@@ -209,12 +209,24 @@ def streaming_neardup(
             merged = bucket_counts.merge_aggregate(
                 new_counts, [F.sum("m").cast("long").alias("m")]
             )
-            newly_over = merged.filter(F.col("m") > max_bucket).select("band", "bucket")
+            over_cap = merged.filter(F.col("m") > max_bucket).select("band", "bucket")
+            ledger = (
+                sess.read.parquet(overflow_path) if state["has_over"] else None
+            )
+            # merged returns every over-cap bucket in the TOUCHED hash
+            # buckets, most of which are already in the ledger — append
+            # only the genuinely new crossings, keeping the ledger one
+            # row per bucket instead of growing per batch
+            newly_over = (
+                over_cap
+                if ledger is None
+                else over_cap.join(ledger, ["band", "bucket"], "left_anti")
+            )
             if newly_over.limit(1).count():
                 newly_over.write.mode("append").parquet(overflow_path)
                 state["has_over"] = True
             if state["has_over"]:
-                over = sess.read.parquet(overflow_path).distinct()
+                over = sess.read.parquet(overflow_path)
                 probe = probe.join(F.broadcast(over), ["band", "bucket"], "left_anti")
                 build = build.join(F.broadcast(over), ["band", "bucket"], "left_anti")
         cand = (

@@ -60,20 +60,29 @@ class StreamingSearchIndex:
         epoch id as ``batch_id``; a replayed batch returns False and
         changes nothing. Without one, the next unseen id is assigned.
 
-        A crash between the two store commits is safe UNDER BOTH MODES:
-        on replay (same explicit id, or the auto-assigned id below) the
-        already-committed store skips, the lagging one applies. The
-        auto id is derived from the store that is BEHIND — if a crash
-        left postings one batch ahead of doclen, re-ingesting the same
-        wave reuses the postings-committed id, so postings skips it and
-        doclen catches up, instead of postings double-counting under a
-        fresh id while doclen stays a batch short forever."""
+        A crash between the two store commits is recoverable: with the
+        SAME wave re-ingested under the lagging store's id (explicitly,
+        or via the error below), the already-committed store skips and
+        the lagging one catches up. Auto-id mode REFUSES to run while
+        the stores disagree — silently reusing the committed id would
+        drop a genuinely new wave's postings, and a fresh id would
+        double-count a replayed one; only the caller knows which wave
+        this is, so the error says exactly what to do."""
         if batch_id is None:
-            nxt = [
+            p_next, d_next = (
                 st._manifest()["writers"].get(self.writer_id, -1) + 1
                 for st in (self.postings, self.doclen)
-            ]
-            batch_id = min(nxt)
+            )
+            if p_next != d_next:
+                lag = min(p_next, d_next)
+                raise RuntimeError(
+                    "search index stores are desynced (a crash between the "
+                    f"postings and doclen commits): postings next={p_next}, "
+                    f"doclen next={d_next}. Re-ingest the in-flight wave "
+                    f"explicitly with batch_id={lag} to resync, then resume "
+                    "auto ids."
+                )
+            batch_id = p_next
         toks = whitespace_tokens(batch, self.id_col, self.text_col)
         tf = toks.groupBy("term", self.id_col).agg(
             F.count(F.lit(1)).cast("long").alias("tf")

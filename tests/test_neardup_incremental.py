@@ -209,11 +209,12 @@ def test_streaming_ivf_drift_detection_and_retrain(spark, tmp_path):
 
 
 def test_search_index_crash_between_stores_resyncs(spark, sf_dir, tmp_path):
-    """Crash between the postings and doclen commits, then the natural
-    recovery (re-ingest the same wave with auto batch ids): the
-    auto-assigned id comes from the store that is BEHIND, so postings
-    skips its committed batch, doclen catches up, and the final index
-    equals the uninterrupted run — no double-counted tf, no missing dl."""
+    """Crash between the postings and doclen commits: auto-id mode
+    REFUSES to run while the stores disagree (guessing either id drops
+    or double-counts data depending on which wave the caller feeds);
+    the error names the lagging id, re-ingesting the in-flight wave
+    under it makes postings skip and doclen catch up, and the final
+    index equals the uninterrupted run."""
     from pyspark.sql import functions as F
 
     from flink_playground_spark.functions.tfidf import bm25_topk
@@ -233,10 +234,13 @@ def test_search_index_crash_between_stores_resyncs(spark, sf_dir, tmp_path):
     assert idx.postings.merge_aggregate(
         idx.writer_id, 1, tf, [F.sum("tf").cast("long").alias("tf")]
     )
-    # recovery: re-ingest the same wave, auto id — reuses the
-    # postings-committed id, so postings skips and doclen catches up
-    assert idx.ingest(waves[1]) is True  # doclen catch-up counts as applied
-    # explicit-id replay after resync: both stores skip
+    # auto-id mode refuses while desynced, naming the resync id
+    with pytest.raises(RuntimeError, match="batch_id=1"):
+        idx.ingest(waves[1])
+    # recovery per the error: same wave under the lagging id — postings
+    # skips its committed batch, doclen catches up
+    assert idx.ingest(waves[1], batch_id=1) is True
+    # resynced: auto mode works again, and an explicit replay skips both
     assert idx.ingest(waves[1], batch_id=1) is False
 
     got = [tuple(r) for r in idx.query(spark, ["vector", "stream"], k=10).collect()]
