@@ -289,3 +289,87 @@ def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
         .filter(F.col("sa") != F.col("sb"))
     )
     assert naive.count() > 0
+
+
+def test_real_media_decoders_ppm_bmp_wav(spark):
+    """REAL decoders for stdlib-parseable formats: P6 PPM (header with a
+    comment), BMP (BITMAPINFOHEADER incl. top-down negative height), WAV
+    (RIFF via the wave module), plus truncated-blob invalidity — decoded
+    through the same Arrow mapInPandas path as the stub formats."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from flink_playground_spark.functions.multimodal import decode_metadata
+
+    def ppm(w, h, comment=False):
+        head = b"P6\n" + (b"# c\n" if comment else b"") + f"{w} {h}\n255\n".encode()
+        return head + bytes((x * 7) % 256 for x in range(3 * w * h))
+
+    def bmp(w, h):
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+        px = bytes(3 * abs(w) * abs(h))
+        head = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+        return head + info + px
+
+    def wav(rate, chans):
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as f:
+            f.setnchannels(chans)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(b"\x00\x01" * 32 * chans)
+        return buf.getvalue()
+
+    rows = [
+        (1, ppm(5, 3), "image/ppm", 5, 3, True),
+        (2, ppm(4, 4, comment=True), "image/ppm", 4, 4, True),
+        (3, ppm(8, 8)[:20], "image/ppm", 8, 8, False),  # truncated pixels
+        (4, bmp(6, 2), "image/bmp", 6, 2, True),
+        (5, bmp(6, -2), "image/bmp", 6, 2, True),  # top-down height
+        (6, wav(16000, 1), "audio/wav", 16000, 1, True),
+        (7, wav(44100, 2), "audio/wav", 44100, 2, True),
+        (8, b"RIFFjunk", "audio/wav", 0, 0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, blob, fmt) for i, blob, fmt, *_ in rows],
+        "id int, blob binary, media_format string",
+    )
+    got = {r["id"]: r for r in decode_metadata(df).collect()}
+    for i, blob, fmt, w, h, valid in rows:
+        r = got[i]
+        assert (r["width"], r["height"], r["valid"]) == (w, h, valid), (i, dict(r.asDict()))
+        assert r["byte_len"] == len(blob)
+
+
+def test_resize_nearest_real_ppm(spark):
+    """Real nearest-neighbor resampling: a 4x4 P6 quadrant image resized
+    to 2x2 keeps one source pixel per quadrant; output is a valid P6 the
+    decoder reads back at the target dims; non-PPM rows pass through
+    NULL."""
+    from flink_playground_spark.functions.multimodal import (
+        decode_metadata,
+        resize_nearest,
+    )
+
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    px = bytearray()
+    for y in range(4):
+        for x in range(4):
+            px += bytes(q[(y // 2) * 2 + (x // 2)])
+    blob = b"P6\n4 4\n255\n" + bytes(px)
+    df = spark.createDataFrame(
+        [(1, blob, "image/ppm"), (2, b"not a ppm", "fake/utf8")],
+        "id int, blob binary, media_format string",
+    )
+    out = {r["id"]: r for r in resize_nearest(df, 2, 2).collect()}
+    resized = bytes(out[1]["resized"])
+    assert resized.startswith(b"P6\n2 2\n255\n")
+    body = resized[len(b"P6\n2 2\n255\n"):]
+    assert [tuple(body[i : i + 3]) for i in range(0, 12, 3)] == q
+    assert out[2]["resized"] is None
+    # the resized blob round-trips through the real decoder
+    rd = decode_metadata(
+        spark.createDataFrame([(1, resized, "image/ppm")], "id int, blob binary, media_format string")
+    ).collect()[0]
+    assert (rd["width"], rd["height"], rd["valid"]) == (2, 2, True)
