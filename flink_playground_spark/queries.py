@@ -3927,3 +3927,59 @@ def sequence_packing_sharded(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", budget=2048, shard_cols=["source"])
+
+
+_PPM_ROUNDTRIP_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       CAST(SUM((n_chars % 16) + 1) AS BIGINT) AS sum_width,
+       CAST(SUM((n_chars % 8) + 1) AS BIGINT) AS sum_height,
+       CAST(SUM(3 * ((n_chars % 16) + 1) * ((n_chars % 8) + 1)) AS BIGINT) AS sum_pixel_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM documents GROUP BY source
+"""
+
+
+@register_extra(
+    "multimodal_ppm_roundtrip",
+    _PPM_ROUNDTRIP_SQL,
+    tags=("ext-multimodal",),
+    bench=False,
+)
+def multimodal_ppm_roundtrip(spark, sf_dir):
+    """REAL image decode at corpus scale, oracle-checked: synthesize a
+    valid binary-PPM per document (dims a pure function of n_chars,
+    pixels from the text bytes — all inside Arrow batches), push the
+    blobs through the REAL P6 decoder (header parse + pixel-length
+    validation, functions/multimodal.py), and aggregate the decoded
+    dims per source. The oracle recomputes the dims arithmetic straight
+    from n_chars — if the decoder misread a header or mis-validated a
+    payload anywhere in the corpus, the sums diverge. Blob synthesis and
+    decode are two mapInPandas passes; everything after is columnar
+    aggregation on the extracted metadata, never the blobs."""
+    from flink_playground_spark.functions.multimodal import decode_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    keep = ["doc_id", "source"]
+    out_schema = "doc_id bigint, source string, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = []
+            for text, n_chars in zip(pdf["text"], pdf["n_chars"]):
+                w = int(n_chars) % 16 + 1
+                h = int(n_chars) % 8 + 1
+                need = 3 * w * h
+                raw = text.encode("utf-8")
+                px = (raw * (need // max(len(raw), 1) + 1))[:need]
+                blobs.append(f"P6\n{w} {h}\n255\n".encode() + px)
+            yield pdf[keep].assign(blob=blobs, media_format="image/ppm")
+
+    blobs = docs.mapInPandas(synth, schema=out_schema)
+    return decode_metadata(blobs).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum(3 * F.col("width") * F.col("height")).cast("bigint").alias("sum_pixel_bytes"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).cast("bigint").alias("n_valid"),
+    )
