@@ -278,3 +278,34 @@ def test_ivf_drift_detected_with_perfect_baseline(spark, tmp_path):
     )
     idx.ingest(shifted)
     assert idx.needs_retrain(spark), "zero baseline masked real drift"
+
+
+def test_streaming_corpus_signature_equals_batch(spark, sf_dir, tmp_path):
+    """Corpus MinHash is a per-permutation MIN — associative, so three
+    waves fold to signatures bit-identical to the batch construction,
+    a replayed wave changes nothing, and the signature-only similarity
+    matrix equals the batch corpus_similarity estimates exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.queries import EXTRA_REGISTRY
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.corpus_sig import StreamingCorpusSignature
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = StreamingCorpusSignature(str(tmp_path / "csig"), k=64)
+    for w in range(3):
+        assert sig.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
+    # at-least-once delivery: replay is skipped
+    assert not sig.ingest(docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+
+    got = {
+        (r.src_a, r.src_b): r.est_jaccard for r in sig.similarity(spark).collect()
+    }
+    want = {
+        (r.src_a, r.src_b): r.est_jaccard
+        for r in EXTRA_REGISTRY["corpus_similarity"]
+        .spark_fn(spark, sf_dir)
+        .select("src_a", "src_b", "est_jaccard")
+        .collect()
+    }
+    assert got == want and len(want) == 190
