@@ -3983,3 +3983,37 @@ def multimodal_ppm_roundtrip(spark, sf_dir):
         F.sum(3 * F.col("width") * F.col("height")).cast("bigint").alias("sum_pixel_bytes"),
         F.sum(F.when(F.col("valid"), 1).otherwise(0)).cast("bigint").alias("n_valid"),
     )
+
+
+def _streaming_corpus_sim_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import corpus_similarity_ref
+
+    return corpus_similarity_ref(sf_dir).drop(columns=["exact_jaccard"])
+
+
+@register_extra(
+    "streaming_corpus_similarity",
+    None,
+    tags=("ext-dedup", "ext-text", "T6"),
+    bench=False,
+    py_oracle=_streaming_corpus_sim_py_oracle,
+)
+def streaming_corpus_similarity(spark, sf_dir):
+    """corpus_similarity's estimate maintained INCREMENTALLY: documents
+    replayed in three deterministic waves fold per-source MinHash
+    signatures through transactional state (per-permutation MIN —
+    associative, so the drained signatures are bit-identical to the
+    batch construction; streaming/corpus_sig.py), then the pairwise
+    matrix is computed from signatures alone. Value-checked against the
+    same bit-exact Python reference as the batch query."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from flink_playground_spark.streaming.corpus_sig import StreamingCorpusSignature
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = StreamingCorpusSignature(tempfile.mkdtemp(prefix="fps_csig_"), k=64)
+    for w in range(3):
+        sig.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
+    return sig.similarity(spark).select("src_a", "src_b", "est_jaccard")
