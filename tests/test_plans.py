@@ -313,6 +313,7 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         "q22_dormant_customers": 1,
         "tfidf_top_terms": 1,
         "corpus_similarity": 1,  # 20-source pair generator, broadcast side
+        "streaming_corpus_similarity": 1,  # same pair generator over drained state
     }
     bad = {}
     for name, q in {**REGISTRY, **EXTRA_REGISTRY}.items():
