@@ -4017,3 +4017,42 @@ def streaming_corpus_similarity(spark, sf_dir):
     for w in range(3):
         sig.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
     return sig.similarity(spark).select("src_a", "src_b", "est_jaccard")
+
+
+@register_extra(
+    "streaming_window_topn",
+    """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       user_id, cnt, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY cnt DESC, user_id) AS rn
+      FROM w) t
+WHERE rn <= 3
+""",
+    tags=("T1", "A1", "T6"),
+)
+def streaming_window_topn(spark, sf_dir):
+    """Flink SQL Window Top-N (window TVF + per-window ROW_NUMBER, the
+    documented companion of WindowsProctimeAggJob.java:65-81's window
+    aggregations) maintained INCREMENTALLY: events replayed in three
+    deterministic waves fold per-(window, user) partial counts through
+    transactional state (SUM is associative; the replay skip makes the
+    fold exactly-once), then the top-3 users per hour window are ranked
+    from state alone — rank is not distributive, so it is evaluated on
+    the merged counts, never on per-wave partials
+    (streaming/window_topn.py)."""
+    import tempfile
+
+    from flink_playground_spark.streaming.window_topn import StreamingWindowTopN
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    op = StreamingWindowTopN(
+        tempfile.mkdtemp(prefix="fps_wtopn_"), "user_id", "ts", "1 hour"
+    )
+    for w in range(3):
+        op.ingest(ev.filter(F.col("event_id") % 3 == w), batch_id=w)
+    return op.topn(spark, 3)

@@ -309,3 +309,37 @@ def test_streaming_corpus_signature_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) == 190
+
+
+def test_streaming_window_topn_equals_batch(spark, sf_dir, tmp_path):
+    """Window Top-N over three waves: SUM-merged per-(window, key)
+    counts ranked from state equal the batch tumble+rank over the same
+    events; a replayed wave is skipped (counts would double otherwise —
+    the non-idempotent merge the transactional store exists for); a
+    key's global rank can differ from every per-wave rank, proving the
+    rank-on-merged-counts order of operations."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.operators.windows import tumble_agg
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.window_topn import StreamingWindowTopN
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    op = StreamingWindowTopN(str(tmp_path / "wtopn"), "user_id", "ts", "1 hour")
+    for w in range(3):
+        assert op.ingest(ev.filter(F.col("event_id") % 3 == w), batch_id=w)
+    assert not op.ingest(ev.filter(F.col("event_id") % 3 == 1), batch_id=1)  # replay
+
+    got = {
+        (r.window_start, r.user_id): (r.cnt, r.rn)
+        for r in op.topn(spark, 3).collect()
+    }
+    w3 = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("user_id"))
+    batch = (
+        tumble_agg(ev, "ts", "1 hour", ["user_id"], [F.count(F.lit(1)).cast("long").alias("cnt")])
+        .withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+    )
+    want = {(r.window_start, r.user_id): (r.cnt, r.rn) for r in batch.collect()}
+    assert got == want and len(want) > 0
