@@ -214,6 +214,71 @@ class TransactionalKeyState:
         """Current committed state (no bucket column), or None if empty."""
         return self._read_buckets(spark, self._manifest())
 
+    def prune(self, spark: SparkSession, predicate: F.Column) -> int:
+        """Transactionally DELETE state rows matching ``predicate`` (state
+        retention: expired windows, aged-out keys). Returns rows removed.
+
+        Runs under the writer lock as its own transaction: only buckets
+        that actually contain matching rows are rewritten (IO ∝ touched
+        buckets, like every merge); a bucket emptied by the delete is
+        dropped from the manifest explicitly, not left as a zero-row
+        file. The ``writers`` map is untouched — a replayed wave whose
+        rows were since pruned is STILL skipped (retention must not
+        resurrect data through the at-least-once path)."""
+        import fcntl
+
+        lock = open(f"{self.path}/.writer.lock", "w")
+        try:
+            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            lock.close()
+            raise ConcurrentWriteError(
+                f"another merge holds the writer lock on {self.path}"
+            ) from None
+        try:
+            return self._prune_locked(spark, predicate)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+            lock.close()
+
+    def _prune_locked(self, spark: SparkSession, predicate: F.Column) -> int:
+        manifest = self._manifest()
+        state = self._read_buckets(spark, manifest)
+        if state is None:
+            return 0
+        # NULL predicate rows are KEPT (a delete must be affirmative)
+        pred = F.coalesce(predicate.cast("boolean"), F.lit(False))
+        tagged = state.withColumn(BUCKET_COL, self._bucket())
+        per_bucket = (
+            tagged.groupBy(BUCKET_COL)
+            .agg(
+                F.sum(pred.cast("long")).alias("hits"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .filter(F.col("hits") > 0)
+            .collect()
+        )
+        if not per_bucket:
+            return 0
+        touched = {int(r[BUCKET_COL]): (int(r["hits"]), int(r["total"])) for r in per_bucket}
+        emptied = {b for b, (h, t) in touched.items() if h == t}
+        survivors = sorted(set(touched) - emptied)
+        txn = manifest["txn"] + 1
+        if survivors:
+            kept = tagged.filter(F.col(BUCKET_COL).isin(survivors) & ~pred)
+            kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                f"{self.path}/t{txn}"
+            )
+            for b in survivors:
+                manifest["buckets"][str(b)] = txn
+        for b in emptied:
+            manifest["buckets"].pop(str(b), None)
+        manifest["txn"] = txn
+        self._commit(manifest)
+        if self.retain_txns:
+            self.vacuum(keep_newer_than=txn - self.retain_txns)
+        return sum(h for h, _ in touched.values())
+
     def vacuum(self, keep_newer_than: int | None = None) -> int:
         """Delete files no committed bucket version references (orphans of
         crashed attempts, shadowed old versions). Returns dirs removed.

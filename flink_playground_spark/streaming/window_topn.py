@@ -23,9 +23,10 @@ splits exactly along the Flink runtime's own seam:
   merged counts is exact.
 
 State size is ∝ distinct (window, key), the same bound Flink's own
-window rank operator carries; windows older than any retention horizon
-can be dropped with one manifest-level filter (not wired here — the
-corpus replay is bounded).
+window rank operator carries until retention fires; ``expire`` drops
+windows past a horizon as a transactional predicate delete
+(``TransactionalKeyState.prune``), so steady-state size is
+∝ live-horizon windows × keys.
 
 Scale shape: per-batch IO ∝ touched buckets; the read-side rank
 shuffles only the state relation (one Exchange on window_start), and
@@ -77,6 +78,16 @@ class StreamingWindowTopN:
             # window_end is functionally determined by window_start; MAX
             # is a deterministic way to carry it through the re-aggregate
             [F.max("window_end").alias("window_end"), F.sum("cnt").alias("cnt")],
+        )
+
+    def expire(self, spark: SparkSession, older_than) -> int:
+        """Window retention: transactionally drop state for windows that
+        END before ``older_than`` (a timestamp or ISO string). Returns
+        rows removed. IO ∝ buckets holding expired windows; the replay
+        ledger survives, so a replayed wave touching expired windows is
+        still skipped, never resurrected."""
+        return self.state.prune(
+            spark, F.col("window_end") < F.lit(older_than).cast("timestamp_ntz")
         )
 
     def topn(self, spark: SparkSession, n: int = 3) -> DataFrame:

@@ -163,3 +163,79 @@ def test_retention_bounds_files_over_long_replay(spark, sf_dir, tmp_path):
     man = json.load(open(tmp_path / "r" / "manifest.json"))
     for b, v in man["buckets"].items():
         assert os.path.isdir(tmp_path / "r" / f"t{v}" / f"__bucket={b}")
+
+
+def test_prune_is_transactional_retention(spark, sf_dir, tmp_path):
+    """Predicate delete: only matching rows go, only buckets holding
+    them are rewritten, emptied buckets leave the manifest, and the
+    writers ledger survives — a replayed wave whose rows were pruned is
+    still skipped (retention never resurrects data)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    st = TransactionalKeyState(str(tmp_path / "st"), ["user_id"], n_buckets=4)
+    for i, w in enumerate(_waves(events)):
+        st.merge_aggregate(
+            "w", i, _agg_partials(w),
+            [F.sum("n").alias("n"), F.sum("sv").alias("sv")],
+        )
+    before = st.read(spark).count()
+    cutoff = st.read(spark).selectExpr("percentile(user_id, 0.5)").first()[0]
+    expected_gone = st.read(spark).filter(F.col("user_id") < cutoff).count()
+    assert 0 < expected_gone < before
+
+    manifest_before = json.load(open(f"{tmp_path}/st/manifest.json"))
+    removed = st.prune(spark, F.col("user_id") < cutoff)
+    assert removed == expected_gone
+    after = st.read(spark)
+    assert after.count() == before - removed
+    assert after.filter(F.col("user_id") < cutoff).count() == 0
+    manifest_after = json.load(open(f"{tmp_path}/st/manifest.json"))
+    # ledger intact: the replayed wave is still a no-op after the prune
+    assert manifest_after["writers"] == manifest_before["writers"]
+    assert not st.merge_aggregate(
+        "w", 1, _agg_partials(_waves(events)[1]),
+        [F.sum("n").alias("n"), F.sum("sv").alias("sv")],
+    )
+    assert st.read(spark).filter(F.col("user_id") < cutoff).count() == 0
+    # a prune matching nothing is a no-op transaction
+    assert st.prune(spark, F.col("user_id") < -1) == 0
+    # delete-everything empties the manifest rather than leaving
+    # zero-row bucket files
+    st.prune(spark, F.lit(True))
+    assert st.read(spark) is None
+    assert json.load(open(f"{tmp_path}/st/manifest.json"))["buckets"] == {}
+
+
+def test_window_topn_expire_drops_old_windows_only(spark, sf_dir, tmp_path):
+    """Window retention on the Top-N operator: expired windows vanish
+    from state and ranks, the live horizon is untouched."""
+    from flink_playground_spark.streaming.window_topn import StreamingWindowTopN
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    op = StreamingWindowTopN(str(tmp_path / "wt"), "user_id", "ts", "1 hour")
+    for i, w in enumerate(_waves(ev)):
+        op.ingest(w, batch_id=i)
+    windows = sorted(
+        r.window_end for r in op.state.read(spark).select("window_end").distinct().collect()
+    )
+    assert len(windows) > 2
+    horizon = windows[len(windows) // 2]
+    removed = op.expire(spark, horizon)
+    assert removed > 0
+    remaining = op.topn(spark, 3)
+    assert remaining.filter(F.col("window_end") < F.lit(horizon)).count() == 0
+    # live-horizon ranks match a batch recompute over only live events
+    from pyspark.sql import Window
+
+    from flink_playground_spark.operators.windows import tumble_agg
+
+    live = (
+        tumble_agg(ev, "ts", "1 hour", ["user_id"],
+                   [F.count(F.lit(1)).cast("long").alias("cnt")])
+        .filter(F.col("window_end") >= F.lit(horizon))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("user_id"))))
+        .filter(F.col("rn") <= 3)
+    )
+    got = {(r.window_start, r.user_id, r.cnt, r.rn) for r in remaining.collect()}
+    want = {(r.window_start, r.user_id, r.cnt, r.rn) for r in live.collect()}
+    assert got == want
