@@ -218,13 +218,17 @@ class TransactionalKeyState:
         """Transactionally DELETE state rows matching ``predicate`` (state
         retention: expired windows, aged-out keys). Returns rows removed.
 
-        Runs under the writer lock as its own transaction: only buckets
-        that actually contain matching rows are rewritten (IO ∝ touched
-        buckets, like every merge); a bucket emptied by the delete is
-        dropped from the manifest explicitly, not left as a zero-row
-        file. The ``writers`` map is untouched — a replayed wave whose
-        rows were since pruned is STILL skipped (retention must not
-        resurrect data through the at-least-once path)."""
+        Runs under the writer lock as its own transaction. Cost shape:
+        ONE full-state scan locates the matches (retention is a rare
+        maintenance pass, amortized over many merges — a predicate on a
+        key prefix could consult per-bucket min/max stats instead, not
+        wired), then only buckets that actually contain matching rows
+        are rewritten (write IO ∝ touched buckets, like every merge).
+        A bucket emptied by the delete is dropped from the manifest
+        explicitly, not left as a zero-row file. The ``writers`` map is
+        untouched — a replayed wave whose rows were since pruned is
+        STILL skipped (retention must not resurrect data through the
+        at-least-once path)."""
         import fcntl
 
         lock = open(f"{self.path}/.writer.lock", "w")
