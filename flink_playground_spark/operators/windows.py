@@ -156,3 +156,53 @@ def window_topn(
     key per window, and InferWindowGroupLimit caps its sort at n."""
     agged = tumble_agg(df, time_col, size, group_cols, aggs, slide)
     return top_k_per_group(agged, ["window_start", "window_end"], order_by, n)
+
+
+def window_dedup(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    slide: str | None = None,
+) -> DataFrame:
+    """Flink SQL's Window Deduplication: keep ONE row per (window, key),
+    chosen by rank order (``ROW_NUMBER() OVER (PARTITION BY window_start,
+    key ORDER BY ...) = 1`` under a window TVF) — e.g. each user's last
+    event of every hour. One shuffle on (window, key); dedup_latest's
+    ``max_by`` single-agg lowering applies identically here, but the
+    rank form keeps arbitrary multi-column tie-breaks, and
+    InferWindowGroupLimit caps the per-group sort at 1."""
+    windowed = tumble(df, time_col, size, slide)
+    return row_number_ranked(
+        windowed, ["window_start", *partition_cols], order_by
+    ).filter(F.col("rownum") == 1).drop("rownum")
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    size: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Flink SQL's Window Join: rows of two streams join iff they share
+    the key AND fall in the SAME tumbling window — the bounded-state
+    form of a stream-stream join (each side's state lives exactly one
+    window). Lowered to an equi-join on (window_start, key): windowing
+    is a scan-stage projection on both sides, then ONE pair of shuffles
+    co-partitions them; no range predicate, no interval explosion, and
+    the window key rides the same Exchange as the join key at any scale.
+    Columns are disambiguated with l_/r_ prefixes (both inputs keep
+    their full row, Flink's window-join output contract)."""
+    lw = tumble(left, time_col, size).drop("window_time", "window_end")
+    rw = tumble(right, time_col, size).drop("window_time", "window_end")
+    keys = ["window_start", *on]
+    lp = lw.select(
+        *keys, *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in on]
+    )
+    rp = rw.select(
+        *keys, *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in on]
+    )
+    return lp.join(rp, keys, how)

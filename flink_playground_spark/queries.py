@@ -4056,3 +4056,66 @@ def streaming_window_topn(spark, sf_dir):
     for w in range(3):
         op.ingest(ev.filter(F.col("event_id") % 3 == w), batch_id=w)
     return op.topn(spark, 3)
+
+
+@register_extra(
+    "window_dedup_last_per_hour",
+    """
+SELECT window_start, user_id, event_id, ts, event_type FROM (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+    tags=("T1", "W1"),
+)
+def window_dedup_last_per_hour(spark, sf_dir):
+    """Flink SQL's Window Deduplication (the window-TVF counterpart of
+    the reference's keep-latest Deduplicate,
+    WithDeduplicateJoinJob.java:92-94): each user's LAST event of every
+    hour window — ROW_NUMBER = 1 per (window, key) with a deterministic
+    tie-break. One shuffle on (window, key); InferWindowGroupLimit caps
+    the per-group sort at 1 (operators/windows.py: window_dedup)."""
+    from flink_playground_spark.operators.windows import window_dedup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    return window_dedup(
+        ev, "ts", "1 hour", ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("window_start", "user_id", "event_id", "ts", "event_type")
+
+
+@register_extra(
+    "window_join_same_hour",
+    """
+WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start
+      FROM events WHERE event_type = 'purchase')
+SELECT c.window_start, c.user_id, c.event_id AS l_event_id, c.ts AS l_ts,
+       p.event_id AS r_event_id, p.ts AS r_ts
+FROM c JOIN p ON c.user_id = p.user_id AND c.window_start = p.window_start
+""",
+    tags=("T1", "J4"),
+)
+def window_join_same_hour(spark, sf_dir):
+    """Flink SQL's Window Join: clicks joined to purchases of the SAME
+    user in the SAME hour window — the bounded-state stream-stream join
+    (each side's state lives one window, unlike the unbounded J4 join).
+    Lowered to a plain equi-join on (window_start, user_id): windowing
+    is a scan-stage projection, one Exchange pair co-partitions both
+    sides, no range predicate survives to the join
+    (operators/windows.py: window_join)."""
+    from flink_playground_spark.operators.windows import window_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    return window_join(clicks, purchases, "ts", "1 hour", ["user_id"]).select(
+        "window_start", "user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"
+    )
