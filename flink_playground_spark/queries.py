@@ -4119,3 +4119,38 @@ def window_join_same_hour(spark, sf_dir):
     return window_join(clicks, purchases, "ts", "1 hour", ["user_id"]).select(
         "window_start", "user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"
     )
+
+
+@register_extra(
+    "window_topn_event_types",
+    """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+         event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3)
+SELECT window_start, window_end, event_type, cnt, rownum FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY cnt DESC, event_type) AS rownum
+  FROM w) t
+WHERE rownum <= 2
+""",
+    tags=("T1", "A1"),
+)
+def window_topn_event_types(spark, sf_dir):
+    """Batch Window Top-N (the operator behind streaming_window_topn):
+    the two hottest event types of every hour window — windowed agg
+    ranked within the window, deterministic tie-break
+    (operators/windows.py: window_topn)."""
+    from flink_playground_spark.operators.windows import window_topn
+
+    ev = _t(spark, sf_dir, "events")
+    return window_topn(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).cast("long").alias("cnt")],
+        [F.desc("cnt"), F.asc("event_type")],
+        2,
+    ).select("window_start", "window_end", "event_type", "cnt", "rownum")
