@@ -42,12 +42,37 @@ def test_two_components_and_min_label(spark):
 
 def test_chain_converges_in_log_rounds(spark):
     # a 65-node path is the worst case for plain label propagation
-    # (64 rounds); pointer doubling must finish in O(log n)
+    # (64 rounds); pointer doubling must finish in O(log n).
+    # local_max_edges=None forces the pure loop — the contraction pass
+    # would otherwise solve the chain in zero rounds.
     n = 65
     stats = {}
-    got = _cc(spark, [(i, i + 1) for i in range(n)], stats=stats)
+    got = _cc(spark, [(i, i + 1) for i in range(n)], stats=stats, local_max_edges=None)
     assert got == {i: 0 for i in range(n + 1)}
+    assert stats["strategy"] == "loop"
     assert stats["iterations"] <= 9, stats
+
+
+def test_local_contraction_solves_small_graph_in_zero_rounds(spark):
+    stats = {}
+    got = _cc(spark, [(5, 3), (3, 9), (20, 21)], stats=stats)
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+    assert stats["strategy"] == "local"
+    assert stats["iterations"] == 0
+
+
+def test_contract_plus_loop_matches_pure_loop(spark):
+    # local_max_edges=2 forces many contraction partitions so the
+    # cross-partition stitching loop actually runs; the result must be
+    # identical to both the pure loop and the union-find reference
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    stats = {}
+    got = _cc(spark, edges, stats=stats, local_max_edges=2)
+    assert stats["strategy"] == "contract+loop"
+    assert got == _union_find(edges)
+    assert got == _cc(spark, edges, local_max_edges=None)
 
 
 def test_matches_union_find_on_random_graph(spark):
