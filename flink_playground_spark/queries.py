@@ -1408,9 +1408,10 @@ FROM c JOIN e ON c.user_id = e.user_id
 def range_join_events(spark, sf_dir):
     """Interval/range join (errors within 30min after a click, per user).
     Keyed + range predicate: Catalyst plans equi-join on the key with the
-    range as a post-condition — at 100 TB, bucket the time axis and join
-    on (key, bucket) to bound the per-key cross product; here the per-key
-    fan-in is small so the equi-join path is already the right plan."""
+    range as a post-condition — fine while per-key fan-in is small. The
+    100 TB formulation (bucket the time axis, join on (key, bucket)) is
+    operators/interval.py:interval_join, oracle-checked as
+    banded_interval_join against this same pair semantics."""
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
@@ -1427,6 +1428,54 @@ def range_join_events(spark, sf_dir):
         & (F.col("err_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     ).select("click_id", "err_id", "user_id", "click_ts", "err_ts")
+
+
+@register_extra(
+    "banded_interval_join",
+    """
+WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+           FROM events WHERE event_type = 'click'),
+e AS (SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS err_ts
+      FROM events WHERE event_type = 'error')
+SELECT c.click_id, e.err_id, c.user_id, c.click_ts, e.err_ts
+FROM c JOIN e ON c.user_id = e.user_id
+  AND e.err_ts >= c.click_ts - INTERVAL '15 minutes'
+  AND e.err_ts <= c.click_ts + INTERVAL '30 minutes'
+""",
+    tags=("superset-join", "ext-temporal"),
+)
+def banded_interval_join(spark, sf_dir):
+    """The scale formulation range_join_events' docstring defers to:
+    the same interval-join semantics (errors from 15min before to 30min
+    after each click, per user — an asymmetric band with a negative
+    lower bound) computed by the bucketized band join
+    (operators/interval.py). Both sides are bucketed by a tumbling
+    window the width of the band and joined on (user, bucket) — the
+    per-key cross product of the naive range predicate never forms, so
+    a hot user with m clicks and m errors costs rows-per-(key, bucket)
+    work instead of m². Verified against the identical range-predicate
+    oracle."""
+    from flink_playground_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    out = interval_join(
+        clicks,
+        errors,
+        [("user_id", "e_user_id")],
+        "click_ts",
+        "err_ts",
+        lower=-15 * 60,
+        upper=30 * 60,
+    )
+    return out.select("click_id", "err_id", "user_id", "click_ts", "err_ts")
 
 
 @register(
