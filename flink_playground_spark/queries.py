@@ -994,6 +994,52 @@ def streaming_outer_join_changelog(spark, sf_dir):
     )
 
 
+@register_extra(
+    "streaming_late_side_output",
+    """
+WITH w0 AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_id % 2 = 0),
+wm AS (SELECT max(ts) - INTERVAL '30 minutes' AS wm FROM w0),
+w1 AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+              time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start
+       FROM events WHERE event_id % 2 = 1)
+SELECT event_id, user_id, event_type, ts, window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       CAST(1 AS BIGINT) AS batch_id, wm.wm AS watermark
+FROM w1, wm WHERE window_start + INTERVAL '1 hour' <= wm.wm
+""",
+    tags=("T10", "ext-streaming"),
+    bench=False,  # wave replay measures micro-batch plumbing, not engine throughput
+)
+def streaming_late_side_output(spark, sf_dir):
+    """Flink's ``sideOutputLateData`` contract, which native Spark
+    watermarking silently lacks: events replayed in two parity waves
+    through a windowed count with a 30-minute watermark delay; wave-1
+    rows whose 1-hour window closed behind the watermark established by
+    wave 0 are ROUTED to the side output (with the rejecting watermark)
+    instead of dropped. The oracle reconstructs the exact side set from
+    the parity split: watermark = max(wave-0 ts) - 30min, side = wave-1
+    rows with window_end <= watermark. Window counts fold through
+    TransactionalKeyState, so redelivered waves never double-count
+    (streaming/late_data.py; allowed-lateness refinement is pinned by
+    tests/test_late_data.py goldens)."""
+    import tempfile
+
+    from flink_playground_spark.streaming.late_data import late_window_counts_stream
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    stream = replay_events_waves(spark, sf_dir, waves=2).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    agg = late_window_counts_stream(
+        stream, tempfile.mkdtemp(prefix="fps_late_"), keys=("event_type",), delay_s=1800
+    )
+    side = agg.read_side(spark)
+    return side.select(
+        "event_id", "user_id", "event_type", "ts", "window_start", "window_end",
+        "batch_id", "watermark",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Capability superset: semi/anti joins, set operations, rollup, distinct
 # aggregation, window frames, sessionization. The reference exercises none
