@@ -23,13 +23,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def tumble(df: DataFrame, time_col: str, size: str, slide: str | None = None) -> DataFrame:
+def tumble(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    slide: str | None = None,
+    offset: str | None = None,
+) -> DataFrame:
     """Window TVF (T1): append ``window_start``/``window_end``/``window_time``.
 
     ``size``/``slide`` are Spark duration strings ("1 minute", "1 hour");
     a ``slide`` turns the tumble into Flink's HOP (sliding) window.
+    ``offset`` shifts the window alignment (Flink's optional TUMBLE/HOP
+    offset argument — e.g. "15 minutes" makes hour windows run
+    :15 → :15); Spark's ``window(startTime=...)`` is the same knob.
     """
-    win = F.window(F.col(time_col), size, slide) if slide else F.window(F.col(time_col), size)
+    win = F.window(F.col(time_col), size, slide or size, offset) if (slide or offset) else F.window(
+        F.col(time_col), size
+    )
     return (
         df.withColumn("__w", win)
         .withColumn("window_start", F.col("__w.start"))
@@ -46,9 +57,10 @@ def tumble_agg(
     group_cols: Sequence[str],
     aggs: Sequence[Column],
     slide: str | None = None,
+    offset: str | None = None,
 ) -> DataFrame:
     """Windowed group-by aggregation (G1): group on keys × window."""
-    windowed = tumble(df, time_col, size, slide)
+    windowed = tumble(df, time_col, size, slide, offset)
     return windowed.groupBy(*group_cols, "window_start", "window_end").agg(*aggs)
 
 

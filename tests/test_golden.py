@@ -137,6 +137,23 @@ def test_tumble_agg_counts(spark):
     assert got == {("a", 0, 2), ("a", 1, 1), ("b", 2, 1)}
 
 
+def test_tumble_offset_shifts_alignment(spark):
+    """Flink's optional TUMBLE offset argument (window(startTime=...)):
+    1-minute windows aligned to :30 — a row at 00:00:50 lands in the
+    [00:00:30, 00:01:30) window, not [00:00:00, 00:01:00)."""
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 10)),  # -> window starting 23:59:30
+        ("a", datetime(2024, 1, 1, 0, 0, 50)),  # -> window starting 00:00:30
+        ("a", datetime(2024, 1, 1, 0, 1, 10)),  # -> window starting 00:00:30
+    ]
+    df = from_rows(spark, rows, ["iso", "ts"], [str, "timestamp_ntz"])
+    out = tumble_agg(
+        df, "ts", "1 minute", ["iso"], [F.count(F.lit(1)).alias("cnt")], offset="30 seconds"
+    )
+    got = {(r.window_start.strftime("%H:%M:%S"), r.cnt) for r in out.collect()}
+    assert got == {("23:59:30", 1), ("00:00:30", 2)}
+
+
 def test_table_api_fluent(spark):
     """TableAPIJob.java:85-90 via the fluent Table façade."""
     _people(spark).createOrReplaceTempView("people")
