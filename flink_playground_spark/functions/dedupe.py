@@ -343,18 +343,25 @@ def _lsh_rep_pairs(
 
 
 def expand_rep_pairs(
-    members: DataFrame, idx: DataFrame, rep_pairs: DataFrame, with_jaccard: bool = True
+    members: DataFrame,
+    idx: DataFrame,
+    rep_pairs: DataFrame,
+    with_jaccard: bool = True,
+    value_col: str = "jaccard",
+    within_value=1.0,
 ) -> DataFrame:
     """Expand representative-level pairs back to member-level pairs so
     the output equals the un-collapsed formulation exactly:
 
-    - within-class: every (a < b) pair inside an exact-dup class, Jaccard
-      exactly 1.0 (identical shingle sets). Classes whose text yields no
-      shingles are skipped — such docs have no signature in the
-      un-collapsed formulation either, so they never paired.
+    - within-class: every (a < b) pair inside an exact-dup class, with
+      the identical-input similarity value (``within_value`` in
+      ``value_col`` — Jaccard 1.0, SimHash Hamming 0). Classes whose
+      text yields no shingles/fingerprint (``idx`` has no ``doc`` row)
+      are skipped — such docs have no signature in the un-collapsed
+      formulation either, so they never paired.
     - cross-class: each rep pair fans out over both classes' members;
-      Jaccard is a function of the (identical) shingle sets, so the rep
-      value is the member value."""
+      the similarity is a function of the (identical) normalized texts,
+      so the rep value is the member value."""
     have_sh = idx.select(F.col("doc").alias("rep")).distinct()
     mem_ok = members.join(have_sh, "rep", "left_semi")
     within = (
@@ -369,8 +376,8 @@ def expand_rep_pairs(
     mb = members.select(F.col("rep").alias("id_b"), F.col("doc").alias("__mb"))
     out_cols = [F.least("__ma", "__mb").alias("id_a"), F.greatest("__ma", "__mb").alias("id_b")]
     if with_jaccard:
-        within = within.withColumn("jaccard", F.lit(1.0))
-        out_cols.append(F.col("jaccard"))
+        within = within.withColumn(value_col, F.lit(within_value))
+        out_cols.append(F.col(value_col))
     cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(*out_cols)
     return within.unionByName(cross)
 
@@ -517,11 +524,11 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     return sums.select("doc", sh.alias("sh"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance <= max_hamming, found
-    by 4x16-bit pigeonhole banding + exact verification."""
-    fp = simhash_fingerprints(df, id_col, text_col)
-    chunks = fp.select(
+def simhash_chunks(fp: DataFrame) -> DataFrame:
+    """(doc, sh) fingerprints -> (doc, band, bucket, sh): the 4x16-bit
+    pigeonhole banding (distance <= 3 implies an equal chunk). Feed to
+    ``lsh_bucket_overflow`` to inspect buckets the guard would drop."""
+    return fp.select(
         "doc",
         "sh",
         F.explode(
@@ -529,19 +536,38 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("c"),
-    ).select("doc", "sh", "c.band", "c.chunk")
+    ).select("doc", "c.band", "c.bucket", "sh")
+
+
+def _simhash_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared kernel: collapse exact classes, band REPRESENTATIVES only,
+    verify exact Hamming. Returns (members, fp, rep_pairs)."""
+    members = exact_dup_members(df, id_col, text_col).persist()
+    rep_ids = members.filter(F.col("doc") == F.col("rep")).select(F.col("rep").alias(id_col))
+    reps_df = df.join(rep_ids, id_col, "left_semi")
+    fp = simhash_fingerprints(reps_df, id_col, text_col).persist()
+    banded = simhash_chunks(fp)
+    if max_bucket is not None:
+        over = lsh_bucket_overflow(banded, max_bucket).select("band", "bucket")
+        banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
     cand = (
-        chunks.alias("a")
+        banded.alias("a")
         .join(
-            chunks.alias("b"),
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
@@ -553,8 +579,38 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    rep_pairs = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return members, fp, rep_pairs
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming, found
+    by 4x16-bit pigeonhole banding + exact verification.
+
+    Scale guard (round-3, same family as minhash_lsh_pairs): identical
+    normalized texts have identical token streams, hence identical
+    fingerprints — an m-member boilerplate class agrees on EVERY chunk
+    and previously cost 4·m²/2 candidate rows in the band self-join.
+    Exact-duplicate classes are collapsed to one representative before
+    banding; within-class pairs are emitted directly at Hamming 0 and
+    rep-level pairs fan back out (output identical to the un-collapsed
+    formulation — pinned against the brute-force Python reference).
+    Buckets still exceeding ``max_bucket`` DISTINCT texts are excluded
+    from candidate generation; inspect them with
+    ``lsh_bucket_overflow(simhash_chunks(fp))``."""
+    members, fp, rep_pairs = _simhash_rep_pairs(df, id_col, text_col, max_hamming, max_bucket)
+    return expand_rep_pairs(
+        members, fp, rep_pairs, with_jaccard=True, value_col="hamming", within_value=0
     )
 
 

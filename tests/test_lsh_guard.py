@@ -122,6 +122,44 @@ def test_no_shingle_classes_emit_nothing(spark):
     assert minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
 
 
+def test_simhash_candidates_linear_not_quadratic(spark, big_class):
+    """Same criterion for the SimHash path: identical texts share every
+    chunk, so un-collapsed banding cost 4·500²/2 candidate rows; with
+    the class collapsed there are 4 banded reps and <= C(4,2) rep
+    pairs."""
+    from flink_playground_spark.functions.dedupe import _simhash_rep_pairs
+
+    _, _, rep_pairs = _simhash_rep_pairs(big_class, "doc_id", "text", 64, 10_000)
+    assert rep_pairs.count() <= 6
+
+
+def test_simhash_pair_contract_unchanged_by_collapse(spark, big_class):
+    """simhash_pairs output still equals the un-collapsed formulation:
+    all within-class pairs at Hamming exactly 0, the planted near-dup
+    found, the far doc never paired with boilerplate members."""
+    from flink_playground_spark.functions.dedupe import simhash_pairs
+
+    pairs = simhash_pairs(big_class, "doc_id", "text", max_hamming=10).persist()
+    within = pairs.filter((F.col("id_a") < 500) & (F.col("id_b") < 500))
+    assert within.count() == 500 * 499 // 2
+    assert within.filter(F.col("hamming") != 0).count() == 0
+    cross = {(r.id_a, r.id_b) for r in pairs.filter(F.col("id_a") >= 500).collect()}
+    assert (1000, 1001) in cross
+    pairs.unpersist()
+
+
+def test_simhash_tokenless_identical_docs_never_pair(spark):
+    """Punctuation-only identical docs have no fingerprint row, so the
+    collapsed formulation must not fabricate within-class pairs for
+    them (parity with the brute-force reference, which skips them)."""
+    from flink_playground_spark.functions.dedupe import simhash_pairs
+
+    df = from_rows(
+        spark, [(1, "!!! ???"), (2, "!!! ???"), (3, BASE)], ["doc_id", "text"], [int, str]
+    )
+    assert simhash_pairs(df, "doc_id", "text", max_hamming=64).count() == 0
+
+
 def test_streaming_matches_batch_with_exact_dup_waves(spark, tmp_path):
     """Exact-dup classes spread over 3 micro-batches: within-class pairs,
     new-class fan-out (case 3) and old-rep-pair x late member (case 4)
