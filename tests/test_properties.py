@@ -239,3 +239,43 @@ def test_scd2_build_matches_python_reference(spark, rows):
             nxt = _ts(collapsed[i + 1][0]) if i + 1 < len(collapsed) else None
             want.add((k, v, _ts(t), nxt))
     assert got == want
+
+
+interval_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),  # key, minute
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=interval_rows, right=interval_rows, bounds=st.tuples(
+    st.integers(-12, 12), st.integers(0, 12)))
+def test_interval_join_matches_brute_force(spark, left, right, bounds):
+    """Bucketized band join == brute-force range predicate for random
+    bands (lower may be negative; width may be zero)."""
+    from flink_playground_spark.operators.interval import interval_join
+
+    lo, width = bounds
+    up = lo + width
+    ldf = from_rows(
+        spark,
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(left)],
+        ["lid", "k", "lt"],
+        [int, int, "timestamp_ntz"],
+    )
+    rdf = from_rows(
+        spark,
+        [(100 + i, k, _ts(t)) for i, (k, t) in enumerate(right)],
+        ["rid", "rk", "rt"],
+        [int, int, "timestamp_ntz"],
+    )
+    out = interval_join(ldf, rdf, [("k", "rk")], "lt", "rt", lo * 60, up * 60)
+    got = sorted((r.lid, r.rid) for r in out.select("lid", "rid").collect())
+    want = sorted(
+        (i, 100 + j)
+        for i, (k1, t1) in enumerate(left)
+        for j, (k2, t2) in enumerate(right)
+        if k1 == k2 and lo <= t2 - t1 <= up
+    )
+    assert got == want

@@ -56,18 +56,27 @@ def _time(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def _cc_rounds(spark, sf_dir: str) -> int:
+def _cc_rounds(spark, sf_dir: str) -> dict:
+    """CC scaling evidence, both strategies: the default adaptive run
+    (contraction may solve it in zero rounds) and a forced-loop run
+    (local_max_edges=None) that must stay O(log n) rounds at 10x."""
     from flink_playground_spark.functions.dedupe import minhash_lsh_edges
     from flink_playground_spark.operators.graph import connected_components
     from flink_playground_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     edges = minhash_lsh_edges(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
-    stats: dict = {}
-    connected_components(edges, "id_a", "id_b", stats=stats).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    return stats["iterations"]
+    edges = edges.persist()
+    out = {}
+    for label, lme in [("adaptive", "default"), ("forced_loop", None)]:
+        stats: dict = {}
+        kw = {} if lme == "default" else {"local_max_edges": lme}
+        connected_components(edges, "id_a", "id_b", stats=stats, **kw).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        out[label] = {"iterations": stats["iterations"], "strategy": stats["strategy"]}
+    edges.unpersist()
+    return out
 
 
 def main() -> None:
@@ -91,7 +100,7 @@ def main() -> None:
         print(f"{name:28s} {t_small:8.2f}s {t_big:8.2f}s  x{ratio:<6} scaling {ratio / factor:.2f}")
 
     cc = {"sf0.1": _cc_rounds(spark, small), "sf1": _cc_rounds(spark, big)}
-    print(f"cc_rounds sf0.1={cc['sf0.1']} sf1={cc['sf1']}")
+    print(f"cc sf0.1={cc['sf0.1']}\ncc sf1={cc['sf1']}")
     out = {"factor": factor, "queries": rows, "cc_rounds": cc}
     pathlib.Path("SCALE_PROOF.json").write_text(json.dumps(out, indent=1) + "\n")
     spark.stop()
