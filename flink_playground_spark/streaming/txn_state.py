@@ -95,9 +95,17 @@ class TransactionalKeyState:
         if not os.path.exists(p):
             return {"writers": {}, "txn": 0, "buckets": {}}
         with open(p) as fh:
-            return json.load(fh)
+            manifest = json.load(fh)
+        # The COMMITTED bucket count is authoritative: after a rebucket(),
+        # an instance constructed with the old count would otherwise hash
+        # keys into the wrong buckets — silent state corruption. Older
+        # manifests (pre-rescale feature) carry no count; the constructor
+        # value stands for those.
+        self.n_buckets = manifest.get("n_buckets", self.n_buckets)
+        return manifest
 
     def _commit(self, manifest: dict) -> None:
+        manifest["n_buckets"] = self.n_buckets
         tmp = f"{self.path}/manifest.json.tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -282,6 +290,68 @@ class TransactionalKeyState:
         if self.retain_txns:
             self.vacuum(keep_newer_than=txn - self.retain_txns)
         return sum(h for h, _ in touched.values())
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> bool:
+        """Savepoint-style state RESCALE (Flink's rescale-on-restore for
+        keyed state): rewrite the whole state under a new bucket count in
+        one transaction. Returns False if the count is already current.
+
+        Why it exists: bucket count fixes the parallelism/IO granularity
+        of every merge; a stream that outgrows its initial count needs
+        more buckets without losing state or exactly-once replay
+        protection. Semantics:
+
+        - the ``writers`` ledger is untouched, so a wave redelivered
+          across the rescale is still skipped;
+        - crash-safe like every merge: the new layout becomes visible
+          only at the atomic manifest commit — a crash mid-rewrite
+          leaves the old layout fully live and the half-written txn dir
+          as an invisible orphan for ``vacuum``;
+        - the committed manifest records the new count, and every
+          instance adopts the committed count on its next manifest read
+          — a stale constructor ``n_buckets`` cannot mis-route keys.
+
+        Cost: one full-state read + write (state size, not history) —
+        a rare maintenance pass, same class as ``prune``."""
+        import fcntl
+
+        lock = open(f"{self.path}/.writer.lock", "w")
+        try:
+            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            lock.close()
+            raise ConcurrentWriteError(
+                f"another merge holds the writer lock on {self.path}"
+            ) from None
+        try:
+            manifest = self._manifest()
+            if new_n_buckets == self.n_buckets:
+                return False
+            state = self._read_buckets(spark, manifest)
+            self.n_buckets = new_n_buckets
+            if state is None:
+                # nothing stored yet: just commit the new count
+                self._commit(manifest)
+                return True
+            txn = manifest["txn"] + 1
+            tagged = state.withColumn(BUCKET_COL, self._bucket())
+            tagged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                f"{self.path}/t{txn}"
+            )
+            written = [
+                int(d.split("=")[1])
+                for d in os.listdir(f"{self.path}/t{txn}")
+                if d.startswith(f"{BUCKET_COL}=")
+            ]
+            manifest["buckets"] = {str(b): txn for b in written}
+            manifest["txn"] = txn
+            self._commit(manifest)
+            if self.retain_txns:
+                self.vacuum(keep_newer_than=txn - self.retain_txns)
+            return True
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+            lock.close()
 
     def vacuum(self, keep_newer_than: int | None = None) -> int:
         """Delete files no committed bucket version references (orphans of

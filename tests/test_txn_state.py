@@ -239,3 +239,52 @@ def test_window_topn_expire_drops_old_windows_only(spark, sf_dir, tmp_path):
     got = {(r.window_start, r.user_id, r.cnt, r.rn) for r in remaining.collect()}
     want = {(r.window_start, r.user_id, r.cnt, r.rn) for r in live.collect()}
     assert got == want
+
+
+def test_rebucket_rescales_without_losing_state_or_replay_guard(spark, sf_dir, tmp_path):
+    """Savepoint-style rescale: state content identical under the new
+    bucket count, the writers ledger survives (a wave redelivered across
+    the rescale is still skipped), later merges route by the NEW count,
+    and an instance constructed with the stale count adopts the
+    committed one instead of mis-hashing keys."""
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "txn")
+    st = TransactionalKeyState(path, ["user_id"], n_buckets=4)
+    w = _waves(events)
+    agg = [F.sum("n").alias("n"), F.sum("sv").alias("sv")]
+    st.merge_aggregate("q1", 0, _agg_partials(w[0]), agg)
+    st.merge_aggregate("q1", 1, _agg_partials(w[1]), agg)
+    before = _state_answer(st, spark)
+
+    assert st.rebucket(spark, 16) is True
+    assert st.n_buckets == 16
+    assert _state_answer(st, spark) == before
+    # the rescale txn's layout really uses the new count
+    man = json.loads((tmp_path / "txn" / "manifest.json").read_text())
+    assert man["n_buckets"] == 16
+    tdir = tmp_path / "txn" / f"t{man['txn']}"
+    assert len([d for d in os.listdir(tdir) if d.startswith("__bucket=")]) > 4
+
+    # replay of a pre-rescale batch is still a no-op
+    assert st.merge_aggregate("q1", 1, _agg_partials(w[1]), agg) is False
+    assert _state_answer(st, spark) == before
+
+    # a STALE instance (old constructor count) adopts the committed count
+    stale = TransactionalKeyState(path, ["user_id"], n_buckets=4)
+    assert stale.merge_aggregate("q1", 2, _agg_partials(w[2]), agg) is True
+    assert stale.n_buckets == 16
+    assert _state_answer(stale, spark) == _batch_answer(events)
+
+    # no-op when already at the requested count
+    assert st.rebucket(spark, 16) is False
+
+
+def test_rebucket_on_empty_state_just_commits_count(spark, tmp_path):
+    st = TransactionalKeyState(str(tmp_path / "txn"), ["k"], n_buckets=4)
+    assert st.rebucket(spark, 8) is True
+    again = TransactionalKeyState(str(tmp_path / "txn"), ["k"], n_buckets=4)
+    df = spark.createDataFrame([(1, 2)], "k long, n long")
+    assert again.merge_aggregate("w", 0, df, [F.sum("n").alias("n")]) is True
+    assert again.n_buckets == 8
