@@ -336,3 +336,54 @@ def corpus_similarity_ref(sf_dir: str, k: int = 64) -> pd.DataFrame:
             "exact_jaccard": "float64",
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_centrality: operators/graph.py pagerank over ngram_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+
+def doc_centrality_ref(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    damping_pct: int = 85,
+    iterations: int = 10,
+) -> pd.DataFrame:
+    """(doc_id, rank) — equals pagerank(ngram_jaccard_pairs(documents,
+    t=0.5)) bit-exactly: the pair set replays the engine's rounded-
+    Jaccard filter (round6(inter/union) >= t, same spark_round), and the
+    fixed-point power iteration uses the same integer div/damping math,
+    which is aggregation-order-free by construction."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sh: dict[int, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = _TOKEN_RE.findall(text.lower())
+        grams = {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        if grams:
+            sh[int(doc_id)] = grams
+    ids = sorted(sh)
+    adj: dict[int, set] = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            if spark_round(inter / union, 6) >= threshold:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    unit = 1_000_000
+    base = unit * (100 - damping_pct) // 100
+    pr = {v: unit for v in nodes}
+    for _ in range(iterations):
+        inflow = dict.fromkeys(nodes, 0)
+        for u in nodes:
+            c = pr[u] // len(adj[u])
+            for v in adj[u]:
+                inflow[v] += c
+        pr = {v: base + (inflow[v] * damping_pct) // 100 for v in nodes}
+    return pd.DataFrame(
+        {"doc_id": nodes, "rank": [pr[v] for v in nodes]}
+    ).astype({"doc_id": "int64", "rank": "int64"})

@@ -210,6 +210,67 @@ def connected_components(
     return _minlabel_loop(sym, max_iter, stats)
 
 
+PR_UNIT = 1_000_000  # fixed-point micro-units: 1.0 == 1e6
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank: ``(node, rank)`` with rank in
+    integer micro-units summing to ~N·1e6.
+
+    Why fixed-point: float PageRank depends on aggregation order (Spark
+    partial sums are nondeterministic), which blocks bit-exact oracles
+    and reproducible pipelines. Here every per-edge contribution is
+    ``rank div out_degree`` in INTEGER micro-units and the damping step
+    is ``(x * damping_pct) div 100`` — long sums are order-independent,
+    so two runs (and the pure-Python reference) agree to the last unit.
+    Truncation loss per node per round is < out_degree units (≤ 1e-6 ·
+    deg), a rounding model, not a semantic change.
+
+    Per round: one join (rank ⟶ edges) + one aggregate — the same
+    shuffle shape as the CC loop, with ``localCheckpoint`` lineage
+    truncation. Dangling nodes (no out-edges) keep their base rank and
+    donate nothing, the standard simplification. ``directed=False``
+    symmetrizes first (the near-dup-graph case: centrality of a doc in
+    its duplicate neighborhood — the keep-best canonical signal)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
+    )
+    e = e.distinct() if directed else _symmetrize(e)
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "u").localCheckpoint(eager=True)
+    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
+    # all arithmetic is integer `div` — Spark and the Python reference
+    # truncate identically, and long sums commute, so results are
+    # bit-exact regardless of partitioning
+    base_units = PR_UNIT * (100 - damping_pct) // 100
+    pr = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("rank"))
+    pr = pr.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            ed.join(pr, ed.u == pr.node)
+            .select("v", F.expr("rank div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.v, "left").select(
+            "node",
+            (
+                F.lit(base_units).cast("long")
+                + F.expr(f"(coalesce(inflow, 0L) * {damping_pct}) div 100")
+            ).alias("rank"),
+        )
+        pr = pr.localCheckpoint(eager=True)
+    return pr
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -3267,6 +3267,41 @@ def dedup_clusters(spark, sf_dir):
     return minhash_dup_clusters(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
 
 
+def _doc_centrality_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import doc_centrality_ref
+
+    return doc_centrality_ref(sf_dir)
+
+
+@register_extra(
+    "doc_centrality",
+    None,
+    tags=("ext-dedup", "ext-graph"),
+    py_oracle=_doc_centrality_py_oracle,
+    bench=False,
+)
+def doc_centrality(spark, sf_dir):
+    """Similarity-graph centrality for keep-BEST canonical selection:
+    real dedup pipelines keep the most representative member of a
+    near-dup cluster, not the minimum id — centrality in the similarity
+    graph is that signal. Edges are the exact n-gram Jaccard pairs at
+    t=0.5; ranks come from deterministic FIXED-POINT PageRank
+    (operators/graph.py: integer micro-units, `div`-only arithmetic —
+    aggregation-order-free, so the pure-Python reference matches to the
+    last unit; float PageRank could never be value-gated). Same
+    loop/checkpoint machinery as connected components: one join + one
+    map-side-combined aggregate per round. No SQL oracle: DuckDB's
+    recursive CTEs accumulate rows and cannot express iterative rank
+    replacement; the py-reference replays the identical pair filter and
+    integer math instead (OK-PYREF full value check)."""
+    from flink_playground_spark.functions.dedupe import ngram_jaccard_pairs
+    from flink_playground_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return pagerank(pairs, "id_a", "id_b").select(F.col("node").alias("doc_id"), "rank")
+
+
 _QUALITY_SIGNALS_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS tf

@@ -113,3 +113,33 @@ def test_string_node_ids(spark):
     df = spark.createDataFrame([("b", "c"), ("a", "b")], "src string, dst string")
     out = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert out == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_fixed_point_pagerank_matches_python_and_is_deterministic(spark):
+    """Integer fixed-point power iteration == a pure-Python replica on a
+    small graph (star + path + isolated pair); two runs identical."""
+    from flink_playground_spark.operators.graph import PR_UNIT, pagerank
+
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    base = PR_UNIT * 15 // 100
+    pr = {v: PR_UNIT for v in nodes}
+    for _ in range(10):
+        inflow = dict.fromkeys(nodes, 0)
+        for u in nodes:
+            c = pr[u] // len(adj[u])
+            for v in adj[u]:
+                inflow[v] += c
+        pr = {v: base + (inflow[v] * 85) // 100 for v in nodes}
+
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == pr
+    assert got[0] > got[1]  # the star center out-ranks its leaves
+    again = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert again == got
