@@ -86,7 +86,20 @@ def main() -> None:
     total = st.read(spark).agg(F.sum("n")).first()[0]
     print(f"replayed batch applied={replay}; state rows total n={total}")
     assert replay is False and total == events.count()
-    print("day-2 loop complete: observe -> compact -> snapshot -> exactly-once agg")
+
+    # 5. rescale the state's bucket count (savepoint rescale-on-restore):
+    # the stream outgrew 8 buckets; rewrite under 32 in one transaction.
+    # Content, totals, and the replay ledger all survive — the replayed
+    # batch is STILL a no-op afterwards.
+    st.rebucket(spark, 32)
+    still_skipped = st.merge_aggregate("ingestq", 1, partials(w1), agg)
+    total2 = st.read(spark).agg(F.sum("n")).first()[0]
+    print(f"rescaled 8->32 buckets; replay skipped={not still_skipped}; n={total2}")
+    assert still_skipped is False and total2 == total
+    print(
+        "day-2 loop complete: observe -> compact -> snapshot -> "
+        "exactly-once agg -> rescale"
+    )
 
 
 if __name__ == "__main__":
