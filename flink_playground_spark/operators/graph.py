@@ -100,8 +100,14 @@ def _partition_union_find(e: DataFrame, nparts: int) -> DataFrame:
         nodes = list(parent)
         yield pd.DataFrame({"node": nodes, "label": [find(x) for x in nodes]})
 
-    if e.rdd.getNumPartitions() > nparts:
-        e = e.coalesce(nparts)
+    cur = e.rdd.getNumPartitions()
+    if cur > nparts:
+        e = e.coalesce(nparts)  # narrow, no shuffle
+    elif cur < nparts:
+        # a huge edge set can arrive in few partitions (e.g. few large
+        # input files): spread it so no union-find task exceeds the
+        # per-partition budget — this shuffle replaces loop rounds
+        e = e.repartition(nparts)
     return e.mapInPandas(run, out_schema)
 
 

@@ -119,9 +119,12 @@ class LateDataWindowCounts:
             side = with_win.filter(beyond).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
             ).withColumn("watermark", wm_lit)
-        if side is not None:
+        if side is not None and side.limit(1).count() > 0:
             # per-batch-id dir + overwrite: a replayed batch rewrites its
-            # own side files instead of appending duplicates
+            # own side files instead of appending duplicates. A batch
+            # with no late rows writes nothing — an empty parquet dir
+            # has no inferable schema and would break read_side (the
+            # decision is deterministic per batch, so replays agree).
             side.write.mode("overwrite").parquet(f"{self.path}/side/b{batch_id}")
         partials = admitted.groupBy("window_start", "window_end", *self.keys).agg(
             F.count(F.lit(1)).cast("long").alias("cnt")

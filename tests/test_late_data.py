@@ -63,7 +63,9 @@ def test_side_routing_and_lateness_refinement(spark, tmp_path):
 
 def test_redelivered_batch_is_noop(spark, tmp_path):
     agg = LateDataWindowCounts(str(tmp_path), keys=("k",), window="1 hour", delay_s=0)
-    b0 = _batch(spark, [(1, 5, "a"), (2, 10, "a")])
+    # batch 0 reaches minute 70 -> watermark 01:10; batch 1's minute-15
+    # row closed its [00:00, 01:00) window behind it -> sided
+    b0 = _batch(spark, [(1, 5, "a"), (2, 70, "a")])
     b1 = _batch(spark, [(3, 200, "a"), (4, 15, "a")])
     agg.apply_batch(b0, 0)
     agg.apply_batch(b1, 1)
@@ -74,6 +76,17 @@ def test_redelivered_batch_is_noop(spark, tmp_path):
     agg.apply_batch(b1, 1)
     assert _counts(agg, spark) == before_counts
     assert sorted(r["event_id"] for r in agg.read_side(spark).collect()) == before_side
+
+
+def test_batch_with_no_late_rows_does_not_break_side_reads(spark, tmp_path):
+    # batch 1 is entirely on time (no side rows -> no side dir written);
+    # batch 2 has a late row. read_side must return exactly that row
+    # instead of choking on an empty batch-1 directory.
+    agg = LateDataWindowCounts(str(tmp_path), keys=("k",), window="1 hour", delay_s=0)
+    agg.apply_batch(_batch(spark, [(1, 60, "a")]), 0)
+    agg.apply_batch(_batch(spark, [(2, 70, "a")]), 1)  # on time, wm 01:00
+    agg.apply_batch(_batch(spark, [(3, 5, "a")]), 2)  # late, wm 01:10
+    assert [r["event_id"] for r in agg.read_side(spark).collect()] == [3]
 
 
 def test_watermark_uses_only_prior_batches(spark, tmp_path):
