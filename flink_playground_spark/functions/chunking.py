@@ -93,6 +93,57 @@ def chunk_fingerprints(
     )
 
 
+def dedup_chunks_within_doc(
+    df: DataFrame, id_col: str, text_col: str, boundary_prefix: str = "0"
+) -> DataFrame:
+    """Intra-document repetition removal — the C4/Gopher cleaning step
+    that drops passages repeated INSIDE one page (boilerplate blocks,
+    scraper stutter), content-defined instead of line-based so it works
+    on corpora without line structure and survives token-offset shifts.
+
+    Per document: content-defined chunks (same boundary rule as
+    chunk_fingerprints), keep each distinct chunk's FIRST occurrence
+    (min chunk_id per (doc, fp)), reconstruct the cleaned text from the
+    kept chunks' tokens in original order.
+
+    Returns ``(id, cleaned_text, n_chunks, n_kept)`` — ``n_chunks ==
+    n_kept`` means the doc had no internal repetition and cleaned_text
+    is the whitespace-normalized original. Cost shape: the chunk
+    machinery's one window + bounded per-chunk collects, one extra
+    aggregate for first-occurrence, and a per-doc ordered rebuild whose
+    collect is bounded by document length (the same bound tokenization
+    already implies)."""
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix)
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"]
+        ),
+        " ",
+    )
+    fps = chunked.groupBy(id_col, "chunk_id").agg(
+        F.md5(chunk_text.cast("binary")).alias("chunk_fp")
+    )
+    kept = fps.groupBy(id_col, "chunk_fp").agg(F.min("chunk_id").alias("chunk_id"))
+    cleaned = (
+        chunked.join(kept, [id_col, "chunk_id"])
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count_distinct("chunk_id").cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    return cleaned.join(totals, id_col).select(
+        id_col, "cleaned_text", "n_chunks", "n_kept"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

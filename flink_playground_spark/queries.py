@@ -3267,6 +3267,46 @@ def dedup_clusters(spark, sf_dir):
     return minhash_dup_clusters(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
 
 
+@register_extra(
+    "intradoc_chunk_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> {'p': i, 'term': t[i]})) AS u FROM toks),
+pt AS (SELECT doc_id, u.p AS pos, u.term AS term FROM pos WHERE u.term <> ''),
+ch AS (SELECT doc_id, pos, term,
+              SUM(CASE WHEN md5(term) LIKE '0%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
+       FROM pt),
+fps AS (SELECT doc_id, chunk_id, md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_fp
+        FROM ch GROUP BY 1, 2),
+kept AS (SELECT doc_id, chunk_fp, min(chunk_id) AS chunk_id FROM fps GROUP BY 1, 2),
+clean AS (SELECT ch.doc_id, string_agg(ch.term, ' ' ORDER BY ch.pos) AS cleaned_text,
+                 CAST(count(DISTINCT ch.chunk_id) AS BIGINT) AS n_kept
+          FROM ch JOIN kept ON ch.doc_id = kept.doc_id AND ch.chunk_id = kept.chunk_id
+          GROUP BY 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM fps GROUP BY 1)
+SELECT clean.doc_id, cleaned_text, tot.n_chunks, n_kept
+FROM clean JOIN tot USING (doc_id)
+""",
+    tags=("ext-text", "ext-dedup"),
+    bench=False,
+)
+def intradoc_chunk_dedup(spark, sf_dir):
+    """Intra-document repetition removal (C4/Gopher 'repeated passage'
+    cleaning, content-defined): drop later occurrences of chunks
+    repeated INSIDE one document and rebuild the cleaned text in
+    original order (functions/chunking.py: dedup_chunks_within_doc).
+    Complements chunk_dedup, which finds passages shared ACROSS
+    documents. On this synthetic corpus most docs have no internal
+    repetition (n_kept == n_chunks; the oracle still verifies the full
+    reconstruction byte-for-byte); the dropping branch is pinned by a
+    crafted-passage golden in tests/test_sampling.py."""
+    from flink_playground_spark.functions.chunking import dedup_chunks_within_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_chunks_within_doc(docs, "doc_id", "text")
+
+
 def _doc_centrality_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import doc_centrality_ref
 

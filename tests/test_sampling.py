@@ -232,3 +232,33 @@ def test_curriculum_packed_export(spark, sf_dir, tmp_path):
     # shard membership on disk == the packing assignment
     back = spark.read.parquet(out).groupBy("bin_id").count().collect()
     assert {r.bin_id: r["count"] for r in back} == {b: n for b, (_, n) in stats.items()}
+
+
+def test_intradoc_chunk_dedup_drops_repeated_passage(spark):
+    """A doc that repeats a passage verbatim loses the second occurrence;
+    the first occurrence and surrounding text survive in order. A doc
+    without repetition round-trips to its whitespace-normalized self."""
+    from flink_playground_spark.functions.chunking import (
+        chunk_fingerprints,
+        dedup_chunks_within_doc,
+    )
+    from flink_playground_spark.sources.memory import from_rows
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    clean_doc = "one two three four five six seven"
+    rows = [(1, f"{passage}{passage}tail marker"), (2, clean_doc)]
+    docs = from_rows(spark, rows, ["doc_id", "text"], [int, str])
+
+    out = {r["doc_id"]: r for r in dedup_chunks_within_doc(docs, "doc_id", "text").collect()}
+    assert out[2]["cleaned_text"] == clean_doc
+    assert out[2]["n_kept"] == out[2]["n_chunks"]
+
+    d1 = out[1]
+    assert d1["n_kept"] < d1["n_chunks"]
+    assert d1["cleaned_text"].endswith("tail marker")
+    # the cleaned text's chunks are now all distinct
+    cleaned_df = from_rows(
+        spark, [(1, d1["cleaned_text"])], ["doc_id", "text"], [int, str]
+    )
+    fps = chunk_fingerprints(cleaned_df, "doc_id", "text").toPandas()
+    assert fps["chunk_fp"].is_unique
