@@ -139,6 +139,36 @@ def sessionize(
     )
 
 
+def sessionize_dynamic(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    gap_seconds: Column,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Flink's DYNAMIC session gap (a gap extractor per element; Spark's
+    ``session_window`` takes the same per-row gap expression): each
+    event proposes its own window ``[ts, ts + gap)`` and sessions are
+    the connected overlap components — a purchase can hold a session
+    open for hours while clicks time out in minutes.
+
+    Construction (keeps the event rows, which the aggregation-shaped
+    native form does not): per key, order by (ts, tiebreakers), running
+    max of PREVIOUS events' window ends; a new session starts when
+    ``ts >= that max`` (half-open windows: an event exactly at the
+    previous end does not overlap). One shuffle+sort per key, same cost
+    shape as fixed-gap sessionize. ``gap_seconds`` is a Column in
+    seconds (may reference any event attribute)."""
+    w = Window.partitionBy(*keys).orderBy(time_col, *tiebreakers)
+    win_end = F.col(time_col) + F.make_interval(secs=gap_seconds)
+    prev_end = F.max(win_end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prev_end.isNull() | (F.col(time_col) >= prev_end), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def row_number_ranked(df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
     """A1: append ``rownum`` ranking within partitions."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)

@@ -3268,6 +3268,43 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register_extra(
+    "sessionize_dynamic_gap",
+    """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN event_type IN ('purchase', 'signup') THEN 7200 ELSE 1800 END AS gap_s
+           FROM events),
+x AS (SELECT *, ts + gap_s * INTERVAL '1 second' AS win_end FROM e),
+y AS (SELECT *, max(win_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM x)
+SELECT event_id, user_id, event_type, ts,
+       CAST(SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM y
+""",
+    tags=("T10", "ext-temporal"),
+    bench=False,
+)
+def sessionize_dynamic_gap(spark, sf_dir):
+    """Dynamic per-event session gaps (Flink's gap extractor /
+    ``SessionWindowTimeGapExtractor``): purchases and signups hold a
+    user's session open for 2 hours, clicks/views/errors for 30
+    minutes. Sessions are the overlap components of the per-event
+    windows [ts, ts+gap) — operators/windows.py: sessionize_dynamic
+    (running-max-of-ends construction, one shuffle+sort per user; the
+    oracle replays the identical interval-union in SQL window
+    functions)."""
+    from flink_playground_spark.operators.windows import sessionize_dynamic
+
+    events = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type").isin("purchase", "signup"), 7200).otherwise(1800)
+    out = sessionize_dynamic(
+        events, ["user_id"], "ts", gap.cast("double"), tiebreakers=("event_id",)
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "session_id")
+
+
+@register_extra(
     "intradoc_chunk_dedup",
     """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

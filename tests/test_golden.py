@@ -154,6 +154,33 @@ def test_tumble_offset_shifts_alignment(spark):
     assert got == {("23:59:30", 1), ("00:00:30", 2)}
 
 
+def test_sessionize_dynamic_gap_golden(spark):
+    """Per-event gaps: a purchase (2h gap) holds the session open across
+    a silence that would split click-only (30min gap) traffic; an event
+    landing exactly at the previous window's end starts a NEW session
+    (half-open windows)."""
+    from flink_playground_spark.operators.windows import sessionize_dynamic
+
+    rows = [
+        (1, "u", "click", datetime(2024, 1, 1, 0, 0)),      # end 00:30
+        (2, "u", "purchase", datetime(2024, 1, 1, 0, 10)),  # end 02:10 holds open
+        (3, "u", "click", datetime(2024, 1, 1, 1, 30)),     # < 02:10: same session
+        (4, "u", "click", datetime(2024, 1, 1, 2, 10)),     # == max end: NEW session
+        (5, "v", "click", datetime(2024, 1, 1, 0, 0)),      # end 00:30
+        (6, "v", "click", datetime(2024, 1, 1, 1, 0)),      # past it: new session
+    ]
+    df = from_rows(
+        spark, rows, ["event_id", "user", "etype", "ts"], [int, str, str, "timestamp_ntz"]
+    )
+    gap = F.when(F.col("etype") == "purchase", 7200).otherwise(1800)
+    out = sessionize_dynamic(df, ["user"], "ts", gap.cast("double"), tiebreakers=("event_id",))
+    got = {r.event_id: (r.user, r.session_id) for r in out.collect()}
+    assert got == {
+        1: ("u", 1), 2: ("u", 1), 3: ("u", 1), 4: ("u", 2),
+        5: ("v", 1), 6: ("v", 2),
+    }
+
+
 def test_table_api_fluent(spark):
     """TableAPIJob.java:85-90 via the fluent Table façade."""
     _people(spark).createOrReplaceTempView("people")
