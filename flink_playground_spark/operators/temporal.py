@@ -257,3 +257,60 @@ def _as_of_broadcast(
         *left.columns,
         *[F.col(f"__best.__p.{c}").alias(out_names[c]) for c in payload_cols],
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    step: str = "1 hour",
+    value_cols: Sequence[str] | None = None,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-interval resampling with last-observation-carried-forward —
+    the gap-filling step between an irregular event stream and anything
+    that wants a regular time series (feature grids, charting, joins on
+    aligned timestamps).
+
+    Per key: a grid of ``step``-aligned points spanning the key's
+    observed range (``F.window(...).start`` alignment, so engine-
+    portable bucket boundaries), then the as-of join attaches the
+    latest observation at or before each grid point — carried forward
+    through gaps, NULL before the first observation (the grid starts at
+    the bucket floor of the first one). Ties on the observation time
+    resolve by the greatest ``tiebreakers``.
+
+    Cost shape: one aggregate for per-key bounds, a scan-local
+    ``sequence``/``explode`` for the grid (rows ∝ span/step per key,
+    never a cross join), and the union-sort as-of (one shuffle of grid
+    + observations on the key). At 100 TB the grid side is tiny
+    relative to events and co-shuffles with them.
+    """
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in df.columns if c not in keys and c != time_col]
+    )
+    # bucket the observations FIRST (one window expression — Spark
+    # rejects two in one plan), so per-key min/max are already aligned
+    bucketed = df.select(*keys, F.window(F.col(time_col), step).start.alias("__b"))
+    bounds = bucketed.groupBy(*keys).agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+    extra = [t for t in tiebreakers if t not in value_cols and t != time_col]
+    obs = df.select(*keys, time_col, *value_cols, *extra)
+    return as_of_join(
+        grid,
+        obs,
+        [(k, k) for k in keys],
+        "grid_ts",
+        time_col,
+        how="left",
+        right_tiebreakers=tiebreakers,
+    )

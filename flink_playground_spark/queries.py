@@ -3268,6 +3268,54 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register_extra(
+    "resample_locf_purchases",
+    """
+WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+            WHERE event_type = 'purchase'),
+p AS (SELECT user_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM p0) t WHERE rn = 1),
+b AS (SELECT user_id, time_bucket(INTERVAL '6 hours', min(ts)) AS mn,
+             time_bucket(INTERVAL '6 hours', max(ts)) AS mx FROM p GROUP BY 1),
+g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '6 hours')) AS grid_ts FROM b)
+SELECT g.user_id, g.grid_ts, p.value AS last_value, p.ts AS last_obs_ts
+FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND p.ts <= g.grid_ts
+""",
+    tags=("ext-temporal",),
+    bench=False,
+)
+def resample_locf_purchases(spark, sf_dir):
+    """Gap-filled regular time series from an irregular stream: each
+    user's purchase `value` resampled onto a 6-hour grid with
+    last-observation-carried-forward (operators/temporal.py:
+    resample_locf — per-key bounds, scan-local sequence/explode grid,
+    union-sort as-of). NULL before a user's first purchase (grid starts
+    at the bucket floor). Oracle: DuckDB generate_series + ASOF LEFT
+    JOIN over the identically tie-deduped observations; 6-hour
+    time_bucket and Spark window() share epoch-divisible boundaries."""
+    from flink_playground_spark.operators.temporal import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = resample_locf(
+        purchases,
+        ["user_id"],
+        "ts",
+        step="6 hours",
+        value_cols=["value"],
+        tiebreakers=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_obs_ts"),
+    )
+
+
+@register_extra(
     "sessionize_dynamic_gap",
     """
 WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,

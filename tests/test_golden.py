@@ -154,6 +154,30 @@ def test_tumble_offset_shifts_alignment(spark):
     assert got == {("23:59:30", 1), ("00:00:30", 2)}
 
 
+def test_resample_locf_golden(spark):
+    """Gap-filling semantics: values carry forward through empty buckets,
+    the grid starts at the bucket floor of the first observation (NULL
+    there if the observation isn't exactly on the boundary... it is
+    here, so filled), ties on observation time resolve by tiebreaker."""
+    from flink_playground_spark.operators.temporal import resample_locf
+
+    rows = [
+        (1, "u", datetime(2024, 1, 1, 1, 0), 10.0),
+        (2, "u", datetime(2024, 1, 1, 1, 0), 20.0),   # tie: higher id wins
+        (3, "u", datetime(2024, 1, 1, 4, 30), 30.0),  # lands inside bucket 04:00
+    ]
+    df = from_rows(
+        spark, rows, ["event_id", "k", "ts", "value"], [int, str, "timestamp_ntz", float]
+    )
+    out = resample_locf(
+        df, ["k"], "ts", step="1 hour", value_cols=["value"], tiebreakers=("event_id",)
+    )
+    got = {r.grid_ts.hour: r.value for r in out.collect()}
+    # buckets 01..04; 02/03 carry the tie-winner forward; 04 precedes the
+    # 04:30 observation, so it still carries 20.0
+    assert got == {1: 20.0, 2: 20.0, 3: 20.0, 4: 20.0}
+
+
 def test_sessionize_dynamic_gap_golden(spark):
     """Per-event gaps: a purchase (2h gap) holds the session open across
     a silence that would split click-only (30min gap) traffic; an event
