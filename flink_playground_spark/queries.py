@@ -3268,6 +3268,112 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register_extra(
+    "retention_cohorts",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+first_seen AS (SELECT user_id, time_bucket(INTERVAL '7 days', min(ts), TIMESTAMP '1970-01-01 00:00:00') AS cohort_week FROM e GROUP BY 1),
+activity AS (SELECT DISTINCT user_id, time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01 00:00:00') AS active_week FROM e),
+joined AS (SELECT f.cohort_week,
+                  CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+                  a.user_id
+           FROM first_seen f JOIN activity a USING (user_id)),
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY 1)
+SELECT j.cohort_week, j.week_offset,
+       CAST(count(DISTINCT j.user_id) AS BIGINT) AS active_users,
+       s.cohort_size,
+       ROUND(count(DISTINCT j.user_id) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM joined j JOIN sizes s USING (cohort_week)
+GROUP BY 1, 2, s.cohort_size
+""",
+    tags=("ext-analytics",),
+    bench=False,
+)
+def retention_cohorts(spark, sf_dir):
+    """Classic cohort retention matrix: users grouped by first-activity
+    week, fraction still active N weeks later. Two hash aggregates
+    (first-seen per user, distinct user-weeks) + one equi-join on
+    user_id — cohort_size broadcasts back over the matrix. Week buckets
+    via the same 7-day tumbling window on both engines (epoch-aligned
+    boundaries, so time_bucket and window() agree)."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.window(F.col("ts"), "7 days").start
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("__first"))
+    first_seen = first_seen.select(
+        "user_id", F.window(F.col("__first"), "7 days").start.alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    joined = first_seen.join(activity, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register_extra(
+    "event_transition_matrix",
+    """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+seq AS (SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM e),
+cnt AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n) AS total FROM cnt GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND(c.n / CAST(t.total AS DOUBLE), 6) AS p
+FROM cnt c JOIN tot t USING (from_type)
+""",
+    tags=("ext-analytics",),
+    bench=False,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the path-analysis primitive behind Sankey funnels and
+    next-action models): P(next event type | current), estimated from
+    lead() pairs. One shuffle+sort per user for the sequence, one hash
+    aggregate for the matrix; row totals broadcast back for the
+    probabilities. Deterministic tie-break on (ts, event_id) keeps the
+    pair stream identical across engines. (Cohort note: the weekly
+    buckets in retention_cohorts pass an explicit 1970-01-01 origin to
+    DuckDB's time_bucket — its default weekly origin is 2000-01-03,
+    a Monday, while Spark's window() aligns to the epoch.)"""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("p"),
+    )
+
+
+@register_extra(
     "resample_locf_purchases",
     """
 WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
