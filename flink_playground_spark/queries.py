@@ -3268,6 +3268,69 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register_extra(
+    "value_drift_psi",
+    """
+WITH e AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+                  CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00' AS is_b
+           FROM events),
+c AS (SELECT bucket,
+             SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_b
+      FROM e GROUP BY 1),
+t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS nb FROM c),
+p AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             (n_a + 1) / CAST(t.ta + t.nb AS DOUBLE) AS pa,
+             (n_b + 1) / CAST(t.tb + t.nb AS DOUBLE) AS pb
+      FROM c, t)
+SELECT bucket, n_a, n_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+       ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term
+FROM p
+""",
+    tags=("ext-analytics", "ext-quality"),
+    bench=False,
+)
+def value_drift_psi(spark, sf_dir):
+    """Population Stability Index terms for the event `value`
+    distribution, first half of the corpus month vs second — the
+    standard numeric drift monitor beside the text-drift corpus
+    signatures. Fixed-width buckets (deterministic, unlike sample
+    quantile edges) with add-one smoothing so empty buckets contribute
+    finite terms; per-bucket PSI terms are the audit trail, their sum
+    the alarm metric. One scan, one hash aggregate, totals broadcast
+    back."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value") / 10).cast("bigint").alias("bucket"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")).alias("is_b"),
+    )
+    c = e.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    t = c.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"), F.count(F.lit(1)).alias("nb")
+    )
+    p = c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") + 1) / (F.col("ta") + F.col("nb")).cast("double")).alias("pa"),
+        ((F.col("n_b") + 1) / (F.col("tb") + F.col("nb")).cast("double")).alias("pb"),
+    )
+    return p.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round("pa", 6).alias("p_a"),
+        F.round("pb", 6).alias("p_b"),
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6).alias(
+            "psi_term"
+        ),
+    )
+
+
+@register_extra(
     "retention_cohorts",
     """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
