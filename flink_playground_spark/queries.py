@@ -3268,6 +3268,51 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register_extra(
+    "streaming_retractable_agg",
+    """
+WITH wa AS (SELECT event_type, value FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM wa GROUP BY 1
+""",
+    tags=("T6", "ext-streaming"),
+    bench=False,
+)
+def streaming_retractable_agg(spark, sf_dir):
+    """The consuming half of the changelog contract: a continuous
+    GROUP BY over an UPDATING table (per-event-type count + sum(value)
+    of each user's keep-latest row). The keep-latest changelog
+    (+I/-U/+U, bit-exact Flink ops) feeds a retractable aggregate view
+    (streaming/ivm.py): additions add, retractions subtract, DECIMAL
+    measures make retraction exact, TransactionalKeyState makes replay
+    a no-op. The drained view must equal the batch GROUP BY over the
+    deduplicated table — Flink's materialized-view guarantee, verified
+    by this oracle."""
+    import tempfile
+
+    from flink_playground_spark.streaming.changelog import keep_latest_changelog_stream
+    from flink_playground_spark.streaming.ivm import RetractableAggView
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    stream = replay_events_waves(spark, sf_dir, waves=2).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    log = keep_latest_changelog_stream(stream, "user_id", "ts", tiebreakers=("event_id",))
+    view = RetractableAggView(
+        tempfile.mkdtemp(prefix="fps_ivm_"), ["event_type"], ["value"]
+    )
+    bids = sorted(r[0] for r in log.select("batch_id").distinct().collect())  # = waves
+    for bid in bids:
+        view.apply_batch(log.filter(F.col("batch_id") == bid), int(bid))
+    return view.read(spark).select(
+        "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+@register_extra(
     "value_drift_psi",
     """
 WITH e AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,

@@ -1,0 +1,60 @@
+"""Retractable aggregates (streaming/ivm.py): additions add,
+retractions subtract exactly, emptied groups vanish and can resurrect,
+replays are no-ops, tombstone pruning is invisible to reads."""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from flink_playground_spark.streaming.ivm import RetractableAggView
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(rows, "op string, g string, v double")
+
+
+def _view(agg, spark):
+    df = agg.read(spark)
+    if df is None:
+        return {}
+    return {r["g"]: (r["cnt"], r["sum_v"]) for r in df.collect()}
+
+
+def test_retraction_lifecycle(spark, tmp_path):
+    agg = RetractableAggView(str(tmp_path), ["g"], ["v"], scale=2)
+    # batch 0: two inserts into a, one into b
+    agg.apply_batch(_ops(spark, [("+I", "a", 1.5), ("+I", "a", 2.5), ("+I", "b", 10.0)]), 0)
+    assert _view(agg, spark) == {
+        "a": (2, Decimal("4.00")),
+        "b": (1, Decimal("10.00")),
+    }
+    # batch 1: a's 2.5-row updates to 7.5 (retract old, add new); b deleted
+    agg.apply_batch(_ops(spark, [("-U", "a", 2.5), ("+U", "a", 7.5), ("-D", "b", 10.0)]), 1)
+    assert _view(agg, spark) == {"a": (2, Decimal("9.00"))}
+    # batch 2: b resurrects through its tombstone
+    agg.apply_batch(_ops(spark, [("+I", "b", 3.25)]), 2)
+    assert _view(agg, spark) == {"a": (2, Decimal("9.00")), "b": (1, Decimal("3.25"))}
+
+
+def test_group_migration_via_retract_add(spark, tmp_path):
+    # an update that CHANGES the group key: -U under the old group,
+    # +U under the new — the Flink planner's retract-mode shape
+    agg = RetractableAggView(str(tmp_path), ["g"], ["v"], scale=2)
+    agg.apply_batch(_ops(spark, [("+I", "x", 5.0)]), 0)
+    agg.apply_batch(_ops(spark, [("-U", "x", 5.0), ("+U", "y", 5.0)]), 1)
+    assert _view(agg, spark) == {"y": (1, Decimal("5.00"))}
+
+
+def test_replay_is_noop_and_prune_invisible(spark, tmp_path):
+    agg = RetractableAggView(str(tmp_path), ["g"], ["v"], scale=2)
+    b0 = _ops(spark, [("+I", "a", 1.0), ("+I", "b", 2.0)])
+    b1 = _ops(spark, [("-D", "b", 2.0)])
+    agg.apply_batch(b0, 0)
+    agg.apply_batch(b1, 1)
+    before = _view(agg, spark)
+    # a replayed retraction batch must NOT subtract twice
+    assert agg.apply_batch(b1, 1) is False
+    assert _view(agg, spark) == before == {"a": (1, Decimal("1.00"))}
+    # pruning the b tombstone changes state files, not the view
+    assert agg.prune_tombstones(spark) == 1
+    assert _view(agg, spark) == before
