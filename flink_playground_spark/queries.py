@@ -3313,6 +3313,46 @@ def streaming_retractable_agg(spark, sf_dir):
 
 
 @register_extra(
+    "streaming_retractable_minmax",
+    """
+WITH wa AS (SELECT event_type, value FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1)
+SELECT event_type, min(value) AS min_value, max(value) AS max_value
+FROM wa GROUP BY 1
+""",
+    tags=("T6", "ext-streaming"),
+    bench=False,
+)
+def streaming_retractable_minmax(spark, sf_dir):
+    """Retract-mode MIN/MAX — the textbook NON-retractable aggregates:
+    when the retracted row WAS the extremum, a signed scalar cannot
+    recover the runner-up, so state must hold the per-group value
+    multiset ((group, value) -> live count; streaming/ivm.py:
+    RetractableMinMaxView), exactly how Flink's retract-mode min/max
+    keeps value state. Same keep-latest changelog input as the sum view;
+    the oracle checks the drained view equals batch MIN/MAX over the
+    deduplicated table."""
+    import tempfile
+
+    from flink_playground_spark.streaming.changelog import keep_latest_changelog_stream
+    from flink_playground_spark.streaming.ivm import RetractableMinMaxView
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    stream = replay_events_waves(spark, sf_dir, waves=2).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    log = keep_latest_changelog_stream(stream, "user_id", "ts", tiebreakers=("event_id",))
+    view = RetractableMinMaxView(
+        tempfile.mkdtemp(prefix="fps_ivm_mm_"), ["event_type"], "value"
+    )
+    for bid in sorted(r[0] for r in log.select("batch_id").distinct().collect()):
+        view.apply_batch(log.filter(F.col("batch_id") == bid), int(bid))
+    return view.read(spark)
+
+
+@register_extra(
     "value_drift_psi",
     """
 WITH e AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,

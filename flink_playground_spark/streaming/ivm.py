@@ -96,3 +96,59 @@ class RetractableAggView:
     def prune_tombstones(self, spark: SparkSession) -> int:
         """Drop zero-count groups from state (periodic maintenance)."""
         return self.state.prune(spark, F.col("cnt") == 0)
+
+
+class RetractableMinMaxView:
+    """Continuous ``GROUP BY g: min(v), max(v)`` over a changelog.
+
+    MIN/MAX are the textbook NON-retractable aggregates: a signed
+    partial cannot undo "the retracted row WAS the minimum" — the
+    engine must remember enough to find the runner-up, which is why
+    Flink's retract-mode min/max keeps per-group value state rather
+    than a scalar. Here the state is the value MULTISET as
+    ``(group, value) -> live count`` rows (the standard formulation):
+    an op just increments/decrements its value's count (same signed
+    fold, same exactly-once store), and min/max are computed on read
+    over values with count > 0 — one hash aggregate over state rows,
+    which number distinct (group, value) pairs, not stream history.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        group_cols: Sequence[str],
+        value_col: str,
+        op_col: str = "op",
+        n_buckets: int = 8,
+        writer_id: str = "ivm-minmax",
+    ):
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.op_col = op_col
+        self.writer_id = writer_id
+        self.state = TransactionalKeyState(path, [*self.group_cols, value_col], n_buckets)
+
+    def apply_batch(self, ops: DataFrame, batch_id: int) -> bool:
+        sign = F.when(F.col(self.op_col).isin(*_ADD_OPS), 1).otherwise(-1)
+        partials = ops.groupBy(*self.group_cols, self.value_col).agg(
+            F.sum(sign).cast("long").alias("cnt")
+        )
+        return self.state.merge_aggregate(
+            self.writer_id, batch_id, partials, [F.sum("cnt").cast("long").alias("cnt")]
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        st = self.state.read(spark)
+        if st is None:
+            return None
+        return (
+            st.filter(F.col("cnt") > 0)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.min(self.value_col).alias(f"min_{self.value_col}"),
+                F.max(self.value_col).alias(f"max_{self.value_col}"),
+            )
+        )
+
+    def prune_tombstones(self, spark: SparkSession) -> int:
+        return self.state.prune(spark, F.col("cnt") == 0)

@@ -58,3 +58,26 @@ def test_replay_is_noop_and_prune_invisible(spark, tmp_path):
     # pruning the b tombstone changes state files, not the view
     assert agg.prune_tombstones(spark) == 1
     assert _view(agg, spark) == before
+
+
+def test_minmax_retraction_recovers_runner_up(spark, tmp_path):
+    """The case signed scalars cannot handle: retracting the current
+    minimum must surface the runner-up; duplicates of the extremum
+    retract one at a time."""
+    from flink_playground_spark.streaming.ivm import RetractableMinMaxView
+
+    agg = RetractableMinMaxView(str(tmp_path), ["g"], "v")
+    agg.apply_batch(_ops(spark, [("+I", "a", 1.0), ("+I", "a", 1.0), ("+I", "a", 5.0)]), 0)
+    got = {r["g"]: (r["min_v"], r["max_v"]) for r in agg.read(spark).collect()}
+    assert got == {"a": (1.0, 5.0)}
+    # retract ONE copy of the min: the other copy still holds it
+    agg.apply_batch(_ops(spark, [("-D", "a", 1.0)]), 1)
+    got = {r["g"]: (r["min_v"], r["max_v"]) for r in agg.read(spark).collect()}
+    assert got == {"a": (1.0, 5.0)}
+    # retract the last copy: runner-up 5.0 becomes min; replay is a no-op
+    b2 = _ops(spark, [("-D", "a", 1.0)])
+    agg.apply_batch(b2, 2)
+    assert agg.apply_batch(b2, 2) is False
+    got = {r["g"]: (r["min_v"], r["max_v"]) for r in agg.read(spark).collect()}
+    assert got == {"a": (5.0, 5.0)}
+    assert agg.prune_tombstones(spark) == 1  # the emptied 1.0 row
