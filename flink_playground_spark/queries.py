@@ -3268,6 +3268,50 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register_extra(
+    "streaming_value_drift_psi",
+    """
+WITH e AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket, event_id % 2 = 1 AS is_b
+           FROM events),
+c AS (SELECT bucket,
+             SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_b
+      FROM e GROUP BY 1),
+t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS nb FROM c),
+p AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             (n_a + 1) / CAST(t.ta + t.nb AS DOUBLE) AS pa,
+             (n_b + 1) / CAST(t.tb + t.nb AS DOUBLE) AS pb
+      FROM c, t)
+SELECT bucket, n_a, n_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+       ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term
+FROM p
+""",
+    tags=("ext-streaming", "ext-quality"),
+    bench=False,
+)
+def streaming_value_drift_psi(spark, sf_dir):
+    """The PSI monitor as a WAVE-FOLDED stream (streaming/drift.py):
+    wave 0 freezes the reference histogram, wave 1 accumulates into the
+    live histogram (exactly-once bucket counts), and the PSI terms read
+    from state alone. The oracle recomputes the identical math from the
+    parity split — reference = even event_ids, live = odd."""
+    import tempfile
+
+    from flink_playground_spark.streaming.drift import StreamingDriftMonitor
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    stream = replay_events_waves(spark, sf_dir, waves=2).select("value")
+    mon = StreamingDriftMonitor(tempfile.mkdtemp(prefix="fps_drift_"))
+    q = (
+        stream.writeStream.foreachBatch(lambda b, i: mon.ingest(b, i))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return mon.psi(spark)
+
+
+@register_extra(
     "streaming_retractable_agg",
     """
 WITH wa AS (SELECT event_type, value FROM (

@@ -81,3 +81,21 @@ def test_minmax_retraction_recovers_runner_up(spark, tmp_path):
     got = {r["g"]: (r["min_v"], r["max_v"]) for r in agg.read(spark).collect()}
     assert got == {"a": (5.0, 5.0)}
     assert agg.prune_tombstones(spark) == 1  # the emptied 1.0 row
+
+
+def test_streaming_drift_monitor_replay_and_one_sided_buckets(spark, tmp_path):
+    """Reference freezes at batch 0; a redelivered live wave must not
+    shift the live histogram; buckets present on only one side get the
+    smoothed floor instead of vanishing."""
+    from flink_playground_spark.streaming.drift import StreamingDriftMonitor
+
+    mon = StreamingDriftMonitor(str(tmp_path), bucket_width=10.0)
+    ref = spark.createDataFrame([(5.0,), (15.0,), (15.0,)], "value double")
+    live = spark.createDataFrame([(15.0,), (95.0,)], "value double")
+    assert mon.ingest(ref, 0) is True
+    assert mon.ingest(live, 1) is True
+    assert mon.ingest(live, 1) is False  # replay: no double count
+    rows = {r["bucket"]: (r["n_a"], r["n_b"]) for r in mon.psi(spark).collect()}
+    assert rows == {0: (1, 0), 1: (2, 1), 9: (0, 1)}
+    terms = [r["psi_term"] for r in mon.psi(spark).collect()]
+    assert all(t is not None for t in terms)  # smoothing keeps ln finite
