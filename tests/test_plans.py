@@ -315,6 +315,7 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         "corpus_similarity": 1,  # 20-source pair generator, broadcast side
         "streaming_corpus_similarity": 1,  # same pair generator over drained state
         "value_drift_psi": 1,  # one-row totals aggregate broadcast into the buckets
+        "streaming_value_drift_psi": 1,  # same one-row totals broadcast, over state
     }
     bad = {}
     for name, q in {**REGISTRY, **EXTRA_REGISTRY}.items():
