@@ -113,7 +113,11 @@ def dedup_chunks_within_doc(
     aggregate for first-occurrence, and a per-doc ordered rebuild whose
     collect is bounded by document length (the same bound tokenization
     already implies)."""
-    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix)
+    # both the fingerprint branch and the cleaned-text rebuild consume
+    # chunked, and fps feeds two aggregates — persist so the token
+    # explode + running-sum window runs once, not three times (the same
+    # shared-subtree rule the ngram index learned in round 1)
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix).persist()
     chunk_text = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"]
@@ -122,7 +126,7 @@ def dedup_chunks_within_doc(
     )
     fps = chunked.groupBy(id_col, "chunk_id").agg(
         F.md5(chunk_text.cast("binary")).alias("chunk_fp")
-    )
+    ).persist()
     kept = fps.groupBy(id_col, "chunk_fp").agg(F.min("chunk_id").alias("chunk_id"))
     cleaned = (
         chunked.join(kept, [id_col, "chunk_id"])

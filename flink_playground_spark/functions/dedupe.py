@@ -607,7 +607,17 @@ def simhash_pairs(
     formulation — pinned against the brute-force Python reference).
     Buckets still exceeding ``max_bucket`` DISTINCT texts are excluded
     from candidate generation; inspect them with
-    ``lsh_bucket_overflow(simhash_chunks(fp))``."""
+    ``lsh_bucket_overflow(simhash_chunks(fp))``.
+
+    SCALE REGIME (unlike MinHash's 64-bit buckets): each band has only
+    2^16 possible buckets, so by pigeonhole the AVERAGE bucket holds
+    n_distinct/65536 texts — beyond ~65536 x max_bucket (~10^8 at the
+    default cap) distinct texts, healthy buckets saturate the cap and
+    the guard would suppress most candidates. That is SimHash 4x16
+    banding itself running out of selectivity, not a guard artifact:
+    candidate volume per bucket is genuinely quadratic there. Past
+    ~10M-100M distinct texts, shard the corpus (band within shards) or
+    use ``minhash_lsh_pairs``, whose bucket space does not saturate."""
     members, fp, rep_pairs = _simhash_rep_pairs(df, id_col, text_col, max_hamming, max_bucket)
     return expand_rep_pairs(
         members, fp, rep_pairs, with_jaccard=True, value_col="hamming", within_value=0

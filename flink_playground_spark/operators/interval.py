@@ -66,8 +66,10 @@ def interval_join(
     ``lower``/``upper`` are seconds (may be negative) or timedeltas,
     ``lower <= upper``. ``how`` is ``inner`` or ``left`` (unmatched left
     rows survive with NULL right columns — Flink's outer interval join
-    result). Column names of the two inputs must be disjoint; alias
-    before joining. Each qualifying pair is emitted exactly once.
+    result). Join keys may share a name on both sides (USING semantics:
+    the output keeps the left copy); any other shared column name is
+    ambiguous and rejected — alias before joining. Each qualifying pair
+    is emitted exactly once.
     """
     lo, up = _to_micros(lower), _to_micros(upper)
     if lo > up:
@@ -75,17 +77,30 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
     width = up - lo
-    overlap = set(left.columns) & set(right.columns)
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in ([on] if isinstance(on, str) else on)]
+    # USING-style same-name join keys are fine (the right copy is
+    # renamed internally and dropped); any OTHER shared column name is
+    # ambiguous in the output and rejected.
+    join_keys_rhs = {rk for _, rk in pairs}
+    overlap = (set(left.columns) & set(right.columns)) - {
+        rk for lk, rk in pairs if lk == rk
+    }
     if overlap:
         raise ValueError(f"column names must be disjoint, both sides have {sorted(overlap)}")
-
-    pairs = [(k, k) if isinstance(k, str) else k for k in ([on] if isinstance(on, str) else on)]
+    renames = {
+        rk: f"__rk_{i}"
+        for i, (lk, rk) in enumerate(pairs)
+        if rk in left.columns and rk in join_keys_rhs
+    }
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    pairs = [(lk, renames.get(rk, rk)) for lk, rk in pairs]
     key_cond = [left[lk] == right[rk] for lk, rk in pairs]
 
     if width == 0:
         # degenerate band: an exact offset match is a plain equi-join
         cond = key_cond + [right[right_time] == left[left_time] + _ivl(lo)]
-        return left.join(right, cond, how)
+        return left.join(right, cond, how).drop(*renames.values())
 
     w = f"{width} microseconds"
     # left bucket: tumbling window of the band width over the left time
@@ -103,4 +118,4 @@ def interval_join(
     ]
     key_cond = [lb[lk] == rb[rk] for lk, rk in pairs]
     joined = lb.join(rb, key_cond + [lb["__lb"] == rb["__rb"]] + band, how)
-    return joined.drop("__lb", "__rb")
+    return joined.drop("__lb", "__rb", *renames.values())

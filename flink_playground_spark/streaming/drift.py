@@ -71,10 +71,19 @@ class StreamingDriftMonitor:
         live = self.live.read(spark)
         if ref is None or live is None:
             raise RuntimeError("need the reference batch and at least one live wave")
+        # null-safe key equality: a NULL value column yields a NULL
+        # bucket on BOTH sides, which the batch query's GROUP BY merges
+        # into one row — a plain full-outer equi-join would split it
+        # into two and shift every probability
+        a = ref.select(F.col("bucket").alias("__ba"), F.col("n").alias("n_a"))
+        b = live.select(F.col("bucket").alias("__bb"), F.col("n").alias("n_b"))
         c = (
-            ref.select("bucket", F.col("n").alias("n_a"))
-            .join(live.select("bucket", F.col("n").alias("n_b")), "bucket", "full")
-            .fillna(0, ["n_a", "n_b"])
+            a.join(b, a["__ba"].eqNullSafe(b["__bb"]), "full")
+            .select(
+                F.coalesce("__ba", "__bb").alias("bucket"),
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            )
         )
         t = c.agg(
             F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"), F.count(F.lit(1)).alias("nb")

@@ -103,9 +103,12 @@ class LateDataWindowCounts:
     # -- per-batch fold -----------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         win = F.window(F.col(self.ts_col), self.window)
+        # four actions consume this frame per batch (side probe, side
+        # write, count partials, high-water max) — persist so the wave's
+        # input is read once, not per action
         with_win = batch.withColumn("window_start", win.start).withColumn(
             "window_end", win.end
-        )
+        ).persist()
         wm = self._watermark(batch_id)
         if wm is None:
             admitted, side = with_win, None
@@ -132,7 +135,8 @@ class LateDataWindowCounts:
         self.counts.merge_aggregate(
             self.writer_id, batch_id, partials, [F.sum("cnt").cast("long").alias("cnt")]
         )
-        self._record_high_water(batch, batch_id)
+        self._record_high_water(with_win, batch_id)
+        with_win.unpersist()
 
     # -- readers ------------------------------------------------------------
     def read_counts(self, spark: SparkSession) -> DataFrame | None:

@@ -52,6 +52,7 @@ import json
 import os
 import shutil
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +64,28 @@ BUCKET_COL = "__bucket"
 
 class ConcurrentWriteError(RuntimeError):
     """A second writer attempted a merge while one was in flight."""
+
+
+@contextmanager
+def _writer_lock(path: str):
+    """Exclusive non-blocking flock over the store's writer lock file —
+    the single-writer protocol every mutation (merge, prune, rebucket)
+    runs under. Raises ConcurrentWriteError instead of waiting."""
+    import fcntl
+
+    lock = open(f"{path}/.writer.lock", "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        lock.close()
+        raise ConcurrentWriteError(
+            f"another merge holds the writer lock on {path}"
+        ) from None
+    try:
+        yield
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
 
 
 class TransactionalKeyState:
@@ -165,27 +188,14 @@ class TransactionalKeyState:
         )
 
     def _merge(self, writer_id: str, batch_id: int, batch: DataFrame, combine) -> bool:
-        import fcntl
-
         # ENFORCE the single-writer protocol rather than assuming it: two
         # concurrent merges would both read manifest M and the second
         # commit would silently drop the first's bucket pointers. An
         # exclusive flock held across read-manifest..commit makes the
         # overlap a loud error instead (ConcurrentWriteError), which a
         # scheduler-level retry can handle.
-        lock = open(f"{self.path}/.writer.lock", "w")
-        try:
-            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
-            lock.close()
-            raise ConcurrentWriteError(
-                f"another merge holds the writer lock on {self.path}"
-            ) from None
-        try:
+        with _writer_lock(self.path):
             return self._merge_locked(writer_id, batch_id, batch, combine)
-        finally:
-            fcntl.flock(lock, fcntl.LOCK_UN)
-            lock.close()
 
     def _merge_locked(self, writer_id: str, batch_id: int, batch: DataFrame, combine) -> bool:
         manifest = self._manifest()
@@ -237,21 +247,8 @@ class TransactionalKeyState:
         untouched — a replayed wave whose rows were since pruned is
         STILL skipped (retention must not resurrect data through the
         at-least-once path)."""
-        import fcntl
-
-        lock = open(f"{self.path}/.writer.lock", "w")
-        try:
-            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
-            lock.close()
-            raise ConcurrentWriteError(
-                f"another merge holds the writer lock on {self.path}"
-            ) from None
-        try:
+        with _writer_lock(self.path):
             return self._prune_locked(spark, predicate)
-        finally:
-            fcntl.flock(lock, fcntl.LOCK_UN)
-            lock.close()
 
     def _prune_locked(self, spark: SparkSession, predicate: F.Column) -> int:
         manifest = self._manifest()
@@ -313,17 +310,7 @@ class TransactionalKeyState:
 
         Cost: one full-state read + write (state size, not history) —
         a rare maintenance pass, same class as ``prune``."""
-        import fcntl
-
-        lock = open(f"{self.path}/.writer.lock", "w")
-        try:
-            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
-            lock.close()
-            raise ConcurrentWriteError(
-                f"another merge holds the writer lock on {self.path}"
-            ) from None
-        try:
+        with _writer_lock(self.path):
             manifest = self._manifest()
             if new_n_buckets == self.n_buckets:
                 return False
@@ -349,9 +336,6 @@ class TransactionalKeyState:
             if self.retain_txns:
                 self.vacuum(keep_newer_than=txn - self.retain_txns)
             return True
-        finally:
-            fcntl.flock(lock, fcntl.LOCK_UN)
-            lock.close()
 
     def vacuum(self, keep_newer_than: int | None = None) -> int:
         """Delete files no committed bucket version references (orphans of

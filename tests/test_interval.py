@@ -83,6 +83,20 @@ def test_timedelta_bounds_and_validation(spark):
         interval_join(left, left.alias("x"), "k", "lt", "lt", 0, 10)
 
 
+def test_same_name_join_key_using_semantics(spark):
+    """A join key sharing its name on both sides works (USING: output
+    keeps the left copy, one column), in both band widths."""
+    left = spark.createDataFrame([(1, 7, BASE)], "lid long, k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(10, 7, BASE + dt.timedelta(minutes=5))], "rid long, k long, rt timestamp"
+    )
+    out = interval_join(left, right, "k", "lt", "rt", 0, 600)
+    assert out.columns.count("k") == 1
+    assert [(r["lid"], r["rid"], r["k"]) for r in out.collect()] == [(1, 10, 7)]
+    zero = interval_join(left, right, ["k"], "lt", "rt", 300, 300)
+    assert [(r["lid"], r["rid"]) for r in zero.select("lid", "rid").collect()] == [(1, 10)]
+
+
 def test_plan_is_equi_join_on_bucket(spark):
     left, right, _, _ = _frames(spark)
     out = interval_join(left, right, [("k", "rk")], "lt", "rt", 0, 600)

@@ -99,3 +99,16 @@ def test_streaming_drift_monitor_replay_and_one_sided_buckets(spark, tmp_path):
     assert rows == {0: (1, 0), 1: (2, 1), 9: (0, 1)}
     terms = [r["psi_term"] for r in mon.psi(spark).collect()]
     assert all(t is not None for t in terms)  # smoothing keeps ln finite
+
+
+def test_drift_monitor_null_values_match_batch_grouping(spark, tmp_path):
+    """NULL values bucket to NULL; the null-safe join must merge the two
+    sides' NULL buckets into ONE row (as a batch GROUP BY would), not
+    split them."""
+    from flink_playground_spark.streaming.drift import StreamingDriftMonitor
+
+    mon = StreamingDriftMonitor(str(tmp_path), bucket_width=10.0)
+    mon.ingest(spark.createDataFrame([(5.0,), (None,)], "value double"), 0)
+    mon.ingest(spark.createDataFrame([(None,), (None,)], "value double"), 1)
+    rows = {r["bucket"]: (r["n_a"], r["n_b"]) for r in mon.psi(spark).collect()}
+    assert rows == {0: (1, 0), None: (1, 2)}
