@@ -22,3 +22,17 @@ def test_example_runs(job):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "NULL" in proc.stdout  # both jobs print an outer-join NULL row
+
+
+def test_materialized_views_pipeline_runs():
+    """The retraction-contract capstone carries its own equality asserts
+    (views == batch answer, replay applied zero times, rescale intact);
+    a green exit IS the verification."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "pipeline_materialized_views.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "materialized-view loop complete" in proc.stdout
