@@ -48,13 +48,24 @@ def funnel_stream(
     within_ms: int,
     id_col: str,
     ttl_ms: int | None = None,
+    emit_timeouts: bool = False,
 ) -> DataFrame:
     """Streaming skip-till-next-match funnel: emit one row per completed
     ``pattern[0] -> ... -> pattern[k-1]`` chain (strictly increasing
     event times, all within ``within_ms`` of the start). Output columns:
     key cols, ``start_id`` (the ``id_col`` of the step-1 event),
     ``ts1..tsK`` (timestamp_ntz). Equals the batch ``operators.cep.funnel``
-    answer on the same events (pinned by parity tests)."""
+    answer on the same events (pinned by parity tests).
+
+    ``emit_timeouts`` adds Flink CEP's TIMED-OUT side output
+    (``PatternTimeoutFunction``): a partial chain whose deadline passes
+    is emitted with ``timed_out = true``, ``matched`` = steps it got
+    through, and NULL ``ts`` columns beyond them, instead of vanishing
+    silently — abandoned-funnel analytics come from exactly these rows.
+    Expiry is detected when the key's NEXT event arrives (event times
+    are per-key non-decreasing, so by then no event can complete the
+    chain); a chain still open when the stream pauses stays in state,
+    like an un-elapsed Flink pattern."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     k = len(pattern)
     if k < 2:
@@ -65,6 +76,14 @@ def funnel_stream(
         [df.schema[c] for c in keys]
         + [T.StructField("start_id", df.schema[id_col].dataType)]
         + [T.StructField(f"ts{i}", T.TimestampNTZType()) for i in range(1, k + 1)]
+        + (
+            [
+                T.StructField("matched", T.IntegerType()),
+                T.StructField("timed_out", T.BooleanType()),
+            ]
+            if emit_timeouts
+            else []
+        )
     )
     # open chains, column-wise: ids[j] started at steps_us[j][0] and has
     # matched len(steps_us[j]) symbols so far (times as int64 micros)
@@ -90,6 +109,7 @@ def funnel_stream(
             sids, ssteps = state.get
             ids, steps = list(sids), [list(s) for s in ssteps]
         done: list[tuple] = []
+        expired: list[tuple] = []
         # a large group arrives as several Arrow chunks — sort the whole
         # batch once, not per chunk
         chunks = [pdf for pdf in pdfs if not pdf.empty]
@@ -105,6 +125,9 @@ def funnel_stream(
                 # non-decreasing, so no future event can advance them)
                 live = [j for j in range(len(ids)) if steps[j][0] + within_us >= t]
                 if len(live) != len(ids):
+                    if emit_timeouts:
+                        dead = set(range(len(ids))) - set(live)
+                        expired.extend((ids[j], steps[j]) for j in sorted(dead))
                     ids = [ids[j] for j in live]
                     steps = [steps[j] for j in live]
                 nxt_ids, nxt_steps = [], []
@@ -126,14 +149,20 @@ def funnel_stream(
                 state.setTimeoutDuration(ttl_ms)
         elif state.exists:
             state.remove()
-        if done:
+        if done or expired:
             rows = []
-            for sid, st in done:
-                row = dict(zip(keys, key))
-                row["start_id"] = sid
-                for i, t in enumerate(st, start=1):
-                    row[f"ts{i}"] = pd.Timestamp(t, unit="us")
-                rows.append(row)
+            for timed_out, chains in ((False, done), (True, expired)):
+                for sid, st in chains:
+                    row = dict(zip(keys, key))
+                    row["start_id"] = sid
+                    for i in range(1, k + 1):
+                        row[f"ts{i}"] = (
+                            pd.Timestamp(st[i - 1], unit="us") if i <= len(st) else None
+                        )
+                    if emit_timeouts:
+                        row["matched"] = len(st)
+                        row["timed_out"] = timed_out
+                    rows.append(row)
             yield pd.DataFrame(rows)
 
     return df.groupBy(*keys).applyInPandasWithState(

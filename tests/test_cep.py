@@ -309,3 +309,44 @@ def test_match_contiguous_stream_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_funnel_stream_timeout_side_output(spark, tmp_path):
+    """Flink CEP's timed-out pattern side output: an expired partial
+    chain is emitted with timed_out=True, matched = steps reached, and
+    NULL ts columns beyond them; completed chains carry timed_out=False
+    and the full ts set. Chains still open at stream end stay silent."""
+    import os
+
+    from flink_playground_spark.streaming.cep import funnel_stream
+
+    schema = "u bigint, t timestamp_ntz, et string, eid bigint"
+    waves = [
+        # u1 completes; u2 matches A,B then dies (C arrives past deadline);
+        # u3 starts A and never sees another event (stays open, no row)
+        [(1, T(0), "A", 100), (2, T(0), "A", 200), (3, T(0), "A", 300)],
+        [(1, T(3), "B", 101), (2, T(5), "B", 201)],
+        [(1, T(8), "C", 102), (2, T(50), "C", 202)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        part = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(part))
+        pq = next(part.glob("*.parquet"))
+        dst = src / f"wave{i}.parquet"
+        dst.write_bytes(pq.read_bytes())
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    out = funnel_stream(
+        stream, "u", "t", "et", ["A", "B", "C"],
+        within_ms=20 * 60 * 1000, id_col="eid", emit_timeouts=True,
+    )
+    rows = {r["u"]: r for r in _drain(spark, out, "cep_stream_timeouts").collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1]["timed_out"], rows[1]["matched"], rows[1]["ts3"].minute) == (False, 3, 8)
+    r2 = rows[2]
+    assert (r2["timed_out"], r2["matched"], r2["start_id"]) == (True, 2, 200)
+    assert r2["ts1"].minute == 0 and r2["ts2"].minute == 5 and r2["ts3"] is None
