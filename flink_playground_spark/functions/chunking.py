@@ -148,6 +148,67 @@ def dedup_chunks_within_doc(
     )
 
 
+def dedup_chunks_global(
+    df: DataFrame, id_col: str, text_col: str, boundary_prefix: str = "0"
+) -> DataFrame:
+    """Corpus-wide passage dedup rewrite — the C4 "deduplicate at the
+    span level across the whole corpus, keep one occurrence" cleaning
+    step (content-defined chunks instead of C4's three-sentence spans,
+    which this corpus has no punctuation for). Subsumes the intra-doc
+    rule: a chunk's single surviving copy is its global first
+    occurrence, ordered by (doc id, chunk position).
+
+    Returns ``(id, cleaned_text, n_chunks, n_kept)`` for EVERY document
+    with at least one token — a doc whose every passage appeared earlier
+    somewhere else survives with ``cleaned_text = ''`` and ``n_kept =
+    0`` (the caller decides whether empty shells are dropped; silently
+    removing rows would make the operator non-composable).
+
+    Scale shape: the only corpus-wide shuffle is the per-fingerprint
+    MIN — state is one row per DISTINCT passage, with map-side combine
+    (a boilerplate block repeated across m docs costs one merged row,
+    not m candidate pairs). Everything else is keyed by document, and
+    the per-chunk/per-doc rebuild collects are bounded by chunk/doc
+    length exactly as in ``dedup_chunks_within_doc``.
+    """
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix).persist()
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"]
+        ),
+        " ",
+    )
+    fps = chunked.groupBy(id_col, "chunk_id").agg(
+        F.md5(chunk_text.cast("binary")).alias("chunk_fp")
+    ).persist()
+    # global first occurrence per distinct passage: lexicographic MIN on
+    # (doc, position) — one row of state per fingerprint
+    kept = fps.groupBy("chunk_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("first")
+    ).select(F.col(f"first.{id_col}").alias(id_col), F.col("first.chunk_id").alias("chunk_id"))
+    cleaned = (
+        chunked.join(kept, [id_col, "chunk_id"])
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count_distinct("chunk_id").cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"))
+    return totals.join(cleaned, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

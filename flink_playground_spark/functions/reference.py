@@ -387,3 +387,122 @@ def doc_centrality_ref(
     return pd.DataFrame(
         {"doc_id": nodes, "rank": [pr[v] for v in nodes]}
     ).astype({"doc_id": "int64", "rank": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_topk: functions/similarity.py pq_train/pq_encode/pq_topk
+# ---------------------------------------------------------------------------
+
+
+def _l2_sq_ref(a, b) -> float:
+    """_l2_sq_fixed(): left-fold (x - c)^2 accumulation in double."""
+    acc = 0.0
+    for x, c in zip(a, b):
+        d = float(x) - float(c)
+        acc += d * d
+    return acc
+
+
+def _dot_ref(a, b) -> float:
+    """dot_fixed(): left-fold double accumulation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def pq_train_ref(vecs: dict, dim: int, m: int, k: int, iters: int) -> dict:
+    """pq_train(): (sub, code) -> codeword. Seeds = the k lowest vector
+    ids' subvector slices; Lloyd rounds assign by unrolled L2 (tie ->
+    code ASC) and recompute exact-decimal per-dim means; a codeword that
+    loses all members drops out."""
+    sub_len = dim // m
+    seed_ids = sorted(vecs)[:k]
+    book = {
+        (s, c): [float(x) for x in vecs[vid][s * sub_len : (s + 1) * sub_len]]
+        for c, vid in enumerate(seed_ids)
+        for s in range(m)
+    }
+    for _ in range(iters):
+        members: dict[tuple[int, int], list] = {}
+        for vid in vecs:
+            for s in range(m):
+                sv = vecs[vid][s * sub_len : (s + 1) * sub_len]
+                best = min(
+                    (c for (ss, c) in book if ss == s),
+                    key=lambda c: (_l2_sq_ref(sv, book[(s, c)]), c),
+                )
+                members.setdefault((s, best), []).append(sv)
+        book = {
+            sc: [
+                _decimal_mean_ref([float(v[d]) for v in vs])
+                for d in range(len(vs[0]))
+            ]
+            for sc, vs in members.items()
+        }
+    return book
+
+
+def pq_encode_ref(vecs: dict, book: dict, dim: int, m: int) -> dict:
+    """pq_encode(): vid -> [code per sub]."""
+    sub_len = dim // m
+    out = {}
+    for vid in vecs:
+        codes = []
+        for s in range(m):
+            sv = vecs[vid][s * sub_len : (s + 1) * sub_len]
+            codes.append(
+                min(
+                    (c for (ss, c) in book if ss == s),
+                    key=lambda c: (_l2_sq_ref(sv, book[(s, c)]), c),
+                )
+            )
+        out[vid] = codes
+    return out
+
+
+def pq_topk_ref(
+    sf_dir: str,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    iters: int = 2,
+    probe_below: int = 8,
+) -> pd.DataFrame:
+    """(query_id, neighbor_id, sim, rank) — equals the ann_pq_topk query
+    exactly: ADC lookup-table scoring over PQ codes, cosine vs the
+    reconstructed vector, round 6, per-query top-k."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    probes = {vid: v for vid, v in vecs.items() if vid < probe_below}
+    sub_len = dim // m
+
+    book = pq_train_ref(vecs, dim, m, n_codes, iters)
+    codes = pq_encode_ref(vecs, book, dim, m)
+
+    sims: dict[int, dict[int, float]] = {}
+    for q, qvec in probes.items():
+        lut, cwn2 = {}, {}
+        for (s, c), cw in book.items():
+            qs = qvec[s * sub_len : (s + 1) * sub_len]
+            lut[(s, c)] = _dot_ref(qs, cw)
+            cwn2[(s, c)] = _dot_ref(cw, cw)
+        qn = 0.0
+        for x in qvec:
+            qn += float(x) * float(x)
+        qnorm = math.sqrt(qn)
+        for vid, vcodes in codes.items():
+            if vid == q:
+                continue
+            raw = 0.0
+            n2 = 0.0
+            for s in range(m):
+                raw += lut[(s, vcodes[s])]
+                n2 += cwn2[(s, vcodes[s])]
+            sims.setdefault(q, {})[vid] = spark_round(raw / (qnorm * math.sqrt(n2)), 6)
+
+    rows = _topk_ref(sims, k)
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rank"]).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "sim": "float64", "rank": "int32"}
+    )

@@ -229,6 +229,213 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _sub_slices(vec_col: str, dim: int, m: int):
+    """Explode helper: one struct per subspace with its slice of the
+    vector. ``F.slice`` is 1-based; the result keeps the subspace id so
+    all ``m`` codebooks train in ONE corpus scan per Lloyd round."""
+    sub_len = dim // m
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(F.col(vec_col), s * sub_len + 1, sub_len).alias("subvec"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+
+
+def _l2_sq_fixed(a: Column, b: Column, n: int) -> Column:
+    """Unrolled squared L2 distance (codegen chain, fixed fold order —
+    replicable by the Python reference)."""
+    acc: Column = F.lit(0.0)
+    for i in range(n):
+        d = a[i].cast("double") - b[i].cast("double")
+        acc = acc + d * d
+    return acc
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codebooks: ``(sub, code, codeword)`` — one
+    k-codeword codebook per subspace, all ``m`` trained together.
+
+    PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011) is THE 100 TB embedding-index family: a D-dim
+    float vector compresses to ``m`` one-byte codes (here 64 floats →
+    8 codes, 32×), and query scoring becomes table lookups instead of
+    float-array math. Training = k-means per subspace; this runs all
+    subspaces in one scan per Lloyd round (explode to (sub, subvec),
+    assignment keyed by (sub, vid), means keyed by (sub, code, pos)) —
+    shuffle volume per round is corpus × 1, not corpus × m.
+
+    Determinism (what makes the bit-exact Python oracle possible): seeds
+    are the ``k`` lowest vector ids' subvectors; assignment ties break
+    on code ASC; per-dim means sum as DECIMAL(30,12) (order-free) and
+    divide in double — the same discipline as ``kmeans_centroids``.
+    """
+    sub_len = dim // m
+    subs = corpus.select(F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")).select(
+        "vid", "s.sub", "s.subvec"
+    )
+    seed_w = Window.partitionBy(F.lit(1)).orderBy("vid")
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("code", F.row_number().over(seed_w) - 1)
+    )
+    book = seeds.select(
+        "code", _sub_slices("vec", dim, m).alias("s")
+    ).select("s.sub", "code", F.transform("s.subvec", lambda x: x.cast("double")).alias("codeword"))
+    for _ in range(iters):
+        assign = _pq_assign(subs, book, sub_len)
+        means = (
+            assign.select("sub", "code", F.posexplode("subvec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("double").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mval")
+            )
+        )
+        book = (
+            means.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select("sub", "code", F.transform("pm", lambda s: s["mval"]).alias("codeword"))
+        )
+        # small (m × k × sub_len): cut the lineage so round r+1's plan
+        # does not re-run every earlier round's corpus scan
+        book = book.localCheckpoint(eager=True)
+    return book
+
+
+def _pq_assign(subs: DataFrame, book: DataFrame, sub_len: int) -> DataFrame:
+    """Nearest codeword per (vid, sub): broadcast the codebook, score
+    with the unrolled L2, rank window (dist ASC, code ASC) take 1."""
+    scored = subs.join(F.broadcast(book), "sub").withColumn(
+        "d2", _l2_sq_fixed(F.col("subvec"), F.col("codeword"), sub_len)
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vid", "sub", "subvec", "code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    book: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Compress each vector to its code array: ``(vid, codes)`` with
+    ``codes[sub]`` = nearest codeword in subspace ``sub``. This is the
+    stored index — m small ints per vector instead of ``dim`` floats."""
+    sub_len = dim // m
+    subs = corpus.select(F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")).select(
+        "vid", "s.sub", "s.subvec"
+    )
+    assign = _pq_assign(subs, book, sub_len)
+    return (
+        assign.groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select("vid", F.transform("sc", lambda s: s["code"]).alias("codes"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    iters: int = 2,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: ``sim ≈ cosine(query, reconstructed corpus vector)``.
+
+    The scan never touches corpus floats — only the m-byte code arrays.
+    Per query a lookup table ``lut[sub][code] = dot(q_sub, codeword)``
+    (m·k doubles) is prebuilt; because reconstruction concatenates
+    subspace codewords, ``|x̂|² = Σ_sub |codeword|²`` is exact from a
+    query-independent norm table. Scoring a pair is m array lookups +
+    adds — the FAISS IVFADC inner loop as codegen'd Spark expressions.
+    Ranking reuses the two-level salted top-k (no per-query funnel).
+    """
+    book = pq_train(corpus, id_col, vec_col, dim, m, n_codes, iters)
+    codes = pq_encode(corpus, book, id_col, vec_col, dim, m)
+    sub_len = dim // m
+
+    # per-(query, sub, code) dot + per-(sub, code) codeword norm²
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    lut = (
+        q.select("query_id", "qvec", _sub_slices("qvec", dim, m).alias("s"))
+        .select("query_id", "qvec", "s.sub", "s.subvec")
+        .join(F.broadcast(book), "sub")
+        .withColumn("lutval", dot_fixed(F.col("subvec"), F.col("codeword"), sub_len))
+        .withColumn("cwn2", dot_fixed(F.col("codeword"), F.col("codeword"), sub_len))
+    )
+    # flatten each query's m×k table into one array indexed sub*k + code
+    qtab = (
+        lut.groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((F.col("sub") * n_codes + F.col("code")).alias("i"), "lutval", "cwn2")
+                )
+            ).alias("t"),
+            F.first(norm_fixed(F.col("qvec"), dim)).alias("qnorm"),
+        )
+        .select(
+            "query_id",
+            F.transform("t", lambda s: s["lutval"]).alias("lut"),
+            F.transform("t", lambda s: s["cwn2"]).alias("cwn2"),
+            "qnorm",
+        )
+    )
+    paired = codes.join(F.broadcast(qtab), F.col("query_id") != F.col("vid"))
+    raw: Column = F.lit(0.0)
+    n2: Column = F.lit(0.0)
+    for s in range(m):
+        idx = F.lit(s * n_codes) + F.col("codes")[s]
+        raw = raw + F.col("lut")[idx]
+        n2 = n2 + F.col("cwn2")[idx]
+    scored = paired.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(raw / (F.col("qnorm") * F.sqrt(n2)), 6).alias("sim"),
+    )
+    order = [F.desc("sim"), F.asc("neighbor_id")]
+    local_w = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    pruned = (
+        scored.withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= k)
+        .drop("lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, tables: int = 4, planes: int = 12) -> DataFrame:
     """(id, table, bucket) rows: one bucket per hash table per vector.
 

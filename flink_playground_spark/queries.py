@@ -1793,6 +1793,31 @@ def ann_topk(spark, sf_dir):
     )
 
 
+def _ann_pq_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import pq_topk_ref
+
+    return pq_topk_ref(sf_dir)
+
+
+@register_extra("ann_pq_topk", None, tags=("ext-sim",), py_oracle=_ann_pq_py_oracle)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (FAISS ADC family): 64-float embeddings
+    compress to 8 one-byte codes (8 subspaces × 16-codeword codebooks,
+    k-means-trained in one scan per Lloyd round); queries score corpus
+    CODES via a broadcast lookup table — the scan never touches corpus
+    floats, which is what makes a 100 TB embedding index affordable
+    (32× less data moved per candidate, m adds per pair instead of a
+    64-dim float dot). Hash-free but k-means-seeded → no SQL oracle;
+    fully value-checked by the bit-exact Python oracle
+    (reference.py pq_topk_ref: unrolled L2, exact-decimal means, Spark
+    fold orders, HALF_UP round). Recall vs brute force in tests."""
+    from flink_playground_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, probes, dim=64, m=8, n_codes=16, k=5, iters=2)
+
+
 _EMB_NEARDUP_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 600),
@@ -3688,6 +3713,52 @@ def intradoc_chunk_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return dedup_chunks_within_doc(docs, "doc_id", "text")
+
+
+@register_extra(
+    "crossdoc_passage_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> {'p': i, 'term': t[i]})) AS u FROM toks),
+pt AS (SELECT doc_id, u.p AS pos, u.term AS term FROM pos WHERE u.term <> ''),
+ch AS (SELECT doc_id, pos, term,
+              SUM(CASE WHEN md5(term) LIKE '0%' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id
+       FROM pt),
+fps AS (SELECT doc_id, chunk_id, md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_fp
+        FROM ch GROUP BY 1, 2),
+kept AS (SELECT doc_id, chunk_id FROM (
+           SELECT doc_id, chunk_id,
+                  row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_id) AS rn
+           FROM fps) WHERE rn = 1),
+clean AS (SELECT ch.doc_id, string_agg(ch.term, ' ' ORDER BY ch.pos) AS cleaned_text,
+                 CAST(count(DISTINCT ch.chunk_id) AS BIGINT) AS n_kept
+          FROM ch JOIN kept ON ch.doc_id = kept.doc_id AND ch.chunk_id = kept.chunk_id
+          GROUP BY 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM fps GROUP BY 1)
+SELECT tot.doc_id, coalesce(cleaned_text, '') AS cleaned_text, tot.n_chunks,
+       coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM tot LEFT JOIN clean ON tot.doc_id = clean.doc_id
+""",
+    tags=("ext-text", "ext-dedup"),
+    bench=False,
+)
+def crossdoc_passage_dedup(spark, sf_dir):
+    """Corpus-wide passage dedup rewrite (C4's span-level global dedup,
+    content-defined): each distinct chunk survives exactly once — at its
+    global first occurrence by (doc_id, chunk position) — and every
+    document's text is rebuilt from its surviving chunks
+    (functions/chunking.py: dedup_chunks_global). The only corpus-wide
+    shuffle is a per-fingerprint MIN (one state row per DISTINCT
+    passage, map-side combined), so an m-document boilerplate class
+    costs one merged row, never m² candidates. Fully-emptied documents
+    survive with cleaned_text='' — the operator rewrites, it does not
+    filter. Cross-doc drop branch pinned by a crafted golden in
+    tests/test_sampling.py."""
+    from flink_playground_spark.functions.chunking import dedup_chunks_global
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_chunks_global(docs, "doc_id", "text")
 
 
 def _doc_centrality_py_oracle(sf_dir):

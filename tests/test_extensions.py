@@ -137,6 +137,37 @@ def test_ivf_topk_recall_and_exact_sims(spark, sf_dir):
     assert all(sims[p] == r.sim for r in approx for p in [(r.query_id, r.neighbor_id)] if p in sims)
 
 
+def test_pq_topk_recall_and_code_compression(spark, sf_dir):
+    """Product-quantization ADC: every corpus vector compresses to m=8
+    codes in [0, 16); scoring touches only codes, yet recall@5 vs brute
+    force stays usable (mean 0.275 at sf0.001 — random uniform vectors
+    are PQ's worst case; floor at 0.15). Value-exactness vs the Python
+    reference is covered by the ann_pq_topk OK-PYREF gate."""
+    from flink_playground_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    book = pq_train(emb, dim=64, m=8, k=16, iters=1)
+    codes = pq_encode(emb, book, dim=64, m=8).collect()
+    assert len(codes) == emb.count()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = pq_topk(emb, queries, dim=64, m=8, n_codes=16, k=5, iters=2).collect()
+    assert {r.query_id for r in approx} == {r.query_id for r in exact}
+    assert all(1 <= r.rank <= 5 for r in approx)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.15, f"PQ recall {recall} collapsed"
+
+
 def test_ivf_kmeans_refinement_improves_recall(spark):
     """Lloyd refinement improves recall@5 over the raw first-N seed at
     sf0.1 (2000 vectors; measured 0.760 → 0.787 over 30 queries). On

@@ -262,3 +262,33 @@ def test_intradoc_chunk_dedup_drops_repeated_passage(spark):
     )
     fps = chunk_fingerprints(cleaned_df, "doc_id", "text").toPandas()
     assert fps["chunk_fp"].is_unique
+
+
+def test_crossdoc_passage_dedup_keeps_global_first(spark):
+    """A passage shared by two docs survives only in the lower doc_id;
+    a doc made ENTIRELY of previously-seen passages is rewritten to ''
+    (kept as a row, not silently dropped); unshared text is untouched."""
+    from flink_playground_spark.functions.chunking import dedup_chunks_global
+    from flink_playground_spark.sources.memory import from_rows
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (1, f"{passage}tail marker"),
+        (2, f"{passage}own words here"),   # shared prefix must vanish
+        (3, f"{passage}tail marker"),      # byte-identical to doc 1 -> ''
+        (4, "completely unrelated text"),
+    ]
+    docs = from_rows(spark, rows, ["doc_id", "text"], [int, str])
+    out = {r["doc_id"]: r for r in dedup_chunks_global(docs, "doc_id", "text").collect()}
+
+    assert len(out) == 4
+    assert out[1]["cleaned_text"].endswith("tail marker")
+    # doc 1 owns every first copy; its ×4 INTERNAL repeat is deduped too
+    # (global keep-first subsumes the intra-doc rule)
+    assert 0 < out[1]["n_kept"] < out[1]["n_chunks"]
+    assert out[1]["cleaned_text"].startswith("alpha beta gamma")
+    assert "alpha beta gamma" not in out[2]["cleaned_text"]
+    assert out[2]["cleaned_text"].endswith("own words here")
+    assert out[2]["n_kept"] < out[2]["n_chunks"]
+    assert out[3]["cleaned_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["cleaned_text"] == "completely unrelated text"
