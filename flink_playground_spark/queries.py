@@ -3336,6 +3336,84 @@ def streaming_value_drift_psi(spark, sf_dir):
     return mon.psi(spark)
 
 
+_BROADCAST_RULES_ORACLE = """
+WITH r0 AS (SELECT * FROM (VALUES
+        ('r1', 'click', 100.0, 'flag'),
+        ('r2', 'purchase', 80.0, 'audit'),
+        ('r3', 'error', 120.0, 'alert')) t(rule_id, event_type, min_value, action)),
+r1v AS (SELECT * FROM (VALUES
+        ('r1', 'click', 150.0, 'flag'),
+        ('r3', 'error', 120.0, 'alert'),
+        ('r4', 'view', 110.0, 'sample')) t(rule_id, event_type, min_value, action))
+SELECT CAST(0 AS BIGINT) AS batch_id, e.event_id, e.user_id, e.event_type, e.value,
+       r.rule_id, r.action
+FROM events e JOIN r0 r ON e.event_type = r.event_type AND e.value >= r.min_value
+WHERE e.event_id % 2 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), e.event_id, e.user_id, e.event_type, e.value,
+       r.rule_id, r.action
+FROM events e JOIN r1v r ON e.event_type = r.event_type AND e.value >= r.min_value
+WHERE e.event_id % 2 = 1
+"""
+
+
+@register_extra(
+    "streaming_broadcast_rules",
+    _BROADCAST_RULES_ORACLE,
+    tags=("ext-streaming",),
+    bench=False,
+)
+def streaming_broadcast_rules(spark, sf_dir):
+    """Flink's broadcast-state pattern (BroadcastProcessFunction — the
+    canonical dynamic-fraud-rules DataStream example): a control stream
+    of rule updates folds into exactly-once keyed state; each data wave
+    is evaluated against the rules AS OF its wave via a broadcast hash
+    join (streaming/broadcast_rules.py). Control wave 0 installs three
+    rules; control wave 1 raises r1's threshold, DELETES r2 (tombstone),
+    and adds r4 — so the same event stream matches differently per wave.
+    Events replay in two parity micro-batches; the oracle rebuilds both
+    evaluations from the literal rule sets. A replayed wave changes
+    nothing (rule state is transactional; per-batch output dirs are
+    overwritten idempotently)."""
+    import tempfile
+
+    from flink_playground_spark.streaming.broadcast_rules import BroadcastRulesEngine
+    from flink_playground_spark.streaming.runners import replay_events_waves
+
+    work = tempfile.mkdtemp(prefix="fps_rules_")
+    engine = BroadcastRulesEngine(f"{work}/state")
+    control = {
+        0: [
+            ("r1", 1, "U", "click", 100.0, "flag"),
+            ("r2", 1, "U", "purchase", 80.0, "audit"),
+            ("r3", 1, "U", "error", 120.0, "alert"),
+        ],
+        1: [
+            ("r1", 2, "U", "click", 150.0, "flag"),
+            ("r2", 2, "D", "purchase", 0.0, "audit"),
+            ("r4", 2, "U", "view", 110.0, "sample"),
+        ],
+    }
+    schema = "rule_id string, seq long, op string, event_type string, min_value double, action string"
+
+    def each_batch(batch, batch_id):
+        if batch_id in control:
+            engine.update_rules(
+                batch.sparkSession.createDataFrame(control[batch_id], schema), batch_id
+            )
+        out = engine.process(batch).withColumn("batch_id", F.lit(batch_id))
+        out.write.mode("overwrite").parquet(f"{work}/out/b{batch_id}")
+
+    stream = replay_events_waves(spark, sf_dir, waves=2).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = stream.writeStream.foreachBatch(each_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out/b*").select(
+        "batch_id", "event_id", "user_id", "event_type", "value", "rule_id", "action"
+    )
+
+
 @register_extra(
     "streaming_retractable_agg",
     """
