@@ -506,3 +506,50 @@ def pq_topk_ref(
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rank"]).astype(
         {"query_id": "int64", "neighbor_id": "int64", "sim": "float64", "rank": "int32"}
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_token_stats: functions/bpe.py learn_bpe + bpe_token_counts
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_ref(syms: list[str], left: str, right: str) -> list[str]:
+    """_apply_merge(): left-to-right non-overlapping fold."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+def bpe_token_stats_ref(sf_dir: str, n_merges: int = 12, min_freq: int = 1) -> pd.DataFrame:
+    """(token, n) — equals the bpe_token_stats query exactly: integer
+    word-frequency BPE, ties to the lexicographically smallest pair."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freqs: dict[str, int] = {}
+    for text in docs.text:
+        for w in str(text).strip().split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {w: [*w] for w in freqs}
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freqs[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        left, right = best[0]
+        vocab = {w: _bpe_apply_ref(s, left, right) for w, s in vocab.items()}
+    counts: dict[str, int] = {}
+    for w, syms in vocab.items():
+        for t in syms:
+            counts[t] = counts.get(t, 0) + freqs[w]
+    return pd.DataFrame(
+        sorted(counts.items()), columns=["token", "n"]
+    ).astype({"token": "string", "n": "int64"})

@@ -3793,6 +3793,38 @@ def intradoc_chunk_dedup(spark, sf_dir):
     return dedup_chunks_within_doc(docs, "doc_id", "text")
 
 
+def _bpe_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import bpe_token_stats_ref
+
+    return bpe_token_stats_ref(sf_dir, n_merges=12)
+
+
+@register_extra(
+    # bench=False: 12 merge rounds are a DRIVER-LOOP latency cost (like
+    # kmeans' Lloyd rounds) that is constant in SF — timing it at sf0.1
+    # would measure job-scheduling overhead, not data-path speed
+    "bpe_token_stats",
+    None,
+    tags=("ext-text",),
+    bench=False,
+    py_oracle=_bpe_py_oracle,
+)
+def bpe_token_stats(spark, sf_dir):
+    """BPE tokenizer TRAINED on the corpus (Sennrich et al. 2016), then
+    the learned vocabulary's corpus-wide subword frequency table — the
+    real version of text_analysis' 'BPE-ish' regex count. The corpus is
+    scanned exactly once (word frequencies); the 12 merge rounds and the
+    encoding run on the DISTINCT-WORD table (vocabulary ≪ corpus — the
+    layout that keeps BPE training affordable at 100 TB). Integer-only
+    and deterministically tie-broken, so the bit-exact Python oracle
+    (reference.py bpe_token_stats_ref) does a full value check."""
+    from flink_playground_spark.functions.bpe import bpe_token_counts, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=12)
+    return bpe_token_counts(docs, "doc_id", "text", merges)
+
+
 @register_extra(
     "crossdoc_passage_dedup",
     """

@@ -404,3 +404,27 @@ def test_resize_nearest_real_ppm(spark):
         spark.createDataFrame([(1, resized, "image/ppm")], "id int, blob binary, media_format string")
     ).collect()[0]
     assert (rd["width"], rd["height"], rd["valid"]) == (2, 2, True)
+
+
+def test_bpe_learns_textbook_merges(spark):
+    """The Sennrich toy corpus: 'newest' must fuse into one token, 'low'
+    into 'lo'+'w' or better, and encoding weights tokens by word freq.
+    Integer-only determinism (ties -> lexicographically smallest pair)."""
+    from flink_playground_spark.functions.bpe import bpe_token_counts, learn_bpe
+    from flink_playground_spark.sources.memory import from_rows
+
+    docs = from_rows(
+        spark,
+        [(1, "low low low lower lower newest newest newest newest widest")],
+        ["doc_id", "text"],
+        [int, str],
+    )
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=6)
+    assert merges[0] == ("w", "e")  # freq 7: lower(2) + newest(4) + widest(1)
+    assert ("n", "ewest") in merges  # 'newest' fully fused by round 6
+    counts = {r.token: r.n for r in bpe_token_counts(docs, "doc_id", "text", merges).collect()}
+    assert counts["newest"] == 4
+    assert counts["lo"] == 5  # low×3 + lower×2
+    # every (token, n) row is weighted by word frequency: total symbol
+    # mass equals sum over words of freq × len(tokens(word))
+    assert sum(counts.values()) == 3 * 2 + 2 * 3 + 4 * 1 + 1 * 5  # low lo|w, lower lo|we|r, newest, widest w|i|d|e|st
