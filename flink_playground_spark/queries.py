@@ -3793,6 +3793,42 @@ def intradoc_chunk_dedup(spark, sf_dir):
     return dedup_chunks_within_doc(docs, "doc_id", "text")
 
 
+@register_extra(
+    "bigram_lm_score",
+    """
+WITH arr AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+             FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       FROM arr, unnest(range(1, len(t))) AS r(i)),
+c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS w FROM arr)),
+lp AS (SELECT bg.doc_id,
+              ROUND(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+FROM lp GROUP BY 1
+""",
+    tags=("ext-text",),
+)
+def bigram_lm_score(spark, sf_dir):
+    """Perplexity-style quality signal (the CCNet/Gopher 'score with a
+    KenLM model, drop the tail' stage, self-trained): per-doc average
+    log-probability under the corpus's own add-0.5-smoothed bigram
+    model (functions/lm.py). The model IS two count DataFrames (train =
+    two map-side-combined aggregates; score = two vocabulary-sized
+    joins) — no model object, so it persists/merges like any state.
+    Bigrams are built scan-locally by zipping the token array against
+    its own tail; each ln rounds to 6dp before an exact-DECIMAL per-doc
+    sum, making the double math oracle-portable."""
+    from flink_playground_spark.functions.lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text")
+
+
 def _bpe_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import bpe_token_stats_ref
 

@@ -428,3 +428,38 @@ def test_bpe_learns_textbook_merges(spark):
     # every (token, n) row is weighted by word frequency: total symbol
     # mass equals sum over words of freq × len(tokens(word))
     assert sum(counts.values()) == 3 * 2 + 2 * 3 + 4 * 1 + 1 * 5  # low lo|w, lower lo|we|r, newest, widest w|i|d|e|st
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-0.5 bigram LM on a 3-doc corpus, checked against a by-hand
+    recomputation (same rounding discipline); a 1-token doc has no
+    bigrams and is excluded; repeated-bigram docs score higher than a
+    doc containing a rare transition."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flink_playground_spark.functions.lm import bigram_lm_scores
+    from flink_playground_spark.sources.memory import from_rows
+
+    docs = from_rows(
+        spark,
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        ["doc_id", "text"],
+        [int, str],
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # doc 3: no bigrams
+
+    def r6(x):
+        return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    v = 4.0  # {a, b, c, x}
+    p_ab = (3 + 0.5) / (3 + 0.5 * v)   # c(a,b)=3, c(a,.)=3
+    p_ba = (1 + 0.5) / (2 + 0.5 * v)   # c(b,a)=1, c(b,.)=2
+    p_bc = (1 + 0.5) / (2 + 0.5 * v)
+    lp = {k: r6(math.log(p)) for k, p in {"ab": p_ab, "ba": p_ba, "bc": p_bc}.items()}
+    want1 = r6((lp["ab"] * 2 + lp["ba"]) / 3)
+    want2 = r6((lp["ab"] + lp["bc"]) / 2)
+    assert out[1].n_bigrams == 3 and out[1].avg_logprob == want1
+    assert out[2].n_bigrams == 2 and out[2].avg_logprob == want2
+    assert out[1].avg_logprob > out[2].avg_logprob  # repetition scores higher
