@@ -343,3 +343,29 @@ def test_streaming_window_topn_equals_batch(spark, sf_dir, tmp_path):
     )
     want = {(r.window_start, r.user_id): (r.cnt, r.rn) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_bigram_lm_equals_batch(spark, sf_dir, tmp_path):
+    """Three document waves folded into LM state score BIT-IDENTICALLY
+    to the batch model over the union corpus (integer counts merge
+    exactly; the scoring arithmetic is shared). A replayed wave is a
+    no-op — a double-counted bigram would sharpen its probability."""
+    from flink_playground_spark.functions.lm import bigram_lm_scores
+    from flink_playground_spark.streaming.lm import StreamingBigramLM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = StreamingBigramLM(str(tmp_path / "lm"))
+    waves = [docs.filter(docs.doc_id % 3 == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        assert lm.ingest(w, i, "doc_id", "text")
+    # replay of a committed wave changes nothing
+    assert not lm.ingest(waves[1], 1, "doc_id", "text")
+
+    probe = docs.filter(docs.doc_id < 40)
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in lm.score(probe, "doc_id", "text").collect()}
+    want = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_lm_scores(docs, "doc_id", "text").collect()
+        if r.doc_id < 40
+    }
+    assert got == want
