@@ -1,0 +1,78 @@
+"""Model-based quality filtering: logistic regression trained ON the
+cluster as DataFrame aggregations — the fastText/classifier stage of
+LLM data pipelines (GPT-3/LLaMA-style "train a quality classifier,
+keep what scores high") without leaving the engine.
+
+Full-batch gradient descent where each iteration is ONE aggregate over
+the feature table: ``grad_j = (1/n) Σ (σ(w·x) − y)·x_j``. The weight
+vector lives on the driver (a handful of doubles — the same bounded
+driver state as k-means centroids or BPE merge picks); the data never
+does. At 100 TB this is the textbook distributed LR layout: per-row
+work is a codegen'd arithmetic chain, the gradient is a map-side-
+combined sum, and rounds are a bounded driver loop.
+
+Determinism discipline (for the bit-exact Python reference): the
+sigmoid is rounded to 9dp before entering the gradient (``exp`` can
+differ by 1 ulp across libm implementations; the round makes the
+propagated value portable), gradient sums run as exact
+DECIMAL(30,12) — partition-order-free — and the driver update is plain
+double arithmetic replayed identically by the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _z(feature_cols: Sequence[str], w: list[float]) -> Column:
+    z: Column = F.lit(w[0])
+    for i, c in enumerate(feature_cols):
+        z = z + F.lit(w[i + 1]) * F.col(c).cast("double")
+    return z
+
+
+def _sigma(z: Column) -> Column:
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+
+
+def train_logreg(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    iters: int = 8,
+    lr: float = 1.0,
+) -> list[float]:
+    """Learn ``[bias, w_1, ..., w_k]`` by ``iters`` full-batch GD steps.
+    ``label_col`` must be 0/1. One scan + one bounded aggregate per
+    step; cache the feature table if it is expensive to recompute."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(iters):
+        err = _sigma(_z(feature_cols, w)) - F.col(label_col).cast("double")
+        aggs = [
+            F.sum(err.cast("decimal(30,12)")).cast("double").alias("g0")
+        ] + [
+            F.sum((err * F.col(c).cast("double")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias(f"g{i + 1}")
+            for i, c in enumerate(feature_cols)
+        ]
+        g = df.agg(*aggs).collect()[0]
+        w = [wi - lr * g[f"g{i}"] / n for i, wi in enumerate(w)]
+    return w
+
+
+def predict_logreg(
+    df: DataFrame, feature_cols: Sequence[str], w: list[float], threshold: float = 0.5
+) -> DataFrame:
+    """Adds ``prob`` (6dp) and ``pred`` (prob >= threshold) columns —
+    a pure scan-stage projection, no shuffle."""
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(feature_cols, w))), 6)
+    return df.withColumn("prob", prob).withColumn(
+        "pred", (F.col("prob") >= F.lit(float(threshold))).cast("int")
+    )

@@ -553,3 +553,56 @@ def bpe_token_stats_ref(sf_dir: str, n_merges: int = 12, min_freq: int = 1) -> p
     return pd.DataFrame(
         sorted(counts.items()), columns=["token", "n"]
     ).astype({"token": "string", "n": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier: functions/classifier.py train_logreg + predict_logreg
+# ---------------------------------------------------------------------------
+
+
+def _dec12(x: float) -> Decimal:
+    """Spark's double -> DECIMAL(30,12) cast: HALF_UP quantization of
+    the shortest round-trip repr."""
+    return Decimal(repr(float(x))).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+
+
+def quality_classifier_ref(sf_dir: str, iters: int = 8, lr: float = 1.0) -> pd.DataFrame:
+    """(doc_id, prob, pred) — equals the quality_classifier query
+    exactly: same features, 9dp-rounded sigmoid, DECIMAL(30,12)
+    gradient sums, double driver updates, 6dp prediction."""
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    rows = []
+    for r in docs.itertuples():
+        toks = [t for t in str(r.text).strip().split(" ") if t]
+        f1 = float(r.n_chars) / 1000.0
+        f2 = len(toks) / 100.0
+        f3 = (len(set(toks)) / len(toks)) if toks else 0.0
+        y = 1.0 if r.lang == "en" else 0.0
+        rows.append((int(r.doc_id), f1, f2, f3, y))
+    n = len(rows)
+    w = [0.0, 0.0, 0.0, 0.0]
+
+    def sigma9(z: float) -> float:
+        return spark_round(1.0 / (1.0 + math.exp(-z)), 9)
+
+    for _ in range(iters):
+        sums = [Decimal(0)] * 4
+        for _, f1, f2, f3, y in rows:
+            z = w[0] + w[1] * f1 + w[2] * f2 + w[3] * f3
+            err = sigma9(z) - y
+            sums[0] += _dec12(err)
+            sums[1] += _dec12(err * f1)
+            sums[2] += _dec12(err * f2)
+            sums[3] += _dec12(err * f3)
+        w = [wi - lr * float(s) / n for wi, s in zip(w, sums)]
+
+    out = []
+    for doc_id, f1, f2, f3, _ in rows:
+        z = w[0] + w[1] * f1 + w[2] * f2 + w[3] * f3
+        prob = spark_round(1.0 / (1.0 + math.exp(-z)), 6)
+        out.append((doc_id, prob, 1 if prob >= 0.5 else 0))
+    return pd.DataFrame(out, columns=["doc_id", "prob", "pred"]).astype(
+        {"doc_id": "int64", "prob": "float64", "pred": "int32"}
+    )

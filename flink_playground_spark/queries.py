@@ -3793,6 +3793,55 @@ def intradoc_chunk_dedup(spark, sf_dir):
     return dedup_chunks_within_doc(docs, "doc_id", "text")
 
 
+def _classifier_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import quality_classifier_ref
+
+    return quality_classifier_ref(sf_dir)
+
+
+@register_extra(
+    "quality_classifier",
+    None,
+    tags=("ext-text",),
+    py_oracle=_classifier_py_oracle,
+)
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the GPT-3/LLaMA 'train a
+    classifier, keep what scores high' stage): logistic regression
+    trained IN the engine — each gradient step is one map-side-combined
+    aggregate, weights are bounded driver state (functions/classifier.py).
+    Features are scan-local (chars, token count, distinct-token ratio),
+    the demo label is lang='en'. Sigmoid rounds to 9dp before the
+    DECIMAL(30,12) gradient sum, so the whole 8-round training run and
+    the 6dp predictions are replicated bit-for-bit by the Python oracle
+    (reference.py quality_classifier_ref)."""
+    from flink_playground_spark.functions.classifier import (
+        predict_logreg,
+        train_logreg,
+    )
+    from flink_playground_spark.functions.lm import _tok_array
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tok_array("text")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / 1000.0).alias("f_chars"),
+        (F.size(toks).cast("double") / 100.0).alias("f_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f_ttr"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    ).persist()
+    w = train_logreg(feats, ["f_chars", "f_tokens", "f_ttr"], "label", iters=8, lr=1.0)
+    out = predict_logreg(feats, ["f_chars", "f_tokens", "f_ttr"], w).select(
+        "doc_id", "prob", F.col("pred").cast("int").alias("pred")
+    )
+    return out
+
+
 @register_extra(
     "bigram_lm_score",
     """
