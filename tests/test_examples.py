@@ -36,3 +36,18 @@ def test_materialized_views_pipeline_runs():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "materialized-view loop complete" in proc.stdout
+
+
+def test_model_guided_curation_pipeline_runs():
+    """Round-4 capstone: global passage dedup -> LM scoring -> in-engine
+    classifier gate (quantile cut) -> PQ semantic index. A green exit
+    with a non-empty kept set and index proves the composition."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "pipeline_model_guided_curation.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "kept top-half" in proc.stdout
+    assert "PQ index rows: 0" not in proc.stdout

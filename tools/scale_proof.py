@@ -42,6 +42,12 @@ PROBES = [
     "corpus_similarity",
     "adaptive_quality_filter",
     "sequence_packing_sharded",
+    # round 4
+    "ann_pq_topk",
+    "crossdoc_passage_dedup",
+    "bigram_lm_score",
+    "quality_classifier",
+    "streaming_broadcast_rules",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
