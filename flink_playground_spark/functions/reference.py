@@ -606,3 +606,68 @@ def quality_classifier_ref(sf_dir: str, iters: int = 8, lr: float = 1.0) -> pd.D
     return pd.DataFrame(out, columns=["doc_id", "prob", "pred"]).astype(
         {"doc_id": "int64", "prob": "float64", "pred": "int32"}
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca: functions/pca.py mean_vector + power_component + pca_project
+# ---------------------------------------------------------------------------
+
+
+def pca_project_ref(
+    sf_dir: str, dim: int = 64, n_components: int = 2, iters: int = 8
+) -> pd.DataFrame:
+    """(vec_id, pc1, pc2) — equals the embedding_pca query exactly:
+    DECIMAL(30,12) aggregate sums, left-fold double chains in Spark's
+    evaluation order, 9dp-rounded iterates, 6dp projections."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in emb.itertuples()]
+    n = len(vecs)
+
+    sums = [Decimal(0)] * dim
+    for _, x in vecs:
+        for d in range(dim):
+            sums[d] += _dec12(x[d])
+    mean = [float(s) / n for s in sums]
+
+    def score(x, v):
+        s = 0.0
+        for d in range(dim):
+            s = s + (x[d] - mean[d]) * v[d]
+        return s
+
+    def r9(x):
+        return spark_round(x, 9)
+
+    comps: list[list[float]] = []
+    for _ in range(n_components):
+        v = [0.0] * dim
+        v[0] = 1.0
+        for _ in range(iters):
+            usums = [Decimal(0)] * dim
+            for _, x in vecs:
+                s = score(x, v)
+                for u in comps:
+                    uv = sum(a * b for a, b in zip(u, v))
+                    s = s - uv * score(x, u)
+                for d in range(dim):
+                    usums[d] += _dec12(s * (x[d] - mean[d]))
+            u = [float(s) for s in usums]
+            for w in comps:
+                uw = sum(a * b for a, b in zip(u, w))
+                u = [a - uw * b for a, b in zip(u, w)]
+            norm = math.sqrt(sum(x * x for x in u))
+            v = [r9(x / norm) for x in u]
+        for x in v:
+            if x != 0.0:
+                if x < 0:
+                    v = [-y for y in v]
+                break
+        comps.append(v)
+
+    rows = [
+        (vid, *(spark_round(score(x, c), 6) for c in comps)) for vid, x in vecs
+    ]
+    cols = ["vec_id"] + [f"pc{i + 1}" for i in range(n_components)]
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"vec_id": "int64", **{f"pc{i + 1}": "float64" for i in range(n_components)}}
+    )

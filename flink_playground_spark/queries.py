@@ -3793,6 +3793,28 @@ def intradoc_chunk_dedup(spark, sf_dir):
     return dedup_chunks_within_doc(docs, "doc_id", "text")
 
 
+def _pca_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import pca_project_ref
+
+    return pca_project_ref(sf_dir)
+
+
+@register_extra("embedding_pca", None, tags=("ext-sim",), py_oracle=_pca_py_oracle)
+def embedding_pca(spark, sf_dir):
+    """Distributed PCA by power iteration (functions/pca.py) — the
+    'All-but-the-top' embedding preprocessing step at corpus scale:
+    mean vector and each iteration round are ONE aggregate (64 exact-
+    DECIMAL sums over a codegen'd per-row score chain — Σ x xᵀ v
+    without materializing the covariance matrix); the driver holds only
+    μ and v. Top-2 components via deflation, per-vector projections at
+    6dp; bit-exact vs the Python oracle (reference.py pca_project_ref:
+    same fold orders, 9dp iterate rounding, sign convention)."""
+    from flink_playground_spark.functions.pca import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", dim=64, n_components=2, iters=8)
+
+
 def _classifier_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import quality_classifier_ref
 

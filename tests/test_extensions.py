@@ -487,3 +487,32 @@ def test_logreg_learns_separable_data(spark):
     # probabilities are monotone in x for a 1-feature model
     probs = [r.prob for r in sorted(out, key=lambda r: r.x)]
     assert probs == sorted(probs)
+
+
+def test_pca_components_capture_variance_in_order(spark, sf_dir):
+    """Power iteration finds the top directions: projected variance on
+    pc1 >= pc2 >= any coordinate axis's centered variance is too strong
+    for random data, but pc1 >= pc2 must hold and both must beat the
+    MEDIAN axis variance; components are unit-norm and orthogonal."""
+    import statistics
+
+    from flink_playground_spark.functions.pca import (
+        mean_vector,
+        pca_project,
+        power_component,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean = mean_vector(emb, "embedding", 64)
+    c1 = power_component(emb, "embedding", 64, mean, iters=8)
+    c2 = power_component(emb, "embedding", 64, mean, iters=8, deflate=[c1])
+    assert abs(sum(x * x for x in c1) - 1.0) < 1e-6
+    assert abs(sum(x * x for x in c2) - 1.0) < 1e-6
+    assert abs(sum(a * b for a, b in zip(c1, c2))) < 1e-6  # orthogonal
+
+    proj = pca_project(emb, "vec_id", "embedding", 64, n_components=2, iters=8).toPandas()
+    v1, v2 = proj["pc1"].var(), proj["pc2"].var()
+    assert v1 >= v2 > 0
+    rows = emb.select("embedding").toPandas()["embedding"]
+    axis_vars = [statistics.variance([float(v[d]) for v in rows]) for d in range(0, 64, 8)]
+    assert v1 > statistics.median(axis_vars)
