@@ -609,7 +609,8 @@ def quality_classifier_ref(sf_dir: str, iters: int = 8, lr: float = 1.0) -> pd.D
 
 
 # ---------------------------------------------------------------------------
-# embedding_pca: functions/pca.py mean_vector + power_component + pca_project
+# embedding_pca: functions/pca.py corpus_moments + principal_components +
+# pca_project (one-scan scatter matrix, driver-side eigensolve)
 # ---------------------------------------------------------------------------
 
 
@@ -617,17 +618,33 @@ def pca_project_ref(
     sf_dir: str, dim: int = 64, n_components: int = 2, iters: int = 8
 ) -> pd.DataFrame:
     """(vec_id, pc1, pc2) — equals the embedding_pca query exactly:
-    DECIMAL(30,12) aggregate sums, left-fold double chains in Spark's
-    evaluation order, 9dp-rounded iterates, 6dp projections."""
+    exact-DECIMAL(30,12) raw moments (order-free, so this sequential
+    accumulation matches Spark's map-side-combined aggregate bit for
+    bit), the same float expression for the centered scatter matrix,
+    the same driver-side power iteration (left-fold matrix-vector
+    products, 9dp-rounded iterates, re-orthogonalization, first-nonzero-
+    positive sign), 6dp left-fold projections."""
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vecs = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in emb.itertuples()]
     n = len(vecs)
 
-    sums = [Decimal(0)] * dim
-    for _, x in vecs:
+    # 12dp-quantized coordinates as exact scaled integers — identical
+    # to pca.corpus_moments' transform(cast DECIMAL(30,12)) + scaleb(12)
+    quants = [[int(_dec12(x[d]).scaleb(12)) for d in range(dim)] for _, x in vecs]
+    sums = [0] * dim
+    msums = {(d, e): 0 for d in range(dim) for e in range(d, dim)}
+    for q in quants:
         for d in range(dim):
-            sums[d] += _dec12(x[d])
-    mean = [float(s) / n for s in sums]
+            sums[d] += q[d]
+            for e in range(d, dim):
+                msums[(d, e)] += q[d] * q[e]
+    mean = [float(Decimal(sums[d]).scaleb(-12)) / n for d in range(dim)]
+    scatter = [[0.0] * dim for _ in range(dim)]
+    for d in range(dim):
+        for e in range(d, dim):
+            c = float(Decimal(msums[(d, e)]).scaleb(-24)) - n * mean[d] * mean[e]
+            scatter[d][e] = c
+            scatter[e][d] = c
 
     def score(x, v):
         s = 0.0
@@ -643,19 +660,18 @@ def pca_project_ref(
         v = [0.0] * dim
         v[0] = 1.0
         for _ in range(iters):
-            usums = [Decimal(0)] * dim
-            for _, x in vecs:
-                s = score(x, v)
-                for u in comps:
-                    uv = sum(a * b for a, b in zip(u, v))
-                    s = s - uv * score(x, u)
-                for d in range(dim):
-                    usums[d] += _dec12(s * (x[d] - mean[d]))
-            u = [float(s) for s in usums]
+            u = [0.0] * dim
+            for d in range(dim):
+                s = 0.0
+                for e in range(dim):
+                    s = s + scatter[d][e] * v[e]
+                u[d] = s
             for w in comps:
                 uw = sum(a * b for a, b in zip(u, w))
                 u = [a - uw * b for a, b in zip(u, w)]
             norm = math.sqrt(sum(x * x for x in u))
+            if norm < 1e-12:
+                break
             v = [r9(x / norm) for x in u]
         for x in v:
             if x != 0.0:

@@ -497,15 +497,15 @@ def test_pca_components_capture_variance_in_order(spark, sf_dir):
     import statistics
 
     from flink_playground_spark.functions.pca import (
-        mean_vector,
+        corpus_moments,
         pca_project,
-        power_component,
+        principal_components,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    mean = mean_vector(emb, "embedding", 64)
-    c1 = power_component(emb, "embedding", 64, mean, iters=8)
-    c2 = power_component(emb, "embedding", 64, mean, iters=8, deflate=[c1])
+    n, mean, scatter = corpus_moments(emb, "embedding", 64)
+    assert n == emb.count()
+    c1, c2 = principal_components(scatter, 64, n_components=2, iters=8)
     assert abs(sum(x * x for x in c1) - 1.0) < 1e-6
     assert abs(sum(x * x for x in c2) - 1.0) < 1e-6
     assert abs(sum(a * b for a, b in zip(c1, c2))) < 1e-6  # orthogonal

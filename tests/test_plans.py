@@ -316,6 +316,13 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         "streaming_corpus_similarity": 1,  # same pair generator over drained state
         "value_drift_psi": 1,  # one-row totals aggregate broadcast into the buckets
         "streaming_value_drift_psi": 1,  # same one-row totals broadcast, over state
+        # reviewed round 5: functions/lm.py crossJoin(F.broadcast(vocab)) — the
+        # build side is a single-row vocab-size aggregate, constant regardless of
+        # corpus size; not a corpus-by-corpus loop.
+        "bigram_lm_score": 1,
+        # reviewed round 5: functions/similarity.py pq_topk — the build side is
+        # the <=dozen-row query-vector table broadcast into the ADC scan.
+        "ann_pq_topk": 1,
     }
     bad = {}
     for name, q in {**REGISTRY, **EXTRA_REGISTRY}.items():
