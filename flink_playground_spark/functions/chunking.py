@@ -117,7 +117,12 @@ def dedup_chunks_within_doc(
     # chunked, and fps feeds two aggregates — persist so the token
     # explode + running-sum window runs once, not three times (the same
     # shared-subtree rule the ngram index learned in round 1)
-    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix).persist()
+    # non-eager localCheckpoint instead of persist: same reuse (the
+    # token explode + running-sum window computes once), but the blocks
+    # are released by the ContextCleaner as soon as the result DataFrame
+    # goes out of scope — persist() pinned corpus-sized intermediates
+    # for the life of the caller's reference
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix).localCheckpoint(eager=False)
     chunk_text = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"]
@@ -126,7 +131,7 @@ def dedup_chunks_within_doc(
     )
     fps = chunked.groupBy(id_col, "chunk_id").agg(
         F.md5(chunk_text.cast("binary")).alias("chunk_fp")
-    ).persist()
+    ).localCheckpoint(eager=False)
     kept = fps.groupBy(id_col, "chunk_fp").agg(F.min("chunk_id").alias("chunk_id"))
     cleaned = (
         chunked.join(kept, [id_col, "chunk_id"])
@@ -171,7 +176,12 @@ def dedup_chunks_global(
     the per-chunk/per-doc rebuild collects are bounded by chunk/doc
     length exactly as in ``dedup_chunks_within_doc``.
     """
-    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix).persist()
+    # non-eager localCheckpoint instead of persist: same reuse (the
+    # token explode + running-sum window computes once), but the blocks
+    # are released by the ContextCleaner as soon as the result DataFrame
+    # goes out of scope — persist() pinned corpus-sized intermediates
+    # for the life of the caller's reference
+    chunked = _chunked_tokens(df, id_col, text_col, boundary_prefix).localCheckpoint(eager=False)
     chunk_text = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "term"))), lambda s: s["term"]
@@ -180,7 +190,7 @@ def dedup_chunks_global(
     )
     fps = chunked.groupBy(id_col, "chunk_id").agg(
         F.md5(chunk_text.cast("binary")).alias("chunk_fp")
-    ).persist()
+    ).localCheckpoint(eager=False)
     # global first occurrence per distinct passage: lexicographic MIN on
     # (doc, position) — one row of state per fingerprint
     kept = fps.groupBy("chunk_fp").agg(

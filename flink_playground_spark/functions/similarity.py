@@ -159,13 +159,18 @@ def kmeans_centroids(
     then divides in double. Determinism costs nothing measurable here
     (k×dim aggregates) and makes the whole IVF construction replicable
     by the Python reference oracle (functions/reference.py)."""
+    # each Lloyd round re-reads the vectors: persist the projection for
+    # the loop (every round's cents is eagerly materialized below, so
+    # the unpersist after the loop is safe — the returned table has no
+    # remaining lineage into it)
+    proj = corpus.select(id_col, vec_col).persist()
     cents = (
-        corpus.orderBy(id_col)
+        proj.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
     )
     for _ in range(iters):
-        assign = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        assign = ivf_assign(proj, cents, id_col, vec_col, nprobe=1)
         exploded = assign.select(
             "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
         )
@@ -186,6 +191,7 @@ def kmeans_centroids(
         # small (n_centroids × dim): materialize so each round's plan
         # doesn't re-run every previous round's corpus scan
         cents = cents.localCheckpoint(eager=True)
+    proj.unpersist()
     return cents
 
 
@@ -284,9 +290,12 @@ def pq_train(
     divide in double — the same discipline as ``kmeans_centroids``.
     """
     sub_len = dim // m
+    # persisted for the Lloyd loop: every round re-scans the subvector
+    # table; the final book is eagerly checkpointed, so unpersist after
+    # the loop is safe
     subs = corpus.select(F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")).select(
         "vid", "s.sub", "s.subvec"
-    )
+    ).persist()
     seed_w = Window.partitionBy(F.lit(1)).orderBy("vid")
     seeds = (
         corpus.orderBy(id_col)
@@ -317,6 +326,7 @@ def pq_train(
         # small (m × k × sub_len): cut the lineage so round r+1's plan
         # does not re-run every earlier round's corpus scan
         book = book.localCheckpoint(eager=True)
+    subs.unpersist()
     return book
 
 
@@ -393,31 +403,33 @@ def pq_topk(
         .withColumn("lutval", dot_fixed(F.col("subvec"), F.col("codeword"), sub_len))
         .withColumn("cwn2", dot_fixed(F.col("codeword"), F.col("codeword"), sub_len))
     )
-    # flatten each query's m×k table into one array indexed sub*k + code
+    # each query's m×k table as a MAP keyed by sub*n_codes + code — NOT a
+    # positionally-indexed array: pq_train can drop a codeword whose cell
+    # loses all members during Lloyd rounds, and a hole in a flattened
+    # array would shift every later entry (crash or silently score with
+    # the wrong codeword). Key lookup is hole-proof and matches the
+    # (sub, code)-keyed Python reference.
     qtab = (
         lut.groupBy("query_id")
         .agg(
-            F.array_sort(
+            F.map_from_entries(
                 F.collect_list(
-                    F.struct((F.col("sub") * n_codes + F.col("code")).alias("i"), "lutval", "cwn2")
+                    F.struct(
+                        (F.col("sub") * n_codes + F.col("code")).alias("i"),
+                        F.struct("lutval", "cwn2").alias("v"),
+                    )
                 )
             ).alias("t"),
             F.first(norm_fixed(F.col("qvec"), dim)).alias("qnorm"),
-        )
-        .select(
-            "query_id",
-            F.transform("t", lambda s: s["lutval"]).alias("lut"),
-            F.transform("t", lambda s: s["cwn2"]).alias("cwn2"),
-            "qnorm",
         )
     )
     paired = codes.join(F.broadcast(qtab), F.col("query_id") != F.col("vid"))
     raw: Column = F.lit(0.0)
     n2: Column = F.lit(0.0)
     for s in range(m):
-        idx = F.lit(s * n_codes) + F.col("codes")[s]
-        raw = raw + F.col("lut")[idx]
-        n2 = n2 + F.col("cwn2")[idx]
+        e = F.element_at(F.col("t"), F.lit(s * n_codes) + F.col("codes")[s])
+        raw = raw + e["lutval"]
+        n2 = n2 + e["cwn2"]
     scored = paired.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),

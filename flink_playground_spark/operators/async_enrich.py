@@ -94,11 +94,21 @@ def async_enrich(
                         settle(i, f)
                 else:
                     # completion order: the unorderedWait latency win.
-                    # The iterator's own timeout bounds a lookup that
-                    # never completes; stragglers settle as timeouts.
+                    # The timeout is PER REQUEST, not per batch: each
+                    # lookup is entitled to timeout_s from the moment a
+                    # pool slot starts it, so a batch of n fast lookups
+                    # draining through `capacity` slots finishes within
+                    # ceil(n/capacity)*timeout_s — that is the iterator
+                    # deadline (a cumulative-batch-time deadline falsely
+                    # timed out fast lookups once the batch outlasted
+                    # timeout_s). Each settled future is still bounded
+                    # individually by f.result(timeout_s) in settle().
+                    import math
+
+                    batch_deadline = timeout_s * max(1, math.ceil(len(futs) / capacity))
                     order = {id(f): i for i, f in enumerate(futs)}
                     try:
-                        for f in concurrent.futures.as_completed(futs, timeout=timeout_s):
+                        for f in concurrent.futures.as_completed(futs, timeout=batch_deadline):
                             settle(order[id(f)], f)
                     except concurrent.futures.TimeoutError:
                         pass

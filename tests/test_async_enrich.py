@@ -101,6 +101,27 @@ def test_timeout_becomes_data_not_failure(spark):
     assert all(by_k[k].v == float(k) for k in (0, 1, 2, 4, 5))
 
 
+def test_unordered_timeout_is_per_request_not_per_batch(spark):
+    """A batch whose CUMULATIVE time exceeds timeout_s must not falsely
+    time out lookups that each finish well under it: 6 sequential
+    0.06s lookups through capacity=1 take ~0.36s total against
+    timeout_s=0.15 — every one must still settle with a value (the
+    deadline scales by ceil(n/capacity), matching the per-request
+    AsyncFunction timeout the ordered path already implements)."""
+
+    def quick(client, key):
+        time.sleep(0.06)
+        (k,) = key
+        return {"v": float(k)}
+
+    df = spark.range(0, 6).select(F.col("id").alias("k")).coalesce(1)
+    out = async_enrich(
+        df, ["k"], quick, "v double", capacity=1, timeout_s=0.15, ordered=False
+    ).collect()
+    assert sorted(r.v for r in out) == [float(k) for k in range(6)]
+    assert all(r.lookup_error is None for r in out)
+
+
 def test_concurrency_overlaps_latency(spark):
     """capacity=16 on a 0.05s-per-call service must beat sequential by a
     wide margin: 32 rows in one partition ≈ 2 waves, not 32."""

@@ -168,6 +168,52 @@ def test_pq_topk_recall_and_code_compression(spark, sf_dir):
     assert recall >= 0.15, f"PQ recall {recall} collapsed"
 
 
+def test_pq_topk_survives_dropped_codeword(spark):
+    """A codeword whose cell loses every member during Lloyd rounds is
+    dropped from the book (duplicate vectors among the k seed ids force
+    this: the tie-break sends all members to the lower code). The
+    per-query LUT is keyed by (sub, code), so the hole must neither
+    crash the ADC scan (INVALID_ARRAY_INDEX with positional indexing)
+    nor silently shift later codewords' dots onto the wrong codes."""
+    from flink_playground_spark.functions.similarity import pq_topk, pq_train
+    from flink_playground_spark.sources.memory import from_rows
+
+    def vec(axis, scale):
+        v = [0.1] * 8
+        v[axis] = scale
+        return v
+
+    rows = [
+        (0, vec(0, 5.0)),
+        (1, vec(0, 5.0)),  # duplicate seed: code 1 starves, gets dropped
+        (2, vec(1, 5.0)),
+        (3, vec(2, 5.0)),
+        (4, vec(3, 5.0)),
+        (5, vec(4, 5.0)),
+        (6, vec(4, 5.0)),  # duplicate pair outside the seeds
+        (7, vec(5, 5.0)),
+        (8, vec(6, 5.0)),
+        (9, vec(7, 5.0)),
+    ]
+    corpus = from_rows(spark, rows, ["vec_id", "embedding"], ["bigint", "array<float>"])
+    book = pq_train(corpus, dim=8, m=2, k=4, iters=2)
+    got = {(r.sub, r.code) for r in book.collect()}
+    assert len(got) < 8, f"expected a dropped codeword, book kept {sorted(got)}"
+
+    queries = corpus.filter(F.col("vec_id").isin(0, 5))
+    out = pq_topk(corpus, queries, dim=8, m=2, n_codes=4, k=9, iters=2).collect()
+    assert {r.query_id for r in out} == {0, 5}
+    assert all(r.sim is not None for r in out)
+    # the exact duplicate shares the query's codes, so its ADC sim must
+    # equal the query's best sim (ties may rank a lower id first)
+    best = {q: max(r.sim for r in out if r.query_id == q) for q in (0, 5)}
+    dup_sim = {
+        (r.query_id, r.neighbor_id): r.sim for r in out
+    }
+    assert dup_sim.get((0, 1)) == best[0]
+    assert dup_sim.get((5, 6)) == best[5]
+
+
 def test_ivf_kmeans_refinement_improves_recall(spark):
     """Lloyd refinement improves recall@5 over the raw first-N seed at
     sf0.1 (2000 vectors; measured 0.760 → 0.787 over 30 queries). On
@@ -428,6 +474,62 @@ def test_bpe_learns_textbook_merges(spark):
     # every (token, n) row is weighted by word frequency: total symbol
     # mass equals sum over words of freq × len(tokens(word))
     assert sum(counts.values()) == 3 * 2 + 2 * 3 + 4 * 1 + 1 * 5  # low lo|w, lower lo|we|r, newest, widest w|i|d|e|st
+
+
+def test_bpe_many_merges_is_one_job_and_fast(spark, sf_dir):
+    """Production-vocabulary shape: training is O(1) Spark jobs in the
+    merge count (the driver selects merges over the collected word-
+    frequency table with incremental pair counts), so 256 merges must
+    finish in seconds — round 4 ran one cluster job per merge. The
+    incremental counts must equal a from-scratch recount (the oracle's
+    algorithm) on a non-trivial corpus."""
+    import time
+
+    from flink_playground_spark.functions.bpe import (
+        _apply_merge_py,
+        _learn_merges_local,
+        learn_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    freqs = {
+        r["word"]: int(r["freq"])
+        for r in word_frequencies(docs, "doc_id", "text").collect()
+    }
+    # the synthetic corpus has ~31 distinct words, so a 256-merge ask
+    # exhausts every pair and stops early — still one Spark job
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=256)
+    assert 0 < len(merges) < 256
+
+    # production-vocabulary speed: 512 merges over a 4k-word vocabulary
+    # must take seconds (incremental pair counts, no per-merge rescans)
+    import hashlib
+
+    big_vocab = {
+        hashlib.sha256(str(i).encode()).hexdigest()[: 8 + i % 24]: 1 + i % 97
+        for i in range(4000)
+    }
+    t0 = time.time()
+    big_merges = _learn_merges_local(big_vocab, 512, 1)
+    elapsed = time.time() - t0
+    assert len(big_merges) == 512
+    assert elapsed < 20, f"512-merge training took {elapsed:.1f}s"
+
+    # incremental == from-scratch recount (reference.py's loop) for the
+    # first 24 merges
+    vocab = {w: [*w] for w in freqs}
+    recount: list[tuple[str, str]] = []
+    for _ in range(24):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + freqs[w]
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        recount.append(best)
+        vocab = {w: _apply_merge_py(s, *best) for w, s in vocab.items()}
+    assert merges[:24] == recount
+    assert merges[:24] == _learn_merges_local(freqs, 24, 1)
 
 
 def test_bigram_lm_scores_hand_computed(spark):
