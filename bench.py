@@ -9,6 +9,15 @@ line was truncated by the driver's tail capture (BENCH_r02.json:
 Each query is materialized via the ``noop`` datasource — full execution
 (scan, shuffles, aggregation) without driver-side collection, so the
 number measures the engine, not py4j transfer.
+
+Host-speed calibration (round 5): the shared host swings 2-3x between
+rounds (round 4's comparison flagged 15 phantom regressions on
+byte-identical plans; /proc/stat showed 6-11% sustained steal). A fixed
+synthetic probe — identical workload every round, no parquet, no
+registry dependence — runs min-of-5 at sweep start AND end; its best
+time is the host-speed index. ``vs_prev`` reports both raw ratios and
+ratios normalized by the index ratio between rounds, and the regression
+list is computed from the NORMALIZED numbers.
 """
 
 from __future__ import annotations
@@ -24,17 +33,46 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from flink_playground_spark import get_spark
 from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
 
+# Fixed workload: a 20M-row shuffle+aggregate that exercises codegen,
+# hashing, and exchange — the stages host contention actually slows.
+# NEVER change this definition; cross-round normalization depends on it.
+_PROBE_VERSION = "range20M-groupby997-v1"
+
+
+def _calibration_probe(spark, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000)
+            .selectExpr("pmod(id, 997) AS k", "id % 7919 AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 
 def main() -> None:
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(pathlib.Path(sf_dir).name.removeprefix("sf") or 0.1)
     spark = get_spark("bench")
     spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # probes INTERLEAVED through the sweep (start, every ~10 queries,
+    # end): contention often hits mid-run, and a start/end-only pair
+    # under-corrects it. Index = median of samples — what the host was
+    # like DURING the sweep, robust to one clean or one stolen sample.
+    cal_samples = [_calibration_probe(spark, reps=5)]
+
     times: dict[str, float] = {}
-    for name, q in {**REGISTRY, **EXTRA_REGISTRY}.items():
-        if not q.bench:
-            continue
+    benched = [(n, q) for n, q in {**REGISTRY, **EXTRA_REGISTRY}.items() if q.bench]
+    for qi, (name, q) in enumerate(benched):
         best = float("inf")
         for _ in range(3):  # min-of-3: excludes one-time costs (file
             # listing, codegen compilation) from the steady-state number.
@@ -47,6 +85,15 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        if (qi + 1) % 10 == 0:
+            cal_samples.append(_calibration_probe(spark))
+
+    cal_samples.append(_calibration_probe(spark, reps=5))
+    calibration = {
+        "probe": _PROBE_VERSION,
+        "samples_s": cal_samples,
+        "index_s": round(statistics.median(cal_samples), 4),
+    }
 
     total = round(sum(times.values()), 3)
     full = {
@@ -55,10 +102,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calibration": calibration,
     }
     prev = _load_previous_round()
     if prev:
-        full["vs_prev"] = _compare(times, prev)
+        full["vs_prev"] = _compare(times, prev, calibration)
     sidecar = pathlib.Path(__file__).resolve().parent / "BENCH_FULL.json"
     sidecar.write_text(json.dumps(full, indent=1) + "\n")
     # Full line first (for humans / generous captures), compact machine
@@ -70,6 +118,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(times),
+        "cal": calibration["index_s"],
+        "cal_probe": _PROBE_VERSION,
+        "host_speed_vs_prev": (full.get("vs_prev") or {}).get("host_speed_vs_prev"),
         "regressions": (full.get("vs_prev") or {}).get("regressions", {}),
         "full": sidecar.name,
     }
@@ -91,6 +142,10 @@ _CHANGED = {
     "tumble_hop_events",  # was tumble only; now tumble + hop branches
     "sessionize_events",  # was gap-strategy only; now gaps + native
     "text_analysis",  # was stats only; now + lang-id + fingerprint + token counts
+    # round 5 rewrites (different algorithm, expected large speedups —
+    # a ratio would compare different work):
+    "embedding_pca",  # 17-scan power iteration -> one-scan scatter matrix
+    "bpe_token_stats",  # per-merge cluster jobs -> driver-side merge loop
 }
 
 
@@ -108,24 +163,43 @@ def _load_previous_round() -> dict | None:
         except (OSError, json.JSONDecodeError):
             continue
         # the driver wraps our JSON line under "parsed"
-        queries = data.get("queries") or (data.get("parsed") or {}).get("queries")
+        parsed = data.get("parsed") or {}
+        queries = data.get("queries") or parsed.get("queries")
         if queries:
-            return {"file": path.name, "queries": queries}
+            cal = (data.get("calibration") or {}).get("index_s") or parsed.get("cal")
+            cal_probe = (data.get("calibration") or {}).get("probe") or parsed.get(
+                "cal_probe"
+            )
+            return {
+                "file": path.name,
+                "queries": queries,
+                "cal": cal,
+                "cal_probe": cal_probe,
+            }
     return None
 
 
-def _compare(times: dict[str, float], prev: dict) -> dict:
+def _compare(times: dict[str, float], prev: dict, calibration: dict) -> dict:
     old = {_RENAMES.get(k, k): v for k, v in prev["queries"].items()}
     ratios = {
         name: round(times[name] / old[name], 2)
         for name in times
         if name in old and old[name] > 0
     }
+    # host-speed normalization: only valid against the SAME probe
+    speed = None
+    if prev.get("cal") and prev.get("cal_probe") == calibration["probe"]:
+        speed = round(calibration["index_s"] / prev["cal"], 3)
+    effective = (
+        {n: round(r / speed, 2) for n, r in ratios.items()} if speed else ratios
+    )
     return {
         "against": prev["file"],
-        "ratios": ratios,  # this round / previous round, per query
+        "host_speed_vs_prev": speed,  # >1 = this host run is slower
+        "ratios": ratios,  # raw: this round / previous round, per query
+        "ratios_normalized": effective if speed else None,
         "regressions": {
-            n: r for n, r in ratios.items() if r > 1.5 and n not in _CHANGED
+            n: r for n, r in effective.items() if r > 1.5 and n not in _CHANGED
         },
         "changed_definition": sorted(_CHANGED & set(ratios)),
         "new_queries": sorted(set(times) - set(old)),

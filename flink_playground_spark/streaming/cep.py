@@ -205,6 +205,136 @@ def replay_events_stream_timeordered(
     )
 
 
+def funnel_txn_wave(
+    state,
+    writer_id: str,
+    batch_id: int,
+    events: DataFrame,
+    keys: str | Sequence[str],
+    time_col: str,
+    symbol_col: str,
+    pattern: Sequence[str],
+    within_ms: int,
+    id_col: str,
+) -> bool:
+    """One exactly-once wave of the funnel over TRANSACTIONAL bucketed
+    state (``txn_state.TransactionalKeyState``) — the foreachBatch
+    deployment shape, where ``funnel_stream`` is the
+    applyInPandasWithState one.
+
+    State rows (one per chain, live or settled)::
+
+        keys..., start_id, steps_us array<long>, status
+        status: 'open' | 'done' | 'timeout'
+
+    Each wave unions the key's open chains with the wave's events
+    (encoded into the same schema with status='ev'), replays the exact
+    ``funnel_stream`` advance loop per key inside ``applyInPandas``, and
+    commits the resulting chain set back — completed and TIMED-OUT
+    chains stay in state as settled rows, so the query answer is a pure
+    read (``funnel_txn_results``) and replays are absorbed by the
+    writers ledger (returns False on a re-delivered batch). Because the
+    state lives in the transactional store, a mid-stream
+    ``state.rebucket(spark, n)`` rescale preserves open chains, settled
+    rows, AND the replay guard (pinned by test_cep).
+
+    Ordering contract matches ``funnel_stream``: per-key event times
+    non-decreasing across waves."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    k = len(pattern)
+    if k < 2:
+        raise ValueError("funnel_txn_wave needs a pattern of length >= 2")
+    within_us = within_ms * 1000
+    pat = list(pattern)
+    key_names = list(keys)
+    tcol, scol, icol = time_col, symbol_col, id_col
+
+    encoded = events.select(
+        *key_names,
+        F.col(icol).alias("start_id"),
+        F.array(F.unix_micros(F.col(tcol).cast("timestamp"))).alias("steps_us"),
+        F.col(scol).alias("sym"),
+        F.lit("ev").alias("status"),
+    )
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in encoded.schema.fields
+    )
+
+    def advance(pdf: pd.DataFrame) -> pd.DataFrame:
+        settled = pdf[pdf["status"].isin(["done", "timeout"])]
+        opens = pdf[pdf["status"] == "open"]
+        ids = opens["start_id"].tolist()
+        steps = [list(s) for s in opens["steps_us"]]
+        evs = pdf[pdf["status"] == "ev"].copy()
+        evs["__t"] = [int(s[0]) for s in evs["steps_us"]]
+        evs = evs.sort_values(["__t", "start_id"])
+        done: list[tuple] = []
+        expired: list[tuple] = []
+        for t, sym, eid in zip(
+            evs["__t"].tolist(), evs["sym"].tolist(), evs["start_id"].tolist()
+        ):
+            live = [j for j in range(len(ids)) if steps[j][0] + within_us >= t]
+            if len(live) != len(ids):
+                dead = set(range(len(ids))) - set(live)
+                expired.extend((ids[j], steps[j]) for j in sorted(dead))
+                ids = [ids[j] for j in live]
+                steps = [steps[j] for j in live]
+            nxt_ids, nxt_steps = [], []
+            for sid, st in zip(ids, steps):
+                if sym == pat[len(st)] and t > st[-1]:
+                    st = st + [t]
+                    if len(st) == k:
+                        done.append((sid, st))
+                        continue
+                nxt_ids.append(sid)
+                nxt_steps.append(st)
+            ids, steps = nxt_ids, nxt_steps
+            if sym == pat[0]:
+                ids.append(eid)
+                steps.append([int(t)])
+        kvals = {c: (pdf[c].iloc[0] if len(pdf) else None) for c in key_names}
+        rows = [
+            {**kvals, "start_id": sid, "steps_us": st, "sym": None, "status": status}
+            for status, chains in (("done", done), ("timeout", expired), ("open", zip(ids, steps)))
+            for sid, st in chains
+        ]
+        out = pd.concat([settled, pd.DataFrame(rows, columns=pdf.columns)]) if rows else settled
+        return out[list(pdf.columns)]
+
+    def combine(base: DataFrame, cols: Sequence[str]) -> DataFrame:
+        return base.groupBy(*key_names).applyInPandas(advance, out_fields).select(*cols)
+
+    return state.merge_transform(writer_id, batch_id, encoded, combine)
+
+
+def funnel_txn_results(state, spark: SparkSession, n_steps: int) -> DataFrame:
+    """Settled chains from the transactional funnel state, decoded to
+    the ``funnel_stream(emit_timeouts=True)`` output shape: key cols,
+    ``start_id``, ``ts1..tsK`` (NULL beyond the matched prefix),
+    ``matched``, ``timed_out``. Open chains stay silent, exactly like
+    the streaming operator."""
+    st = state.read(spark)
+    if st is None:
+        raise ValueError("funnel state is empty")
+    settled = st.filter(F.col("status").isin("done", "timeout"))
+    cols = [c for c in st.columns if c not in ("steps_us", "sym", "status")]
+    sel = [F.col(c) for c in cols]
+    for i in range(1, n_steps + 1):
+        # try_element_at: 1-based, NULL past the matched prefix (plain
+        # element_at throws under ANSI). The cast chain is the exact
+        # inverse of the encode (ntz -> instant in session tz ->
+        # micros), so any single session round-trips the naive value
+        # regardless of its timezone.
+        sel.append(
+            F.timestamp_micros(F.try_element_at("steps_us", F.lit(i)))
+            .cast("timestamp_ntz")
+            .alias(f"ts{i}")
+        )
+    sel.append(F.size("steps_us").alias("matched"))
+    sel.append((F.col("status") == "timeout").alias("timed_out"))
+    return settled.select(*sel)
+
+
 def match_contiguous_stream(
     df: DataFrame,
     keys: str | Sequence[str],

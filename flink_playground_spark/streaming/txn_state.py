@@ -187,6 +187,19 @@ class TransactionalKeyState:
             lambda base, cols: dedup_latest(base, self.keys, order_col, tiebreakers).select(*cols),
         )
 
+    def merge_transform(
+        self, writer_id: str, batch_id: int, batch: DataFrame, combine
+    ) -> bool:
+        """Arbitrary keyed state transition, exactly once per (writer,
+        batch): ``combine(base, cols)`` receives the union of the
+        touched buckets' current rows and the batch rows (same schema)
+        and returns the buckets' NEW full contents. The CEP funnel's
+        chain-advance is this shape — neither an aggregate fold nor a
+        keep-latest. The transition must be deterministic: a crash
+        before the manifest commit replays the batch against the old
+        state and must reproduce the same result."""
+        return self._merge(writer_id, batch_id, batch, combine)
+
     def _merge(self, writer_id: str, batch_id: int, batch: DataFrame, combine) -> bool:
         # ENFORCE the single-writer protocol rather than assuming it: two
         # concurrent merges would both read manifest M and the second

@@ -350,3 +350,75 @@ def test_funnel_stream_timeout_side_output(spark, tmp_path):
     r2 = rows[2]
     assert (r2["timed_out"], r2["matched"], r2["start_id"]) == (True, 2, 200)
     assert r2["ts1"].minute == 0 and r2["ts2"].minute == 5 and r2["ts3"] is None
+
+
+def test_funnel_txn_timeouts_survive_rescale(spark, sf_dir, tmp_path):
+    """Exactly-once CEP over TRANSACTIONAL bucketed state, rescaled
+    mid-stream: 3 event-time waves of the real events table through
+    funnel_txn_wave, with state.rebucket() between waves 2 and 3. The
+    settled output (completed + timed-out chains) must equal the
+    no-rescale run, the completed subset must equal the batch funnel,
+    and a pre-rescale wave redelivered after the rescale must be a
+    no-op (replay ledger survives the rescale txn)."""
+    from flink_playground_spark.sources.tables import load_table
+    from flink_playground_spark.streaming.cep import (
+        funnel_txn_results,
+        funnel_txn_wave,
+    )
+    from flink_playground_spark.streaming.txn_state import TransactionalKeyState
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.selectExpr(
+        "percentile_approx(unix_micros(cast(ts as timestamp)), array(0.3333, 0.6667), 10000) p"
+    ).collect()[0]["p"]
+    tsd = F.unix_micros(F.col("ts").cast("timestamp"))
+    waves = [
+        ev.filter(tsd <= bounds[0]),
+        ev.filter((tsd > bounds[0]) & (tsd <= bounds[1])),
+        ev.filter(tsd > bounds[1]),
+    ]
+    args = dict(
+        keys="user_id", time_col="ts", symbol_col="event_type",
+        pattern=["view", "click", "purchase"],
+        within_ms=48 * 3600 * 1000, id_col="event_id",
+    )
+
+    def run(path, rescale_after=None):
+        st = TransactionalKeyState(path, ["user_id"], n_buckets=4)
+        for i, w in enumerate(waves):
+            assert funnel_txn_wave(st, "cep", i, w, **args) is True
+            if rescale_after == i:
+                assert st.rebucket(spark, 16) is True
+        return st
+
+    st_r = run(str(tmp_path / "rescaled"), rescale_after=1)
+    assert st_r.n_buckets == 16
+    st_p = run(str(tmp_path / "plain"))
+
+    def settled(st):
+        return {
+            tuple(r)
+            for r in funnel_txn_results(st, spark, n_steps=3)
+            .select("user_id", "start_id", "ts1", "ts2", "ts3", "matched", "timed_out")
+            .collect()
+        }
+
+    got_r, got_p = settled(st_r), settled(st_p)
+    assert got_r == got_p and len(got_r) > 0
+
+    # completed subset == the batch operator's answer
+    et = F.col("event_type")
+    want_done = {
+        tuple(r) + (3, False)
+        for r in funnel(
+            ev, "user_id", "ts", [et == "view", et == "click", et == "purchase"],
+            "INTERVAL 48 HOURS", start_cols=[F.col("event_id").alias("start_id")],
+        ).select("user_id", "start_id", "ts1", "ts2", "ts3").collect()
+    }
+    assert {t for t in got_r if not t[-1]} == want_done
+    # and some chains genuinely timed out (the side output is exercised)
+    assert any(t[-1] for t in got_r)
+
+    # a pre-rescale wave redelivered AFTER the rescale is still skipped
+    assert funnel_txn_wave(st_r, "cep", 1, waves[1], **args) is False
+    assert settled(st_r) == got_p
