@@ -403,3 +403,50 @@ def test_query_spec_new_ops_roundtrip(spark, sf_dir):
     )
     n = QuerySpec.from_json(sess_spec.to_json()).build(spark, sf_dir).count()
     assert n == load_table(spark, sf_dir, "events").count()
+
+
+def test_iterative_trainers_scan_cached_input_per_round(spark, sf_dir, monkeypatch):
+    """k-means, PQ training, and the quality classifier persist their
+    scanned input across iteration rounds: the per-round plan must read
+    from the cache (InMemoryTableScan/InMemoryRelation), not re-scan
+    parquet every Lloyd/gradient round."""
+    import flink_playground_spark.functions.classifier as clf
+    import flink_playground_spark.functions.similarity as sim
+    from flink_playground_spark.queries import EXTRA_REGISTRY
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def cached(df):
+        return "InMemory" in df._jdf.queryExecution().executedPlan().toString()
+
+    kmeans_inputs = []
+    orig_assign = sim.ivf_assign
+    monkeypatch.setattr(
+        sim,
+        "ivf_assign",
+        lambda df, cents, *a, **kw: (kmeans_inputs.append(cached(df)), orig_assign(df, cents, *a, **kw))[1],
+    )
+    sim.kmeans_centroids(emb, iters=2)
+    assert kmeans_inputs == [True, True]
+
+    pq_inputs = []
+    orig_pq = sim._pq_assign
+    monkeypatch.setattr(
+        sim,
+        "_pq_assign",
+        lambda subs, book, sub_len: (pq_inputs.append(cached(subs)), orig_pq(subs, book, sub_len))[1],
+    )
+    sim.pq_train(emb, iters=2)
+    assert len(pq_inputs) >= 2 and all(pq_inputs)
+
+    clf_inputs = []
+    orig_train = clf.train_logreg
+    monkeypatch.setattr(
+        clf,
+        "train_logreg",
+        lambda df, *a, **kw: (clf_inputs.append(cached(df)), orig_train(df, *a, **kw))[1],
+    )
+    EXTRA_REGISTRY["quality_classifier"].spark_fn(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    assert clf_inputs == [True]

@@ -48,6 +48,9 @@ PROBES = [
     "bigram_lm_score",
     "quality_classifier",
     "streaming_broadcast_rules",
+    # round 5 rewrites: prove the new algorithms stay sublinear
+    "embedding_pca",  # one-scan scatter matrix + driver eigensolve
+    "bpe_token_stats",  # corpus word count + driver merges + one encode pass
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
