@@ -121,16 +121,64 @@ def ivf_assign(
     keep_sim: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: each vector joins its ``nprobe`` nearest
-    centroids (by cosine). Centroids are broadcast (they are few); the
-    per-vector argmax is a rank window over (vector, centroid) scores —
-    fully codegen'd, one pass over the data. ``keep_sim`` also returns
-    the vector↔centroid cosine (``csim``) — the fit signal the streaming
-    index's drift monitor aggregates."""
+    centroids (by cosine). ``keep_sim`` also returns the vector↔centroid
+    cosine (``csim``) — the fit signal the streaming index's drift
+    monitor aggregates.
+
+    ``nprobe=1`` (the corpus-side path — every vector in the index walks
+    through here) is ZERO-SHUFFLE: the centroid table collapses to a
+    one-row sorted array, broadcast-crossed into the scan, and the
+    argmax folds row-locally over it. The previous rank-window plan
+    shuffled corpus × n_centroids scored rows on ``vid`` just to pick a
+    per-row maximum — at 100 TB that is a full-corpus exchange (with the
+    float vectors in the rows!) for an embarrassingly parallel decision.
+    Tie-break (max csim, then min centroid_id) and the cosine expression
+    are identical to the window path, so results are bit-equal and the
+    Python reference (functions/reference.py) still replicates them.
+
+    ``nprobe>1`` is only ever applied to the (small) query/probe set, so
+    the rank window over (vector, centroid) scores stays the right plan
+    there."""
     c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cvec"))
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    keep = ["vid", "vec", "centroid_id"] + (["csim"] if keep_sim else [])
+    if nprobe == 1:
+        # one-row build side: the scalar-broadcast BNLJ class the plan
+        # guard allowlists (constant-size, never corpus-by-corpus)
+        carr = c.agg(
+            F.array_sort(F.collect_list(F.struct("centroid_id", "cvec"))).alias("cents")
+        )
+        scored = F.transform(
+            F.col("cents"),
+            lambda cc: F.struct(
+                cosine(F.col("vec"), cc["cvec"]).alias("csim"),
+                cc["centroid_id"].alias("centroid_id"),
+            ),
+        )
+        # fold seeded with element 1; the array is centroid_id-ASC, so
+        # replace-only-on-strictly-better == (csim DESC, centroid_id ASC)
+        best = F.aggregate(
+            F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+            F.try_element_at(scored, F.lit(1)),
+            lambda acc, cand: F.when(
+                (cand["csim"] > acc["csim"])
+                | ((cand["csim"] == acc["csim"]) & (cand["centroid_id"] < acc["centroid_id"])),
+                cand,
+            ).otherwise(acc),
+        )
+        return (
+            v.crossJoin(F.broadcast(carr))
+            .withColumn("b", best)
+            .filter(F.col("b").isNotNull())
+            .select(
+                "vid",
+                "vec",
+                F.col("b.centroid_id").alias("centroid_id"),
+                *([F.col("b.csim").alias("csim")] if keep_sim else []),
+            )
+        )
     scored = v.join(F.broadcast(c)).withColumn("csim", cosine(F.col("vec"), F.col("cvec")))
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    keep = ["vid", "vec", "centroid_id"] + (["csim"] if keep_sim else [])
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
@@ -331,16 +379,39 @@ def pq_train(
 
 
 def _pq_assign(subs: DataFrame, book: DataFrame, sub_len: int) -> DataFrame:
-    """Nearest codeword per (vid, sub): broadcast the codebook, score
-    with the unrolled L2, rank window (dist ASC, code ASC) take 1."""
-    scored = subs.join(F.broadcast(book), "sub").withColumn(
-        "d2", _l2_sq_fixed(F.col("subvec"), F.col("codeword"), sub_len)
+    """Nearest codeword per (vid, sub), ZERO-SHUFFLE: the (sub, code,
+    codeword) book collapses to a one-row sorted array (m × k entries —
+    constant, the scalar-broadcast BNLJ class), broadcast-crossed into
+    the subvector scan; each row filters its subspace's codewords and
+    folds the argmin locally. The previous rank-window plan shuffled
+    corpus × m × k scored rows on (vid, sub) to pick per-row minima —
+    the dominant exchange of every pq_train Lloyd round and of
+    pq_encode. Distance math (unrolled L2) and tie-break (d2 ASC, code
+    ASC) are unchanged, so codes are bit-equal and the Python reference
+    still replicates them."""
+    barr = book.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "codeword"))).alias("bk")
     )
-    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    cands = F.filter(F.col("bk"), lambda b: b["sub"] == F.col("sub"))
+    scored = F.transform(
+        cands,
+        lambda b: F.struct(
+            _l2_sq_fixed(F.col("subvec"), b["codeword"], sub_len).alias("d2"),
+            b["code"].alias("code"),
+        ),
+    )
+    # candidates are code-ASC (array_sort on (sub, code, ...)); fold
+    # replaces only on strictly smaller d2 == (d2 ASC, code ASC)
+    best = F.aggregate(
+        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+        F.try_element_at(scored, F.lit(1)),
+        lambda acc, cand: F.when(cand["d2"] < acc["d2"], cand).otherwise(acc),
+    )
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vid", "sub", "subvec", "code")
+        subs.crossJoin(F.broadcast(barr))
+        .withColumn("b", best)
+        .filter(F.col("b").isNotNull())
+        .select("vid", "sub", "subvec", F.col("b.code").alias("code"))
     )
 
 
