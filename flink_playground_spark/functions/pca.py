@@ -178,6 +178,7 @@ def principal_components(
     for _ in range(n_components):
         v = [0.0] * dim
         v[0] = 1.0  # deterministic seed
+        accepted = False
         for _ in range(iters):
             u = [0.0] * dim
             for d in range(dim):
@@ -192,6 +193,14 @@ def principal_components(
             if norm < 1e-12:
                 break  # rank exhausted — keep the previous iterate
             v = [_r9(x / norm) for x in u]
+            accepted = True
+        if not accepted:
+            # the norm vanished before ANY accepted iterate (rank-
+            # deficient scatter, e.g. all vectors identical): the raw
+            # [1,0,...] seed is neither deflated nor orthogonal to
+            # earlier components — emit a zero component instead so
+            # pc_{i>rank} scores 0 rather than duplicating pc1.
+            v = [0.0] * dim
         for x in v:
             if x != 0.0:
                 if x < 0:

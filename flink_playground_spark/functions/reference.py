@@ -480,7 +480,15 @@ def pq_topk_ref(
 
     book = pq_train_ref(vecs, dim, m, n_codes, iters)
     codes = pq_encode_ref(vecs, book, dim, m)
+    return _pq_adc_ref(probes, book, codes, dim, m, k)
 
+
+def _pq_adc_ref(
+    probes: dict, book: dict, codes: dict, dim: int, m: int, k: int
+) -> pd.DataFrame:
+    """pq_adc_topk(): ADC lookup-table scoring + per-query top-k —
+    shared by the batch (pq_topk_ref) and streaming-index references."""
+    sub_len = dim // m
     sims: dict[int, dict[int, float]] = {}
     for q, qvec in probes.items():
         lut, cwn2 = {}, {}
@@ -506,6 +514,29 @@ def pq_topk_ref(
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rank"]).astype(
         {"query_id": "int64", "neighbor_id": "int64", "sim": "float64", "rank": "int32"}
     )
+
+
+def streaming_pq_index_ref(
+    sf_dir: str,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    iters: int = 2,
+    probe_below: int = 8,
+) -> pd.DataFrame:
+    """(query_id, neighbor_id, sim, rank) — equals the
+    streaming_ann_pq_topk query exactly: codebooks train on wave 0
+    (vec_id % 3 == 0) ONLY, every wave encodes against that frozen
+    book, queries ADC-score the full code state
+    (streaming/pq_index.py StreamingPQIndex)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    wave0 = {vid: v for vid, v in vecs.items() if vid % 3 == 0}
+    book = pq_train_ref(wave0, dim, m, n_codes, iters)
+    codes = pq_encode_ref(vecs, book, dim, m)
+    probes = {vid: v for vid, v in vecs.items() if vid < probe_below}
+    return _pq_adc_ref(probes, book, codes, dim, m, k)
 
 
 # ---------------------------------------------------------------------------
@@ -659,6 +690,7 @@ def pca_project_ref(
     for _ in range(n_components):
         v = [0.0] * dim
         v[0] = 1.0
+        accepted = False
         for _ in range(iters):
             u = [0.0] * dim
             for d in range(dim):
@@ -673,6 +705,9 @@ def pca_project_ref(
             if norm < 1e-12:
                 break
             v = [r9(x / norm) for x in u]
+            accepted = True
+        if not accepted:
+            v = [0.0] * dim  # rank-deficient: zero component, not the raw seed
         for x in v:
             if x != 0.0:
                 if x < 0:

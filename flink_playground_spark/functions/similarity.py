@@ -112,6 +112,22 @@ def brute_force_topk(
     return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Parallelism guard for iterative/scoring inputs: when the scan has
+    fewer partitions than the session's parallelism (locally: one small
+    parquet file = one split = one task serializing all the interpreted
+    HOF scoring), spread it across the cores once, hashed on ``cols``.
+    At real scale the input's splits already exceed parallelism and this
+    is a NO-OP — it never adds an exchange to a 100 TB scan. The explicit
+    partition count keeps AQE's coalescer from folding the tiny local
+    relation back into one partition."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -144,36 +160,55 @@ def ivf_assign(
     keep = ["vid", "vec", "centroid_id"] + (["csim"] if keep_sim else [])
     if nprobe == 1:
         # one-row build side: the scalar-broadcast BNLJ class the plan
-        # guard allowlists (constant-size, never corpus-by-corpus)
-        carr = c.agg(
-            F.array_sort(F.collect_list(F.struct("centroid_id", "cvec"))).alias("cents")
+        # guard recognizes structurally (grouping-key-free aggregate —
+        # constant-size, never corpus-by-corpus)
+        #
+        # SINGLE-REFERENCE argmax: score each centroid, drop null-csim
+        # entries (a null vector element must not win via null-first
+        # struct ordering — and this makes the nprobe=1 path agree with
+        # the rank window's nulls-last DESC on dirty data), then
+        # array_max over struct(csim, -centroid_id) == (csim DESC,
+        # centroid_id ASC). The previous fold referenced the scored
+        # array three times (slice, size, seed) — Catalyst re-evaluates
+        # each reference per row and re-plans the tripled tree; the
+        # round-5 version cost ~4x on planning alone.
+        #
+        # The row vector's norm is hoisted OUT of the per-centroid
+        # lambda (computed once per row, not n_centroids times), and
+        # each centroid's norm is computed once at build time — the
+        # arithmetic (dot / (norm_row * norm_centroid)) is the exact
+        # expression ``cosine`` builds, so csim stays bit-identical.
+        carr = c.select(
+            "centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm")
+        ).agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "cvec", "cnorm"))
+            ).alias("cents")
         )
-        scored = F.transform(
-            F.col("cents"),
-            lambda cc: F.struct(
-                cosine(F.col("vec"), cc["cvec"]).alias("csim"),
-                cc["centroid_id"].alias("centroid_id"),
-            ),
-        )
-        # fold seeded with element 1; the array is centroid_id-ASC, so
-        # replace-only-on-strictly-better == (csim DESC, centroid_id ASC)
-        best = F.aggregate(
-            F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
-            F.try_element_at(scored, F.lit(1)),
-            lambda acc, cand: F.when(
-                (cand["csim"] > acc["csim"])
-                | ((cand["csim"] == acc["csim"]) & (cand["centroid_id"] < acc["centroid_id"])),
-                cand,
-            ).otherwise(acc),
+        best = F.array_max(
+            F.filter(
+                F.transform(
+                    F.col("cents"),
+                    lambda cc: F.struct(
+                        (
+                            dot(F.col("vec"), cc["cvec"])
+                            / (F.col("vnorm") * cc["cnorm"])
+                        ).alias("csim"),
+                        (-cc["centroid_id"]).alias("nid"),
+                    ),
+                ),
+                lambda s: s["csim"].isNotNull(),
+            )
         )
         return (
             v.crossJoin(F.broadcast(carr))
+            .withColumn("vnorm", norm(F.col("vec")))
             .withColumn("b", best)
             .filter(F.col("b").isNotNull())
             .select(
                 "vid",
                 "vec",
-                F.col("b.centroid_id").alias("centroid_id"),
+                (-F.col("b.nid")).alias("centroid_id"),
                 *([F.col("b.csim").alias("csim")] if keep_sim else []),
             )
         )
@@ -211,7 +246,7 @@ def kmeans_centroids(
     # the loop (every round's cents is eagerly materialized below, so
     # the unpersist after the loop is safe — the returned table has no
     # remaining lineage into it)
-    proj = corpus.select(id_col, vec_col).persist()
+    proj = _spread(corpus.select(id_col, vec_col), id_col).persist()
     cents = (
         proj.orderBy(id_col)
         .limit(n_centroids)
@@ -261,7 +296,13 @@ def ivf_topk(
     cross product — the classic IVF pruning."""
     centroids = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
-    probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    # .limit(n_centroids) is a no-op (the table IS ≤ n_centroids rows)
+    # that DECLARES the bound in the plan: the nprobe>1 path broadcasts
+    # the centroid table into a condition-free join, and the explicit
+    # Limit is what lets the plan guard prove that build side constant.
+    probes = ivf_assign(
+        queries, centroids.limit(n_centroids), id_col, vec_col, nprobe=nprobe
+    )
     cand = (
         probes.alias("q")
         .join(
@@ -311,6 +352,12 @@ def _l2_sq_fixed(a: Column, b: Column, n: int) -> Column:
     return acc
 
 
+def _subs_table(corpus: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
+    return corpus.select(
+        F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")
+    ).select("vid", "s.sub", "s.subvec")
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -319,6 +366,7 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     iters: int = 2,
+    _subs: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: ``(sub, code, codeword)`` — one
     k-codeword codebook per subspace, all ``m`` trained together.
@@ -340,79 +388,155 @@ def pq_train(
     sub_len = dim // m
     # persisted for the Lloyd loop: every round re-scans the subvector
     # table; the final book is eagerly checkpointed, so unpersist after
-    # the loop is safe
-    subs = corpus.select(F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")).select(
-        "vid", "s.sub", "s.subvec"
-    ).persist()
-    seed_w = Window.partitionBy(F.lit(1)).orderBy("vid")
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .withColumn("code", F.row_number().over(seed_w) - 1)
+    # the loop is safe. A caller that already holds a persisted
+    # subvector table (pq_topk shares one across train + encode) passes
+    # it via ``_subs`` and keeps ownership of its lifetime.
+    own_subs = _subs is None
+    subs = (
+        _spread(_subs_table(corpus, id_col, vec_col, dim, m), "vid", "sub").persist()
+        if own_subs
+        else _subs
     )
-    book = seeds.select(
-        "code", _sub_slices("vec", dim, m).alias("s")
-    ).select("s.sub", "code", F.transform("s.subvec", lambda x: x.cast("double")).alias("codeword"))
+    # The book is BOUNDED (m × k entries, ≤128 at defaults) regardless
+    # of corpus size, so it lives DRIVER-SIDE across Lloyd rounds —
+    # same discipline as the BPE vocab (functions/bpe.py): one Spark
+    # job per round (assignment + exact-decimal means, collected), no
+    # per-round localCheckpoint, no book re-collect, no broadcast
+    # exchange. Seeds = the k lowest vector ids' subvector slices —
+    # a k-row bounded collect.
+    seed_rows = sorted(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .orderBy("vid")
+        .limit(k)
+        .collect(),
+        key=lambda r: r["vid"],
+    )
+    book: dict = {
+        (s, c): [float(x) for x in r["vec"][s * sub_len : (s + 1) * sub_len]]
+        for c, r in enumerate(seed_rows)
+        for s in range(m)
+    }
     for _ in range(iters):
         assign = _pq_assign(subs, book, sub_len)
-        means = (
-            assign.select("sub", "code", F.posexplode("subvec").alias("pos", "val"))
-            .groupBy("sub", "code", "pos")
+        # ONE shuffle per Lloyd round: the per-dim means of a cell are
+        # sub_len independent aggregate columns of a single (sub, code)
+        # group-by — no posexplode, no second (sub, code, pos) exchange.
+        # Each dim's sum goes through the double→DECIMAL(30,12) cast
+        # chain; decimal sums are order-free, so every mean — and the
+        # Python reference — is unchanged bit for bit. The result is
+        # ≤ m × k rows: bounded collect back into the driver book.
+        rows = (
+            assign.groupBy("sub", "code")
             .agg(
-                (
-                    F.sum(F.col("val").cast("double").cast("decimal(30,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mval")
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("subvec")[d].cast("double").cast("decimal(30,12)")).alias(f"s{d}")
+                    for d in range(sub_len)
+                ],
             )
+            .select(
+                "sub",
+                "code",
+                F.array(
+                    *[F.col(f"s{d}").cast("double") / F.col("n") for d in range(sub_len)]
+                ).alias("codeword"),
+            )
+            .collect()
         )
-        book = (
-            means.groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
-            .select("sub", "code", F.transform("pm", lambda s: s["mval"]).alias("codeword"))
-        )
-        # small (m × k × sub_len): cut the lineage so round r+1's plan
-        # does not re-run every earlier round's corpus scan
-        book = book.localCheckpoint(eager=True)
-    subs.unpersist()
-    return book
+        book = {(r["sub"], r["code"]): list(r["codeword"]) for r in rows}
+    if own_subs:
+        subs.unpersist()
+    return corpus.sparkSession.createDataFrame(
+        [(s, c, cw) for (s, c), cw in sorted(book.items())],
+        "sub int, code int, codeword array<double>",
+    )
 
 
-def _pq_assign(subs: DataFrame, book: DataFrame, sub_len: int) -> DataFrame:
-    """Nearest codeword per (vid, sub), ZERO-SHUFFLE: the (sub, code,
-    codeword) book collapses to a one-row sorted array (m × k entries —
-    constant, the scalar-broadcast BNLJ class), broadcast-crossed into
-    the subvector scan; each row filters its subspace's codewords and
-    folds the argmin locally. The previous rank-window plan shuffled
-    corpus × m × k scored rows on (vid, sub) to pick per-row minima —
-    the dominant exchange of every pq_train Lloyd round and of
-    pq_encode. Distance math (unrolled L2) and tie-break (d2 ASC, code
-    ASC) are unchanged, so codes are bit-equal and the Python reference
-    still replicates them."""
-    barr = book.agg(
-        F.array_sort(F.collect_list(F.struct("sub", "code", "codeword"))).alias("bk")
+def _pq_assign(subs: DataFrame, book, sub_len: int, keep_d2: bool = False) -> DataFrame:
+    """Nearest codeword per (vid, sub), ZERO-JOIN: the (sub, code,
+    codeword) book is a bounded constant (m × k entries by
+    construction), so it rides to the executors inside the task closure
+    of ONE Arrow-batched ``mapInPandas`` over the subvector scan — no
+    broadcast exchange, no BNLJ, no per-row interpreted HOF lambdas
+    (rounds 4/5 tried rank-window → map-LUT → expression folds; the
+    fold variants were dominated by Catalyst planning/codegen of the
+    tripled expression tree, data-INdependent cost that 100 TB would
+    not amortize either). Per batch the distance matrix is a
+    dim-at-a-time vectorized float64 fold, so each (row, code) pair
+    accumulates ``((0 + d0²) + d1²) + ...`` in exactly the fixed
+    left-fold order of ``_l2_sq_fixed`` and the Python reference
+    (`_l2_sq_ref`) — bit-identical codes, argmin over code-ASC columns
+    == (d2 ASC, code ASC) tie-break. Dirty data keeps the old
+    semantics: a null element poisons that pair to +inf (was: null d2
+    filtered out), and a row with no finite pair is dropped.
+
+    ``book`` is either the driver-side ``{(sub, code): codeword}`` dict
+    (pq_train's Lloyd loop) or the equivalent (sub, code, codeword)
+    DataFrame (pq_encode with a caller-supplied book) — the DataFrame
+    form is a bounded ≤ m × k collect, same class as the BPE vocab
+    collect (functions/bpe.py).
+    """
+    import numpy as np
+
+    if not isinstance(book, dict):
+        book = {
+            (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
+            for r in book.select("sub", "code", "codeword").collect()
+        }
+    by_sub: dict[int, list] = {}
+    for (s, c), cw in book.items():
+        by_sub.setdefault(int(s), []).append((int(c), cw))
+    books = {}
+    for s, lst in by_sub.items():
+        lst.sort()  # code ASC -> np.argmin first-hit == code-ASC tie-break
+        books[s] = (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.array([cw for _, cw in lst], dtype=np.float64),
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(subs.schema.fields) + [T.StructField("code", T.IntegerType())]
     )
-    cands = F.filter(F.col("bk"), lambda b: b["sub"] == F.col("sub"))
-    scored = F.transform(
-        cands,
-        lambda b: F.struct(
-            _l2_sq_fixed(F.col("subvec"), b["codeword"], sub_len).alias("d2"),
-            b["code"].alias("code"),
-        ),
-    )
-    # candidates are code-ASC (array_sort on (sub, code, ...)); fold
-    # replaces only on strictly smaller d2 == (d2 ASC, code ASC)
-    best = F.aggregate(
-        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
-        F.try_element_at(scored, F.lit(1)),
-        lambda acc, cand: F.when(cand["d2"] < acc["d2"], cand).otherwise(acc),
-    )
-    return (
-        subs.crossJoin(F.broadcast(barr))
-        .withColumn("b", best)
-        .filter(F.col("b").isNotNull())
-        .select("vid", "sub", "subvec", F.col("b.code").alias("code"))
-    )
+    if keep_d2:  # the winning pair's squared L2 — the quantization error
+        schema = schema.add(T.StructField("d2", T.DoubleType()))
+
+    def _f64(v):
+        a = np.asarray(v)
+        if a.dtype == object:  # null element -> NaN (poisons to +inf below)
+            a = np.array([np.nan if x is None else x for x in a], dtype=np.float64)
+        return a.astype(np.float64, copy=False)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            out_code = np.full(len(pdf), -1, dtype=np.int32)
+            out_d2 = np.full(len(pdf), np.nan, dtype=np.float64)
+            for s, idx in pdf.groupby("sub").indices.items():
+                bk = books.get(int(s))
+                if bk is None:
+                    continue  # subspace lost ALL codewords: rows drop
+                code_ids_int, C = bk
+                V = np.stack([_f64(v) for v in pdf["subvec"].iloc[idx]])
+                acc = np.zeros((len(idx), C.shape[0]), dtype=np.float64)
+                for d in range(sub_len):
+                    diff = V[:, d, None] - C[None, :, d]
+                    acc += diff * diff
+                acc[~np.isfinite(acc)] = np.inf  # null/NaN pair -> excluded
+                best = np.argmin(acc, axis=1)
+                bd2 = acc[np.arange(len(idx)), best]
+                hit = np.isfinite(bd2)
+                out_code[idx[hit]] = code_ids_int[best[hit]]
+                out_d2[idx[hit]] = bd2[hit]
+            pdf["code"] = out_code
+            if keep_d2:
+                pdf["d2"] = out_d2
+            yield pdf[pdf["code"] >= 0]
+
+    return subs.mapInPandas(assign_batches, schema)
 
 
 def pq_encode(
@@ -422,13 +546,16 @@ def pq_encode(
     vec_col: str = "embedding",
     dim: int = 64,
     m: int = 8,
+    _subs: DataFrame | None = None,
 ) -> DataFrame:
     """Compress each vector to its code array: ``(vid, codes)`` with
     ``codes[sub]`` = nearest codeword in subspace ``sub``. This is the
     stored index — m small ints per vector instead of ``dim`` floats."""
     sub_len = dim // m
-    subs = corpus.select(F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")).select(
-        "vid", "s.sub", "s.subvec"
+    subs = (
+        _spread(_subs_table(corpus, id_col, vec_col, dim, m), "vid", "sub")
+        if _subs is None
+        else _subs
     )
     assign = _pq_assign(subs, book, sub_len)
     return (
@@ -461,8 +588,37 @@ def pq_topk(
     adds — the FAISS IVFADC inner loop as codegen'd Spark expressions.
     Ranking reuses the two-level salted top-k (no per-query funnel).
     """
-    book = pq_train(corpus, id_col, vec_col, dim, m, n_codes, iters)
-    codes = pq_encode(corpus, book, id_col, vec_col, dim, m)
+    # ONE persisted subvector table shared by training (re-scanned every
+    # Lloyd round) and encoding — the round-5 shape rebuilt and
+    # re-exchanged it for the encode pass. codes is eagerly checkpointed
+    # (corpus_rows × m bytes — the whole point of PQ is that this is
+    # small) so the cache can be released before the scoring plan runs.
+    subs = _spread(_subs_table(corpus, id_col, vec_col, dim, m), "vid", "sub").persist()
+    book = pq_train(corpus, id_col, vec_col, dim, m, n_codes, iters, _subs=subs)
+    codes = pq_encode(corpus, book, id_col, vec_col, dim, m, _subs=subs).localCheckpoint(
+        eager=True
+    )
+    subs.unpersist()
+    return pq_adc_topk(codes, book, queries, id_col, vec_col, dim, m, n_codes, k, n_salt)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    book: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    n_salt: int = 8,
+) -> DataFrame:
+    """ADC scoring + salted ranking over an ALREADY-ENCODED corpus:
+    the serving half of ``pq_topk``, shared with the streaming PQ index
+    (streaming/pq_index.py) where ``codes`` is upserted state and the
+    book is frozen. ``codes`` = (vid, codes[m]); self-pairs are
+    excluded by id."""
     sub_len = dim // m
 
     # per-(query, sub, code) dot + per-(sub, code) codeword norm²
@@ -474,12 +630,17 @@ def pq_topk(
         .withColumn("lutval", dot_fixed(F.col("subvec"), F.col("codeword"), sub_len))
         .withColumn("cwn2", dot_fixed(F.col("codeword"), F.col("codeword"), sub_len))
     )
-    # each query's m×k table as a MAP keyed by sub*n_codes + code — NOT a
-    # positionally-indexed array: pq_train can drop a codeword whose cell
-    # loses all members during Lloyd rounds, and a hole in a flattened
-    # array would shift every later entry (crash or silently score with
-    # the wrong codeword). Key lookup is hole-proof and matches the
-    # (sub, code)-keyed Python reference.
+    # each query's m×k table as a DENSE array indexed by sub*n_codes +
+    # code, built from the (sub, code)-keyed entries with an explicit
+    # null sentinel at holes: pq_train can drop a codeword whose cell
+    # loses all members during Lloyd rounds, and a hole in a merely
+    # FLATTENED array would shift every later entry (the round-5 bug) —
+    # but densifying by key keeps every surviving (sub, code) at its own
+    # slot, matching the (sub, code)-keyed Python reference, while pair
+    # scoring stays O(1) array indexing. (The round-5 map-keyed fix was
+    # hole-proof but made every lookup an O(|map|) linear scan over the
+    # ~128 entries — 8 scans per candidate pair.) Hole slots are null
+    # and unreadable: codes only ever reference surviving codewords.
     qtab = (
         lut.groupBy("query_id")
         .agg(
@@ -490,15 +651,23 @@ def pq_topk(
                         F.struct("lutval", "cwn2").alias("v"),
                     )
                 )
-            ).alias("t"),
+            ).alias("t0"),
             F.first(norm_fixed(F.col("qvec"), dim)).alias("qnorm"),
+        )
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
+                lambda i: F.try_element_at(F.col("t0"), i),
+            ).alias("t"),
+            "qnorm",
         )
     )
     paired = codes.join(F.broadcast(qtab), F.col("query_id") != F.col("vid"))
     raw: Column = F.lit(0.0)
     n2: Column = F.lit(0.0)
     for s in range(m):
-        e = F.element_at(F.col("t"), F.lit(s * n_codes) + F.col("codes")[s])
+        e = F.get(F.col("t"), F.lit(s * n_codes) + F.col("codes")[s])
         raw = raw + e["lutval"]
         n2 = n2 + e["cwn2"]
     scored = paired.select(

@@ -94,29 +94,33 @@ def async_enrich(
                         settle(i, f)
                 else:
                     # completion order: the unorderedWait latency win.
-                    # The timeout is PER REQUEST, not per batch: each
-                    # lookup is entitled to timeout_s from the moment a
-                    # pool slot starts it, so a batch of n fast lookups
-                    # draining through `capacity` slots finishes within
-                    # ceil(n/capacity)*timeout_s — that is the iterator
-                    # deadline (a cumulative-batch-time deadline falsely
-                    # timed out fast lookups once the batch outlasted
-                    # timeout_s). Each settled future is still bounded
-                    # individually by f.result(timeout_s) in settle().
-                    import math
-
-                    batch_deadline = timeout_s * max(1, math.ceil(len(futs) / capacity))
+                    # PROGRESS-BASED deadline: wait up to timeout_s for
+                    # at least one completion; any completion resets the
+                    # clock. A batch of n fast lookups draining through
+                    # `capacity` slots never falsely times out no matter
+                    # how long the whole batch takes (a cumulative-batch
+                    # deadline did, once the batch outlasted timeout_s),
+                    # while a hung service stalls the task at most
+                    # timeout_s past the LAST completion — not
+                    # ceil(n/capacity)*timeout_s as the old per-request
+                    # accounting allowed.
                     order = {id(f): i for i, f in enumerate(futs)}
-                    try:
-                        for f in concurrent.futures.as_completed(futs, timeout=batch_deadline):
+                    pending: set = set(futs)
+                    while pending:
+                        done, pending = concurrent.futures.wait(
+                            pending,
+                            timeout=timeout_s,
+                            return_when=concurrent.futures.FIRST_COMPLETED,
+                        )
+                        if not done:
+                            break  # a full timeout_s with ZERO progress
+                        for f in done:
                             settle(order[id(f)], f)
-                    except concurrent.futures.TimeoutError:
-                        pass
-                    seen = {i for i, _, _ in results}
-                    for i, f in enumerate(futs):
-                        if i not in seen:
-                            f.cancel()
-                            results.append((i, None, "TimeoutError: in-flight past deadline"))
+                    for f in pending:
+                        f.cancel()
+                        results.append(
+                            (order[id(f)], None, "TimeoutError: no progress within timeout")
+                        )
                 idx = [i for i, _, _ in results]
                 out = pdf.iloc[idx].reset_index(drop=True)
                 for name in res_names:

@@ -1818,6 +1818,38 @@ def ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, probes, dim=64, m=8, n_codes=16, k=5, iters=2)
 
 
+def _streaming_pq_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import streaming_pq_index_ref
+
+    return streaming_pq_index_ref(sf_dir)
+
+
+@register_extra(
+    "streaming_ann_pq_topk",
+    None,
+    tags=("ext-sim", "T4"),
+    py_oracle=_streaming_pq_py_oracle,
+)
+def streaming_ann_pq_topk(spark, sf_dir):
+    """Incremental PQ index (streaming/pq_index.py): codebooks train on
+    the FIRST vector wave and freeze (index geometry — changing them
+    invalidates every stored code), subsequent waves encode against the
+    frozen book (one Arrow pass, book in the task closure) and upsert
+    keep-latest code state; queries ADC-score the state exactly like
+    the batch pq_topk. Value-checked bit-exact by the Python reference
+    (streaming_pq_index_ref: wave-0-trained book over the union
+    corpus); quantization-drift detection + retrain in tests."""
+    import tempfile
+
+    from flink_playground_spark.streaming.pq_index import StreamingPQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = StreamingPQIndex(tempfile.mkdtemp(prefix="fps_pqidx_"))
+    for w in range(3):
+        idx.ingest(emb.filter(F.col("vec_id") % 3 == w))
+    return idx.query(spark, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 _EMB_NEARDUP_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 600),

@@ -1,0 +1,204 @@
+"""Incremental PQ (product-quantization) index over a vector stream.
+
+The IVF counterpart (streaming/ann_index.py) stores raw vectors in
+cells; this one stores only m-byte CODE arrays — the 32× compression
+that makes a 100 TB embedding corpus servable — with the same
+train-once / stream-assignments lifecycle every production ANN
+deployment separates:
+
+- CODEBOOKS train once (first wave, ``pq_train``'s Lloyd rounds) and
+  freeze — they are the index geometry; changing them invalidates every
+  stored code, i.e. an offline rebuild, not an ingest. NOTE the raw
+  vectors are NOT retained (that is the point of PQ), so ``retrain``
+  here requires the caller to supply a training corpus — the index
+  cannot rebuild geometry from codes alone, and says so loudly.
+- CODES stream: each arriving vector encodes against the frozen book
+  (``_pq_assign`` — one Arrow-batched pass, book in the task closure)
+  and upserts keep-latest on the vector id, so re-ingesting a vector
+  moves it to its current codes. Per-batch work ∝ wave × (m·k);
+  nothing re-reads old vectors.
+
+Queries score by asymmetric distance computation against the CURRENT
+code state (``pq_adc_topk`` — the same serving math as the batch
+``pq_topk``, bit-identical sims for identical codes).
+
+STALENESS: frozen codebooks degrade when the ingest distribution
+drifts — quantization error (the winning codeword's squared L2, which
+the encode pass computes anyway) creeps up with no error anywhere.
+Each ingest records the wave's mean error; ``drift_report`` /
+``needs_retrain`` mirror the IVF index's fit-ratio contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.similarity import (
+    _pq_assign,
+    _subs_table,
+    pq_adc_topk,
+    pq_train,
+)
+from flink_playground_spark.streaming.state_store import BucketedKeyState
+
+
+class StreamingPQIndex:
+    """Maintain PQ codes over vector waves; ADC-query any time."""
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        m: int = 8,
+        n_codes: int = 16,
+        iters: int = 2,
+        n_buckets: int = 8,
+    ):
+        import os
+
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim, self.m, self.n_codes, self.iters = dim, m, n_codes, iters
+        self.book_path = f"{path}/book"
+        self.metrics_path = f"{path}/metrics"
+        self.codes = BucketedKeyState(f"{path}/codes", ["vid"], n_buckets)
+        self._trained = os.path.isdir(self.book_path)
+        self._wave = None
+
+    def _book(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.book_path)
+
+    def _next_wave(self, spark: SparkSession) -> int:
+        import os
+
+        if self._wave is None:
+            self._wave = (
+                spark.read.parquet(self.metrics_path).count()
+                if os.path.isdir(self.metrics_path)
+                else 0
+            )
+        w, self._wave = self._wave, self._wave + 1
+        return w
+
+    def _encode_wave(self, batch: DataFrame, book: DataFrame) -> DataFrame:
+        """(vid, codes, err): codes keep-latest payload + the wave's
+        per-vector quantization error (Σ over subspaces of the winning
+        codeword's squared L2) from the SAME encode pass."""
+        subs = _subs_table(batch, self.id_col, self.vec_col, self.dim, self.m)
+        assign = _pq_assign(subs, book, self.dim // self.m, keep_d2=True)
+        return (
+            assign.groupBy("vid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"),
+                F.sum("d2").alias("err"),
+            )
+            .select("vid", F.transform("sc", lambda s: s["code"]).alias("codes"), "err")
+        )
+
+    def _record(self, encoded: DataFrame, phase: str, wave: int) -> None:
+        m = encoded.agg(
+            F.count("*").alias("n"), F.avg("err").alias("mean_err")
+        ).select(
+            F.lit(wave).alias("wave"), F.lit(phase).alias("phase"), "n", "mean_err"
+        )
+        m.coalesce(1).write.mode("append").parquet(self.metrics_path)
+
+    def ingest(self, batch: DataFrame) -> None:
+        """Encode a vector wave against the frozen codebooks and upsert
+        the codes. The first wave also trains (then freezes) the book.
+        Every wave appends its quantization error to the drift log."""
+        spark = batch.sparkSession
+        first = not self._trained
+        if first:
+            pq_train(
+                batch, self.id_col, self.vec_col, self.dim, self.m,
+                self.n_codes, self.iters,
+            ).write.mode("overwrite").parquet(self.book_path)
+            self._trained = True
+        encoded = self._encode_wave(batch, self._book(spark)).localCheckpoint(
+            eager=True
+        )  # one encode pass feeds state AND metrics
+        self._record(encoded, "train" if first else "ingest", self._next_wave(spark))
+        import time
+
+        stamped = encoded.drop("err").withColumn(
+            "__seq", F.lit(int(time.time() * 1e6))
+        )
+        self.codes.merge_keep_latest(stamped, "__seq")
+
+    def drift_report(self, spark: SparkSession) -> DataFrame:
+        """(wave, phase, n, mean_err, baseline, ratio) — baseline is the
+        most recent train/retrain fit at or before the wave."""
+        w = Window.orderBy("wave").rowsBetween(Window.unboundedPreceding, 0)
+        base = F.last(
+            F.when(F.col("phase").isin("train", "retrain"), F.col("mean_err")),
+            ignorenulls=True,
+        ).over(w)
+        return (
+            spark.read.parquet(self.metrics_path)
+            .withColumn("baseline", base)
+            .withColumn("ratio", F.try_divide(F.col("mean_err"), F.col("baseline")))
+        )
+
+    def needs_retrain(
+        self,
+        spark: SparkSession,
+        threshold: float = 1.5,
+        min_delta: float = 0.05,
+    ) -> bool:
+        """Same contract as StreamingIVFIndex.needs_retrain, in
+        quantization-error units."""
+        last = self.drift_report(spark).orderBy(F.desc("wave")).limit(1).collect()
+        if not last or last[0]["baseline"] is None:
+            return False
+        r = last[0]
+        if r["mean_err"] - r["baseline"] <= min_delta:
+            return False
+        if r["ratio"] is None or r["baseline"] <= 0:
+            return True
+        return r["ratio"] > threshold
+
+    def retrain(self, spark: SparkSession, corpus: DataFrame) -> None:
+        """Offline geometry rebuild from a CALLER-SUPPLIED training
+        corpus (codes are lossy — the index cannot reconstruct training
+        vectors), then re-encode and upsert that corpus under the new
+        book and reset the fit baseline. Vectors not in ``corpus`` keep
+        codes from the OLD geometry and should be re-ingested — the same
+        caveat as any PQ index rebuild without stored raws."""
+        pq_train(
+            corpus, self.id_col, self.vec_col, self.dim, self.m,
+            self.n_codes, self.iters,
+        ).write.mode("overwrite").parquet(self.book_path)
+        self._trained = True
+        encoded = self._encode_wave(corpus, self._book(spark)).localCheckpoint(
+            eager=True
+        )
+        self._record(encoded, "retrain", self._next_wave(spark))
+        import time
+
+        stamped = encoded.drop("err").withColumn(
+            "__seq", F.lit(int(time.time() * 1e6))
+        )
+        self.codes.merge_keep_latest(stamped, "__seq")
+
+    def query(self, spark: SparkSession, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Approximate top-k neighbors of each query vector from the
+        current code state by ADC — (query_id, neighbor_id, sim, rank),
+        bit-identical to the batch ``pq_topk`` serving math."""
+        state = self.codes.read(spark)
+        if state is None:
+            raise ValueError("PQ index state is empty — ingest first")
+        return pq_adc_topk(
+            state.select("vid", "codes"),
+            self._book(spark),
+            queries,
+            self.id_col,
+            self.vec_col,
+            self.dim,
+            self.m,
+            self.n_codes,
+            k,
+        )

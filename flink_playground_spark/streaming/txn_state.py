@@ -218,15 +218,26 @@ class TransactionalKeyState:
         txn = manifest["txn"] + 1
         spark = batch.sparkSession
         cols = batch.columns
-        tagged = batch.withColumn(BUCKET_COL, self._bucket())
-        touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
-        old = self._read_buckets(spark, manifest, set(touched))
-        base = tagged.drop(BUCKET_COL) if old is None else old.unionByName(tagged.drop(BUCKET_COL))
-        merged = combine(base, cols).withColumn(BUCKET_COL, self._bucket())
-        # brand-new immutable directory; nothing existing is touched
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            f"{self.path}/t{txn}"
-        )
+        # the wave is read TWICE (touched-bucket discovery, then the
+        # merge write) — persist it so the second pass reads the cached
+        # wave instead of recomputing the caller's pre-aggregation from
+        # the source (wave-sized, bounded by the micro-batch)
+        tagged = batch.withColumn(BUCKET_COL, self._bucket()).persist()
+        try:
+            touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+            old = self._read_buckets(spark, manifest, set(touched))
+            base = (
+                tagged.drop(BUCKET_COL)
+                if old is None
+                else old.unionByName(tagged.drop(BUCKET_COL))
+            )
+            merged = combine(base, cols).withColumn(BUCKET_COL, self._bucket())
+            # brand-new immutable directory; nothing existing is touched
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                f"{self.path}/t{txn}"
+            )
+        finally:
+            tagged.unpersist()
         for b in touched:
             manifest["buckets"][str(b)] = txn
         manifest["writers"][writer_id] = batch_id

@@ -122,6 +122,39 @@ def test_unordered_timeout_is_per_request_not_per_batch(spark):
     assert all(r.lookup_error is None for r in out)
 
 
+def test_hung_lookup_stalls_at_most_timeout_past_last_completion(spark):
+    """Progress-based deadline: a genuinely hung lookup must settle as a
+    timeout ~timeout_s after the last completion — NOT after
+    ceil(n/capacity)*timeout_s (which for a big Arrow batch at small
+    capacity is effectively forever). 16 fast rows + 1 hung row,
+    timeout_s=0.5: the batch must be fully settled well before the 4s
+    hang elapses."""
+
+    def hang_first(client, key):
+        (k,) = key
+        if k == 0:
+            time.sleep(4.0)  # occupies the ONLY slot
+        return {"v": float(k)}
+
+    df = spark.range(0, 31).select(F.col("id").alias("k")).coalesce(1)
+    t0 = time.perf_counter()
+    out = async_enrich(
+        df, ["k"], hang_first, "v double", capacity=1, timeout_s=0.5, ordered=False
+    ).collect()
+    elapsed = time.perf_counter() - t0
+    by_k = {r.k: r for r in out}
+    # the hang blocks capacity=1 with ZERO completions for > timeout_s:
+    # the batch must declare timeout then (the old per-request deadline,
+    # ceil(31/1)*0.5 = 15.5s, let the hang run to completion and settle
+    # it as a SUCCESS 4s in). Queued-but-never-started rows settle as
+    # timeouts too — that is the documented progress-deadline contract.
+    assert by_k[0].v is None and "Timeout" in by_k[0].lookup_error
+    assert all("Timeout" in by_k[k].lookup_error for k in range(1, 31))
+    # settled at ~timeout_s; wall time is dominated by the pool joining
+    # the hung thread at generator close (bounded by its 4s sleep)
+    assert elapsed < 12.0
+
+
 def test_concurrency_overlaps_latency(spark):
     """capacity=16 on a 0.05s-per-call service must beat sequential by a
     wide margin: 32 rows in one partition ≈ 2 waves, not 32."""

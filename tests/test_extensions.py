@@ -618,3 +618,20 @@ def test_pca_components_capture_variance_in_order(spark, sf_dir):
     rows = emb.select("embedding").toPandas()["embedding"]
     axis_vars = [statistics.variance([float(v[d]) for v in rows]) for d in range(0, 64, 8)]
     assert v1 > statistics.median(axis_vars)
+
+
+def test_pca_rank_deficient_scatter_emits_zero_components():
+    """All vectors identical (zero scatter): NO component may fall back
+    to the raw [1,0,...] seed — pc2 duplicating pc1 silently breaks the
+    documented orthogonality. Rank-exhausted components are zeros."""
+    from flink_playground_spark.functions.pca import principal_components
+
+    comps = principal_components([[0.0] * 4 for _ in range(4)], 4, n_components=2)
+    assert comps == [[0.0] * 4, [0.0] * 4]
+
+    # rank-1 scatter: pc1 is the single direction, pc2 must be zeros —
+    # not a copy of pc1 (the regression the un-deflated seed caused)
+    rank1 = [[1.0 if d == e == 0 else 0.0 for e in range(4)] for d in range(4)]
+    c1, c2 = principal_components(rank1, 4, n_components=2)
+    assert c1 == [1.0, 0.0, 0.0, 0.0]
+    assert c2 == [0.0] * 4

@@ -369,3 +369,55 @@ def test_streaming_bigram_lm_equals_batch(spark, sf_dir, tmp_path):
         if r.doc_id < 40
     }
     assert got == want
+
+
+def test_streaming_pq_index_matches_frozen_book_batch(spark, tmp_path):
+    """Vector waves into the incremental PQ index: after 3 waves +
+    a re-ingest, state holds one code row per vid, and query() equals
+    pq_adc_topk over a batch re-encode of the SAME corpus under the
+    index's frozen book — the streaming path adds no approximation
+    beyond the (documented) wave-1-trained geometry. Drift: waves from
+    the training distribution stay under the retrain floor; a shifted
+    domain trips it; retrain with a supplied corpus resets the
+    baseline."""
+    from pyspark.sql import functions as F
+
+    from flink_playground_spark.functions.similarity import pq_adc_topk, pq_encode
+    from flink_playground_spark.streaming.pq_index import StreamingPQIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    idx = StreamingPQIndex(str(tmp_path / "pq"))
+    for w in range(3):
+        idx.ingest(emb.filter(F.col("vec_id") % 3 == w))
+    idx.ingest(emb.filter(F.col("vec_id") % 3 == 0))  # re-ingest: keep-latest
+    state = idx.codes.read(spark)
+    assert state.groupBy("vid").count().filter("count > 1").count() == 0
+    assert state.count() == emb.count()
+
+    book = spark.read.parquet(str(tmp_path / "pq" / "book"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = [tuple(r) for r in idx.query(spark, queries, k=5).collect()]
+    want = [
+        tuple(r)
+        for r in pq_adc_topk(
+            pq_encode(emb, book), book, queries, k=5
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want) and len(want) > 0
+
+    # in-distribution wave: no retrain signal
+    assert not idx.needs_retrain(spark, threshold=1.5)
+    # shifted domain: constant offset on every axis blows up the
+    # per-subspace quantization error against the frozen codewords
+    shifted = emb.filter(F.col("vec_id") < 300).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x + 5.0 AS DOUBLE))").alias("embedding"),
+    )
+    idx.ingest(shifted)
+    assert idx.needs_retrain(spark, threshold=1.5)
+    rows = {r["wave"]: r for r in idx.drift_report(spark).collect()}
+    assert rows[4]["ratio"] > 3, rows[4]
+
+    # rebuild from a caller-supplied corpus resets the baseline
+    idx.retrain(spark, shifted)
+    assert not idx.needs_retrain(spark, threshold=1.5)

@@ -51,6 +51,9 @@ PROBES = [
     # round 5 rewrites: prove the new algorithms stay sublinear
     "embedding_pca",  # one-scan scatter matrix + driver eigensolve
     "bpe_token_stats",  # corpus word count + driver merges + one encode pass
+    # round 6: verdict item 5 — the wave protocol's per-batch cost must
+    # track wave size, not total state
+    "streaming_window_topn",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
