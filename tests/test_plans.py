@@ -345,6 +345,11 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         # ADC query table: per-query LUT aggregate keyed by query_id over
         # the ≤8-row probe set (functions/similarity.py pq_topk).
         "ann_pq_topk": 1,
+        # same pq_adc_topk shape serving the streaming PQ index: the
+        # broadcast build side is the per-query dense LUT keyed by
+        # query_id — bounded by the ≤8-row probe contract
+        # (streaming/pq_index.py query()), invisible to the plan.
+        "streaming_ann_pq_topk": 1,
         # per-user profile vectors: keyed aggregate over the bounded
         # active-user panel (≤ distinct user_id; the query caps its probe
         # side to 5 users before the cross-score).
