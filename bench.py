@@ -109,8 +109,11 @@ def main() -> None:
         # CONFIRM pass: a flagged ratio can be pure burst contention the
         # interleaved probe missed between samples (round 5: 17 phantom
         # flags on byte-identical plans). Re-run each flagged query
-        # min-of-3 AFTER the sweep, keep the best of sweep+confirm, and
-        # only flag what persists.
+        # min-of-3 AFTER the sweep and only flag what persists. The
+        # sweep's `times` are NOT mutated — every query's headline number
+        # stays min-of-3 from the same sweep (a min-of-6 for flagged
+        # queries only would bias the total and the next round's baseline
+        # downward for exactly the queries that looked slow).
         by_name = dict(benched)
         confirm = {}
         for name in sorted(vs["regressions"]):
@@ -121,11 +124,11 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             confirm[name] = round(best, 3)
-            times[name] = confirm[name]
-        vs = _compare(times, prev, calibration)
+        confirmed_times = {**times, **confirm}
         vs["confirm_pass"] = confirm
-    if vs:
-        vs["confirmed_regressions"] = vs["regressions"]
+        vs["confirmed_regressions"] = _compare(
+            confirmed_times, prev, calibration
+        )["regressions"]
 
     total = round(sum(times.values()), 3)
     full = {

@@ -324,20 +324,38 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _pq_proj(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+def _sub_slices(vec_col: str, dim: int, m: int):
+    """Explode helper: one struct per subspace with its slice of the
+    vector. ``F.slice`` is 1-based; the result keeps the subspace id so
+    all ``m`` codebooks train in ONE corpus scan per Lloyd round."""
+    sub_len = dim // m
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(F.col(vec_col), s * sub_len + 1, sub_len).alias("subvec"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
 
 
-def _collect_book(book) -> dict:
-    """Normalize a codebook to the driver-side ``{(sub, code): codeword}``
-    dict. A DataFrame book is a bounded collect — m × k entries by
-    construction (same class as the BPE vocab collect, functions/bpe.py)."""
-    if isinstance(book, dict):
-        return book
-    return {
-        (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
-        for r in book.select("sub", "code", "codeword").collect()
-    }
+def _l2_sq_fixed(a: Column, b: Column, n: int) -> Column:
+    """Unrolled squared L2 distance (codegen chain, fixed fold order —
+    replicable by the Python reference)."""
+    acc: Column = F.lit(0.0)
+    for i in range(n):
+        d = a[i].cast("double") - b[i].cast("double")
+        acc = acc + d * d
+    return acc
+
+
+def _subs_table(corpus: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
+    return corpus.select(
+        F.col(id_col).alias("vid"), _sub_slices(vec_col, dim, m).alias("s")
+    ).select("vid", "s.sub", "s.subvec")
 
 
 def pq_train(

@@ -117,10 +117,23 @@ def async_enrich(
                         for f in done:
                             settle(order[id(f)], f)
                     for f in pending:
-                        f.cancel()
-                        results.append(
-                            (order[id(f)], None, "TimeoutError: no progress within timeout")
+                        # A future can complete between wait() returning an
+                        # empty `done` set and this cleanup loop — its result
+                        # is available, so settle it instead of dropping a
+                        # successful lookup as a timeout.
+                        if f.done():
+                            settle(order[id(f)], f)
+                            continue
+                        # cancel() only succeeds on queued-never-started
+                        # futures — label those distinctly from the hung
+                        # in-flight ones so one stalled lookup doesn't make
+                        # every queued row read as its own timeout.
+                        err = (
+                            "TimeoutError: never started (pool stalled)"
+                            if f.cancel()
+                            else "TimeoutError: no progress within timeout"
                         )
+                        results.append((order[id(f)], None, err))
                 idx = [i for i, _, _ in results]
                 out = pdf.iloc[idx].reset_index(drop=True)
                 for name in res_names:

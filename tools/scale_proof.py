@@ -54,6 +54,9 @@ PROBES = [
     # round 6: verdict item 5 — the wave protocol's per-batch cost must
     # track wave size, not total state
     "streaming_window_topn",
+    # round 7: verdict item 4 — the incremental PQ index (train-once
+    # frozen book, keep-latest coded state) must stay sublinear too
+    "streaming_ann_pq_topk",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
