@@ -128,8 +128,15 @@ def learn_bpe(
 
     ``max_words`` caps driver memory on noisy web-scale corpora by
     keeping only the most frequent words (ties by word text — a
-    bounded TakeOrdered, not a global sort). Leave None for exact
-    whole-vocabulary training (the oracle-checked default)."""
+    bounded TakeOrdered, not a global sort). The cap is part of the
+    deterministic spec (reference.py ``bpe_token_stats_ref`` applies
+    the identical (-freq, word) top-N), so capped runs stay bit-exact
+    against the Python oracle. CONTRACT: pipeline callers — anything
+    that might see an unbounded web-scale vocabulary, including the
+    registry's ``bpe_token_stats`` — pass an explicit cap; ``None``
+    (collect the FULL vocabulary driver-side) is reserved for
+    bounded-corpus unit tests that exercise exact whole-vocabulary
+    training, and is the OOM at 100 TB otherwise."""
     wf = word_frequencies(df, id_col, text_col)
     if max_words is not None:
         wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)

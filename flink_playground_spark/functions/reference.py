@@ -555,32 +555,54 @@ def _bpe_apply_ref(syms: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def bpe_token_stats_ref(sf_dir: str, n_merges: int = 12, min_freq: int = 1) -> pd.DataFrame:
+def bpe_token_stats_ref(
+    sf_dir: str,
+    n_merges: int = 12,
+    min_freq: int = 1,
+    max_words: int | None = None,
+) -> pd.DataFrame:
     """(token, n) — equals the bpe_token_stats query exactly: integer
-    word-frequency BPE, ties to the lexicographically smallest pair."""
+    word-frequency BPE, ties to the lexicographically smallest pair.
+    ``max_words`` mirrors learn_bpe's vocabulary cap bit-for-bit: merge
+    LEARNING sees only the top-N words by (-freq, word); token COUNTING
+    still covers the full corpus (bpe.py caps only the driver collect —
+    encoding is distributed)."""
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     freqs: dict[str, int] = {}
     for text in docs.text:
         for w in str(text).strip().split(" "):
             if w:
                 freqs[w] = freqs.get(w, 0) + 1
-    vocab = {w: [*w] for w in freqs}
+    learn_freqs = freqs
+    if max_words is not None:
+        kept = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+        learn_freqs = dict(kept)
+    vocab = {w: [*w] for w in learn_freqs}
+    merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
         for w, syms in vocab.items():
             for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + freqs[w]
+                pairs[(a, b)] = pairs.get((a, b), 0) + learn_freqs[w]
         if not pairs:
             break
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         if best[1] < min_freq:
             break
         left, right = best[0]
+        merges.append((left, right))
         vocab = {w: _bpe_apply_ref(s, left, right) for w, s in vocab.items()}
+    # token counting covers the FULL corpus vocabulary (bpe_token_counts
+    # encodes every distinct word); applying the merge list to a fresh
+    # word is the same left-to-right fold as the incremental application
+    # above, so the uncapped path is bit-identical to the old shape.
     counts: dict[str, int] = {}
-    for w, syms in vocab.items():
+    for w, f in freqs.items():
+        syms = [*w]
+        for left, right in merges:
+            syms = _bpe_apply_ref(syms, left, right)
         for t in syms:
-            counts[t] = counts.get(t, 0) + freqs[w]
+            counts[t] = counts.get(t, 0) + f
     return pd.DataFrame(
         sorted(counts.items()), columns=["token", "n"]
     ).astype({"token": "string", "n": "int64"})

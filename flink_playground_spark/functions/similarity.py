@@ -344,7 +344,11 @@ def _sub_slices(vec_col: str, dim: int, m: int):
 
 def _l2_sq_fixed(a: Column, b: Column, n: int) -> Column:
     """Unrolled squared L2 distance (codegen chain, fixed fold order —
-    replicable by the Python reference)."""
+    replicable by the Python reference). The hot PQ path uses the
+    equivalent numpy fold inside ``_pq_assign``; this Column form is the
+    executable SPEC of that fold order, pinned bit-for-bit against both
+    the numpy path and ``_l2_sq_ref`` by
+    tests/test_extensions.py::test_l2_fold_parity_codegen_numpy_pyref."""
     acc: Column = F.lit(0.0)
     for i in range(n):
         d = a[i].cast("double") - b[i].cast("double")

@@ -128,12 +128,30 @@ def async_enrich(
                         # futures — label those distinctly from the hung
                         # in-flight ones so one stalled lookup doesn't make
                         # every queued row read as its own timeout.
-                        err = (
-                            "TimeoutError: never started (pool stalled)"
-                            if f.cancel()
-                            else "TimeoutError: no progress within timeout"
-                        )
-                        results.append((order[id(f)], None, err))
+                        if f.cancel():
+                            results.append(
+                                (
+                                    order[id(f)],
+                                    None,
+                                    "TimeoutError: never started (pool stalled)",
+                                )
+                            )
+                            continue
+                        # cancel() == False means running OR already done: a
+                        # future can finish between the f.done() check above
+                        # and cancel() — its result is available, so settle
+                        # it rather than recording a timeout (same race class
+                        # the preceding done() check closed, narrower window).
+                        if f.done():
+                            settle(order[id(f)], f)
+                        else:
+                            results.append(
+                                (
+                                    order[id(f)],
+                                    None,
+                                    "TimeoutError: no progress within timeout",
+                                )
+                            )
                 idx = [i for i, _, _ in results]
                 out = pdf.iloc[idx].reset_index(drop=True)
                 for name in res_names:

@@ -3935,7 +3935,15 @@ def bigram_lm_score(spark, sf_dir):
 def _bpe_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import bpe_token_stats_ref
 
-    return bpe_token_stats_ref(sf_dir, n_merges=12)
+    return bpe_token_stats_ref(sf_dir, n_merges=12, max_words=_BPE_MAX_WORDS)
+
+
+# explicit driver-memory cap for the pipeline entry point (learn_bpe's
+# contract: None = full-vocab collect, reserved for bounded unit tests).
+# 50k is a no-op at every test SF (sf0.1 vocabulary ≈ 4k words) but
+# bounds the collect on a noisy web-scale corpus; the Python reference
+# applies the identical (-freq, word) top-N, so the gate stays bit-exact.
+_BPE_MAX_WORDS = 50_000
 
 
 @register_extra(
@@ -3954,13 +3962,16 @@ def bpe_token_stats(spark, sf_dir):
     real version of text_analysis' 'BPE-ish' regex count. The corpus is
     scanned exactly once (word frequencies); the 12 merge rounds and the
     encoding run on the DISTINCT-WORD table (vocabulary ≪ corpus — the
-    layout that keeps BPE training affordable at 100 TB). Integer-only
+    layout that keeps BPE training affordable at 100 TB), and the merge
+    learner's driver collect is capped at the top ``_BPE_MAX_WORDS``
+    words (a no-op at test SFs, the OOM guard at web scale). Integer-only
     and deterministically tie-broken, so the bit-exact Python oracle
-    (reference.py bpe_token_stats_ref) does a full value check."""
+    (reference.py bpe_token_stats_ref, same cap) does a full value
+    check."""
     from flink_playground_spark.functions.bpe import bpe_token_counts, learn_bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, "doc_id", "text", n_merges=12)
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=12, max_words=_BPE_MAX_WORDS)
     return bpe_token_counts(docs, "doc_id", "text", merges)
 
 

@@ -94,13 +94,23 @@ def streaming_neardup(
     work_dir: str | None = None,
     batch_seconds: list | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    batch_metrics: list | None = None,
 ) -> DataFrame:
     """Drain ``doc_stream`` (availableNow) through incremental near-dup
     detection; returns the accumulated (id_a, id_b, jaccard) pairs.
 
     ``batch_seconds``: optional list; per-micro-batch wall times are
-    appended to it (used by tests/PERF.md to show per-batch cost does
-    not grow with corpus size)."""
+    appended to it (used by PERF.md narrative timings).
+
+    ``batch_metrics``: optional list; per-micro-batch WORK counters are
+    appended as dicts ``{"n_new_docs", "cand_pairs"}`` where
+    ``cand_pairs`` is the set of rep-level candidate pairs this batch
+    actually VERIFIED. Incrementality's testable signature is that these
+    sets are pairwise disjoint across batches (every candidate pair is
+    verified exactly once, in the batch where its later member arrives)
+    — a load-robust assertion, unlike wall-clock ratios (collecting the
+    pairs costs one extra job per batch, so leave this None outside
+    tests)."""
     spark = doc_stream.sparkSession
     work = work_dir or tempfile.mkdtemp(prefix="fps_neardup_")
     idx_path = f"{work}/index"
@@ -243,6 +253,13 @@ def streaming_neardup(
             )
             .distinct()
         )
+        if batch_metrics is not None:
+            batch_metrics.append(
+                {
+                    "n_new_docs": new_docs.count(),
+                    "cand_pairs": {(r.id_a, r.id_b) for r in cand.collect()},
+                }
+            )
         new_rep_pairs = verify_pairs(all_idx, cand, threshold).persist()
 
         # member fan-out sides restricted to the classes actually

@@ -214,6 +214,49 @@ def test_pq_topk_survives_dropped_codeword(spark):
     assert dup_sim.get((5, 6)) == best[5]
 
 
+def test_l2_fold_parity_codegen_numpy_pyref(spark):
+    """The three squared-L2 implementations — `_l2_sq_fixed` (unrolled
+    codegen Column chain), `_pq_assign`'s dim-at-a-time numpy fold, and
+    the Python reference `_l2_sq_ref` — must agree BIT-FOR-BIT: the
+    bit-exact PQ oracle depends on all paths accumulating
+    ((0 + d0²) + d1²) + ... in the same left-fold order. Values are
+    chosen non-associative-hostile (wide magnitude spread) so a fold
+    in any other order differs in the last ulp."""
+    from flink_playground_spark.functions.reference import _l2_sq_ref
+    from flink_playground_spark.functions.similarity import _l2_sq_fixed, _pq_assign
+    from flink_playground_spark.sources.memory import from_rows
+
+    vecs = [
+        [1e8, -3.1, 7e-9, 2.5],
+        [0.1, 0.2, 0.3, 0.4],
+        [-1e7, 1e-6, 123456.789, -0.000321],
+    ]
+    cw = [1e8 - 0.7, 2.9, -7e-9, 1e5]
+    rows = [(i, 0, v) for i, v in enumerate(vecs)]
+    subs = from_rows(
+        spark, rows, ["vid", "sub", "subvec"], ["bigint", "int", "array<double>"]
+    )
+    # codegen chain
+    codegen = {
+        r["vid"]: r["d"]
+        for r in subs.select(
+            "vid",
+            _l2_sq_fixed(F.col("subvec"), F.array(*[F.lit(x) for x in cw]), 4).alias(
+                "d"
+            ),
+        ).collect()
+    }
+    # numpy fold inside _pq_assign (single-codeword book, keep_d2)
+    numpy_d2 = {
+        r["vid"]: r["d2"]
+        for r in _pq_assign(subs, {(0, 0): cw}, 4, keep_d2=True).collect()
+    }
+    for i, v in enumerate(vecs):
+        ref = _l2_sq_ref(v, cw)
+        assert codegen[i] == ref, f"codegen fold != pyref for vec {i}"
+        assert numpy_d2[i] == ref, f"numpy fold != pyref for vec {i}"
+
+
 def test_ivf_kmeans_refinement_improves_recall(spark):
     """Lloyd refinement improves recall@5 over the raw first-N seed at
     sf0.1 (2000 vectors; measured 0.760 → 0.787 over 30 queries). On
@@ -474,6 +517,37 @@ def test_bpe_learns_textbook_merges(spark):
     # every (token, n) row is weighted by word frequency: total symbol
     # mass equals sum over words of freq × len(tokens(word))
     assert sum(counts.values()) == 3 * 2 + 2 * 3 + 4 * 1 + 1 * 5  # low lo|w, lower lo|we|r, newest, widest w|i|d|e|st
+
+
+def test_bpe_vocab_cap_matches_reference(spark, sf_dir):
+    """A TRUNCATING ``max_words`` cap (driver-memory guard for web-scale
+    corpora) is part of the deterministic spec: learn_bpe(max_words=K)
+    + full-corpus token counting must equal bpe_token_stats_ref with the
+    same cap bit-for-bit — merge learning sees only the top-K words by
+    (-freq, word), counting still covers every word."""
+    from flink_playground_spark.functions.bpe import bpe_token_counts, learn_bpe
+    from flink_playground_spark.functions.reference import bpe_token_stats_ref
+    from flink_playground_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 10  # below the sf0.001 vocabulary (31 words) — genuinely truncates
+    n_words = docs.selectExpr(
+        "explode(split(trim(text), ' ')) AS w"
+    ).filter("w <> ''").select("w").distinct().count()
+    assert n_words > cap, "cap must truncate for this test to mean anything"
+
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=8, max_words=cap)
+    got = {
+        (r.token, r.n)
+        for r in bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    }
+    ref = bpe_token_stats_ref(sf_dir, n_merges=8, max_words=cap)
+    want = set(zip(ref.token, ref.n.astype(int)))
+    assert got == want
+    # and the cap changed the learned merges vs uncapped (otherwise the
+    # truncation path wasn't exercised)
+    uncapped = learn_bpe(docs, "doc_id", "text", n_merges=8)
+    assert merges != uncapped
 
 
 def test_bpe_many_merges_is_one_job_and_fast(spark, sf_dir):

@@ -22,10 +22,10 @@ SF = "/root/testdata/sf0.01"
 @pytest.fixture(scope="module")
 def four_wave_result(spark):
     stream = replay_documents_stream(spark, SF, waves=4)
-    timings: list[float] = []
-    pairs = streaming_neardup(stream, threshold=0.8, batch_seconds=timings)
+    metrics: list[dict] = []
+    pairs = streaming_neardup(stream, threshold=0.8, batch_metrics=metrics)
     got = {(r.id_a, r.id_b, r.jaccard) for r in pairs.collect()}
-    return got, timings
+    return got, metrics
 
 
 def test_four_wave_stream_equals_batch(spark, four_wave_result):
@@ -38,16 +38,29 @@ def test_four_wave_stream_equals_batch(spark, four_wave_result):
     assert got == want and len(want) > 0
 
 
-def test_per_batch_time_does_not_grow(four_wave_result):
-    _, timings = four_wave_result
-    assert len(timings) == 4
-    # corpus quadruples from batch 1 to batch 4; with candidate-only
-    # verification + append-only state the per-batch cost should be flat.
-    # (Bound is loose to stay robust to scheduler noise: the round-1
-    # full-recompute design scaled per-batch work with corpus size and
-    # would trend upward instead.)
-    assert timings[-1] < 2.5 * timings[0]
-    assert max(timings[1:]) < 3.0 * timings[0]
+def test_per_batch_work_does_not_grow(four_wave_result):
+    """Incrementality asserted on WORK, not wall-clock (the round-7
+    wall-clock-ratio version went red under unrelated 32-core host load
+    — a gate that reds for reasons other than the code trains people to
+    ignore red). The testable signature of candidate-only verification:
+    every rep-level candidate pair is verified in EXACTLY ONE batch (the
+    one where its later member arrives), so the per-batch verified-
+    candidate sets are pairwise disjoint. The round-1 full-recompute
+    design re-verified the whole accumulated corpus every batch — its
+    sets would overlap massively (batch 4 ⊇ batches 1-3)."""
+    _, metrics = four_wave_result
+    assert len(metrics) == 4
+    assert all(m["n_new_docs"] > 0 for m in metrics)
+    assert any(m["cand_pairs"] for m in metrics), "no candidates verified at all"
+    seen: set = set()
+    for i, m in enumerate(metrics):
+        overlap = seen & m["cand_pairs"]
+        assert not overlap, (
+            f"batch {i} re-verified {len(overlap)} candidate pairs from "
+            f"earlier batches (per-batch work grows with the corpus): "
+            f"{sorted(overlap)[:5]}"
+        )
+        seen |= m["cand_pairs"]
 
 
 def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):

@@ -25,14 +25,19 @@ from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     reps = 3
     sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv):
+    args = []
+    skip = -1
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if i == skip:
+            continue  # option VALUE, not a query name
         if a == "--reps":
-            reps = int(sys.argv[i + 1])
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+            reps, skip = int(sys.argv[i + 1]), i + 1
+        elif a == "--sf":
+            sf_dir, skip = sys.argv[i + 1], i + 1
+        elif not a.startswith("--"):
+            args.append(a)
     spark = get_spark("probe")
     spark.range(10_000).selectExpr("sum(id)").collect()
     allq = {**REGISTRY, **EXTRA_REGISTRY}
