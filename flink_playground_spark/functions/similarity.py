@@ -482,21 +482,7 @@ def _pq_assign(subs: DataFrame, book, sub_len: int, keep_d2: bool = False) -> Da
     """
     import numpy as np
 
-    if not isinstance(book, dict):
-        book = {
-            (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
-            for r in book.select("sub", "code", "codeword").collect()
-        }
-    by_sub: dict[int, list] = {}
-    for (s, c), cw in book.items():
-        by_sub.setdefault(int(s), []).append((int(c), cw))
-    books = {}
-    for s, lst in by_sub.items():
-        lst.sort()  # code ASC -> np.argmin first-hit == code-ASC tie-break
-        books[s] = (
-            np.array([c for c, _ in lst], dtype=np.int64),
-            np.array([cw for _, cw in lst], dtype=np.float64),
-        )
+    books = _book_arrays(book)
 
     from pyspark.sql import types as T
 
@@ -506,11 +492,7 @@ def _pq_assign(subs: DataFrame, book, sub_len: int, keep_d2: bool = False) -> Da
     if keep_d2:  # the winning pair's squared L2 — the quantization error
         schema = schema.add(T.StructField("d2", T.DoubleType()))
 
-    def _f64(v):
-        a = np.asarray(v)
-        if a.dtype == object:  # null element -> NaN (poisons to +inf below)
-            a = np.array([np.nan if x is None else x for x in a], dtype=np.float64)
-        return a.astype(np.float64, copy=False)
+    _f64 = _np_f64
 
     def assign_batches(batches):
         for pdf in batches:
@@ -541,6 +523,127 @@ def _pq_assign(subs: DataFrame, book, sub_len: int, keep_d2: bool = False) -> Da
             yield pdf[pdf["code"] >= 0]
 
     return subs.mapInPandas(assign_batches, schema)
+
+
+def _np_f64(v):
+    """Vector -> float64 ndarray; a null element becomes NaN (poisoned
+    to +inf by the distance folds below — the _pq_assign dirty-data
+    semantics)."""
+    import numpy as np
+
+    a = np.asarray(v)
+    if a.dtype == object:
+        a = np.array([np.nan if x is None else x for x in a], dtype=np.float64)
+    return a.astype(np.float64, copy=False)
+
+
+def _book_arrays(book) -> dict:
+    """(sub, code)->codeword book (dict or bounded m×k DataFrame) as
+    per-sub (code_ids, codeword_matrix) numpy pairs, code ASC so
+    np.argmin's first-hit tie-break == (d2 ASC, code ASC)."""
+    import numpy as np
+
+    if not isinstance(book, dict):
+        book = {
+            (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
+            for r in book.select("sub", "code", "codeword").collect()
+        }
+    by_sub: dict[int, list] = {}
+    for (s, c), cw in book.items():
+        by_sub.setdefault(int(s), []).append((int(c), cw))
+    books = {}
+    for s, lst in by_sub.items():
+        lst.sort()
+        books[s] = (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.array([cw for _, cw in lst], dtype=np.float64),
+        )
+    return books
+
+
+def pq_encode_rows(
+    corpus: DataFrame,
+    book,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    keep_err: bool = False,
+) -> DataFrame:
+    """Compress vectors to ``(vid, codes[, err])`` in ONE zero-shuffle
+    Arrow pass: all ``m`` subspaces of a vector are encoded inside the
+    same mapInPandas batch, so there is no subspace explode and no
+    (vid)-keyed re-assembly exchange — the ingest-path encoder for the
+    streaming PQ index (the batch ``pq_encode`` keeps the exploded shape
+    to share its persisted subvector table with training's Lloyd scans).
+
+    Bit-contract: per subspace the distance fold, argmin tie-break and
+    null poisoning are exactly ``_pq_assign``'s (same numpy fold), so
+    codes are bit-identical to the exploded path and the Python
+    reference. ``err`` (with ``keep_err``) is the quantization error
+    Σ_sub d2_winner, accumulated in sub ASC order (a fixed left fold).
+    A vector with ANY unencodable subspace (no finite codeword pair, or
+    a subspace absent from the book) is dropped whole — the row-wise
+    tightening of the exploded path's per-(vid, sub) drop."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    books = _book_arrays(book)
+    sub_len = dim // m
+
+    id_field = corpus.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("vid", id_field.dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    if keep_err:
+        schema = schema.add(T.StructField("err", T.DoubleType()))
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            V = np.stack([_np_f64(v) for v in pdf[vec_col]])
+            codes = np.full((n, m), -1, dtype=np.int32)
+            errs = np.zeros(n, dtype=np.float64)
+            valid = np.ones(n, dtype=bool)
+            for s in range(m):
+                bk = books.get(s)
+                if bk is None:
+                    valid[:] = False
+                    break
+                code_ids, C = bk
+                Vs = V[:, s * sub_len : (s + 1) * sub_len]
+                acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+                for d in range(sub_len):
+                    diff = Vs[:, d, None] - C[None, :, d]
+                    acc += diff * diff
+                acc[~np.isfinite(acc)] = np.inf
+                best = np.argmin(acc, axis=1)
+                bd2 = acc[np.arange(n), best]
+                hit = np.isfinite(bd2)
+                codes[:, s] = np.where(hit, code_ids[best], -1)
+                errs = errs + np.where(hit, bd2, 0.0)
+                valid &= hit
+            out = pd.DataFrame(
+                {
+                    "vid": pdf[id_col][valid].reset_index(drop=True),
+                    "codes": [c.tolist() for c in codes[valid]],
+                }
+            )
+            if keep_err:
+                out["err"] = errs[valid]
+            if len(out):
+                yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode_batches, schema)
 
 
 def pq_encode(

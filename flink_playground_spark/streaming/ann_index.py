@@ -123,7 +123,8 @@ class StreamingIVFIndex:
         stamped = assigned.drop("csim").withColumn(
             "__seq", F.lit(int(time.time() * 1e6))
         )
-        self.cells.merge_keep_latest(stamped, "__seq")
+        # fold-only: the IVF index never diffs its state
+        self.cells.merge_keep_latest(stamped, "__seq", return_contents=False)
 
     def drift_report(self, spark: SparkSession) -> DataFrame:
         """Per-wave fit series: (wave, phase, n, mean_drift, baseline,
@@ -196,7 +197,8 @@ class StreamingIVFIndex:
         stamped = assigned.drop("csim").withColumn(
             "__seq", F.lit(int(time.time() * 1e6))
         )
-        self.cells.merge_keep_latest(stamped, "__seq")
+        # fold-only: the IVF index never diffs its state
+        self.cells.merge_keep_latest(stamped, "__seq", return_contents=False)
 
     def query(
         self, spark: SparkSession, queries: DataFrame, k: int = 5, nprobe: int = 4

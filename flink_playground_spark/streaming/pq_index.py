@@ -13,10 +13,13 @@ deployment separates:
   here requires the caller to supply a training corpus — the index
   cannot rebuild geometry from codes alone, and says so loudly.
 - CODES stream: each arriving vector encodes against the frozen book
-  (``_pq_assign`` — one Arrow-batched pass, book in the task closure)
-  and upserts keep-latest on the vector id, so re-ingesting a vector
-  moves it to its current codes. Per-batch work ∝ wave × (m·k);
-  nothing re-reads old vectors.
+  (``pq_encode_rows`` — ONE zero-shuffle Arrow pass covering all m
+  subspaces, book dict cached driver-side and shipped in the task
+  closure) and upserts keep-latest on the vector id, so re-ingesting a
+  vector moves it to its current codes. Per-batch work ∝ wave × (m·k);
+  nothing re-reads old vectors, the book parquet is read at most once
+  per process (reattach), and the state merge skips the changelog
+  read-back (fold-only).
 
 Queries score by asymmetric distance computation against the CURRENT
 code state (``pq_adc_topk`` — the same serving math as the batch
@@ -35,9 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_playground_spark.functions.similarity import (
-    _pq_assign,
-    _subs_table,
     pq_adc_topk,
+    pq_encode_rows,
     pq_train,
 )
 from flink_playground_spark.streaming.state_store import BucketedKeyState
@@ -67,9 +69,31 @@ class StreamingPQIndex:
         self.codes = BucketedKeyState(f"{path}/codes", ["vid"], n_buckets)
         self._trained = os.path.isdir(self.book_path)
         self._wave = None
+        # the frozen geometry is BOUNDED (m × n_codes entries) and
+        # immutable between (re)trains, so it lives driver-side for the
+        # index's lifetime: the parquet copy is the durable/reattach
+        # format, read at most ONCE per process — round 7 re-read and
+        # re-collected it on every ingest AND query, the largest
+        # orchestration cost on the bench board.
+        self._book_dict: dict | None = None
 
-    def _book(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.book_path)
+    def _book(self, spark: SparkSession) -> dict:
+        """The frozen {(sub, code): codeword} book, cached driver-side;
+        falls back to one parquet read on reattach."""
+        if self._book_dict is None:
+            self._book_dict = {
+                (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
+                for r in spark.read.parquet(self.book_path).collect()
+            }
+        return self._book_dict
+
+    def _book_df(self, spark: SparkSession) -> DataFrame:
+        """The cached book as the bounded (sub, code, codeword) relation
+        pq_adc_topk broadcasts — rebuilt from the dict, no parquet read."""
+        return spark.createDataFrame(
+            [(s, c, cw) for (s, c), cw in sorted(self._book(spark).items())],
+            "sub int, code int, codeword array<double>",
+        )
 
     def _next_wave(self, spark: SparkSession) -> int:
         import os
@@ -83,19 +107,26 @@ class StreamingPQIndex:
         w, self._wave = self._wave, self._wave + 1
         return w
 
-    def _encode_wave(self, batch: DataFrame, book: DataFrame) -> DataFrame:
+    def _set_book(self, spark: SparkSession, book_df: DataFrame) -> None:
+        """Freeze a newly trained geometry: persist the durable parquet
+        copy and cache the driver-side dict (book_df is pq_train's
+        bounded local relation — collecting it is not a corpus job)."""
+        book_df.write.mode("overwrite").parquet(self.book_path)
+        self._book_dict = {
+            (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
+            for r in book_df.collect()
+        }
+        self._trained = True
+
+    def _encode_wave(self, batch: DataFrame, book: dict) -> DataFrame:
         """(vid, codes, err): codes keep-latest payload + the wave's
         per-vector quantization error (Σ over subspaces of the winning
-        codeword's squared L2) from the SAME encode pass."""
-        subs = _subs_table(batch, self.id_col, self.vec_col, self.dim, self.m)
-        assign = _pq_assign(subs, book, self.dim // self.m, keep_d2=True)
-        return (
-            assign.groupBy("vid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"),
-                F.sum("d2").alias("err"),
-            )
-            .select("vid", F.transform("sc", lambda s: s["code"]).alias("codes"), "err")
+        codeword's squared L2) from the SAME encode pass — ONE
+        zero-shuffle Arrow stage (pq_encode_rows: all m subspaces per
+        batch, no explode, no (vid)-keyed re-assembly exchange), codes
+        bit-identical to the exploded batch encoder."""
+        return pq_encode_rows(
+            batch, book, self.id_col, self.vec_col, self.dim, self.m, keep_err=True
         )
 
     def _record(self, encoded: DataFrame, phase: str, wave: int) -> None:
@@ -113,11 +144,10 @@ class StreamingPQIndex:
         spark = batch.sparkSession
         first = not self._trained
         if first:
-            pq_train(
+            self._set_book(spark, pq_train(
                 batch, self.id_col, self.vec_col, self.dim, self.m,
                 self.n_codes, self.iters,
-            ).write.mode("overwrite").parquet(self.book_path)
-            self._trained = True
+            ))
         encoded = self._encode_wave(batch, self._book(spark)).localCheckpoint(
             eager=True
         )  # one encode pass feeds state AND metrics
@@ -127,7 +157,9 @@ class StreamingPQIndex:
         stamped = encoded.drop("err").withColumn(
             "__seq", F.lit(int(time.time() * 1e6))
         )
-        self.codes.merge_keep_latest(stamped, "__seq")
+        # fold-only: the PQ index never diffs its state, so skip the
+        # changelog read-back job merge_keep_latest does by default
+        self.codes.merge_keep_latest(stamped, "__seq", return_contents=False)
 
     def drift_report(self, spark: SparkSession) -> DataFrame:
         """(wave, phase, n, mean_err, baseline, ratio) — baseline is the
@@ -168,11 +200,10 @@ class StreamingPQIndex:
         book and reset the fit baseline. Vectors not in ``corpus`` keep
         codes from the OLD geometry and should be re-ingested — the same
         caveat as any PQ index rebuild without stored raws."""
-        pq_train(
+        self._set_book(spark, pq_train(
             corpus, self.id_col, self.vec_col, self.dim, self.m,
             self.n_codes, self.iters,
-        ).write.mode("overwrite").parquet(self.book_path)
-        self._trained = True
+        ))
         encoded = self._encode_wave(corpus, self._book(spark)).localCheckpoint(
             eager=True
         )
@@ -182,7 +213,7 @@ class StreamingPQIndex:
         stamped = encoded.drop("err").withColumn(
             "__seq", F.lit(int(time.time() * 1e6))
         )
-        self.codes.merge_keep_latest(stamped, "__seq")
+        self.codes.merge_keep_latest(stamped, "__seq", return_contents=False)
 
     def query(self, spark: SparkSession, queries: DataFrame, k: int = 5) -> DataFrame:
         """Approximate top-k neighbors of each query vector from the
@@ -193,7 +224,7 @@ class StreamingPQIndex:
             raise ValueError("PQ index state is empty — ingest first")
         return pq_adc_topk(
             state.select("vid", "codes"),
-            self._book(spark),
+            self._book_df(spark),
             queries,
             self.id_col,
             self.vec_col,

@@ -79,11 +79,17 @@ class BucketedKeyState:
         batch: DataFrame,
         order_col: str,
         tiebreakers: Sequence[str] = (),
-    ) -> tuple[DataFrame, DataFrame]:
+        return_contents: bool = True,
+    ) -> tuple[DataFrame, DataFrame] | None:
         """Fold a micro-batch into the state; returns
         ``(old_touched, new_touched)`` — the before/after contents of the
         touched buckets only (both without the bucket column), which is
         exactly what a changelog diff needs.
+
+        ``return_contents=False`` skips materializing ``new_touched``
+        (one eager read-back job per merge) and returns None — for
+        callers that only fold state and never diff it (e.g. the
+        streaming PQ index, whose per-wave job count is its latency).
         """
         spark = batch.sparkSession
         tagged = batch.withColumn(BUCKET_COL, self._bucket())
@@ -122,6 +128,8 @@ class BucketedKeyState:
             .parquet(self.path)
         )
         self._has_state = True
+        if not return_contents:
+            return None
         new_touched = (
             spark.read.option("mergeSchema", "true")
             .parquet(self.path)
