@@ -1699,10 +1699,11 @@ def minhash_lsh_neardup(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", k=128, bands=32, threshold=0.8)
 
 
-@register(
+@register_extra(
     "streaming_minhash_neardup",
     _NGRAM_PAIRS_SQL.format(thr=0.8),
     tags=("ext-dedup", "T6"),
+    bench=False,
 )
 def streaming_minhash_neardup(spark, sf_dir):
     """Incremental near-dup detection: documents arrive in micro-batches;
@@ -1725,7 +1726,9 @@ def _simhash_py_oracle(sf_dir):
     return simhash_neardup_ref(sf_dir)
 
 
-@register("simhash_neardup", None, tags=("ext-dedup",), py_oracle=_simhash_py_oracle)
+@register_extra(
+    "simhash_neardup", None, tags=("ext-dedup",), bench=False, py_oracle=_simhash_py_oracle
+)
 def simhash_neardup(spark, sf_dir):
     """SimHash-64 near-dups (Hamming ≤ 3) by pigeonhole banding. Hash
     construction is xxhash64-specific → no SQL oracle, but the driver's
@@ -1772,7 +1775,9 @@ def _ann_topk_py_oracle(sf_dir):
     return ann_topk_ref(sf_dir)
 
 
-@register("ann_topk", None, tags=("ext-sim",), py_oracle=_ann_topk_py_oracle)
+@register_extra(
+    "ann_topk", None, tags=("ext-sim",), bench=False, py_oracle=_ann_topk_py_oracle
+)
 def ann_topk(spark, sf_dir):
     """Approximate nearest-neighbor top-k, both scale families union-tagged:
     ``lsh`` = random-hyperplane LSH bucket join, ``ivf`` = inverted-file
@@ -1925,10 +1930,11 @@ def _emb_lsh_py_oracle(sf_dir):
     return embedding_neardup_lsh_ref(sf_dir)
 
 
-@register(
+@register_extra(
     "embedding_neardup_lsh",
     None,
     tags=("ext-dedup", "ext-sim"),
+    bench=False,
     py_oracle=_emb_lsh_py_oracle,
 )
 def embedding_neardup_lsh(spark, sf_dir):
@@ -2410,7 +2416,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q7_volume_shipping",
     """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2427,6 +2433,7 @@ WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
 GROUP BY 1, 2, 3
 """,
     tags=("superset-tpch",),
+    bench=True,
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7-shaped: bilateral trade volume between two nations by
@@ -2653,7 +2660,7 @@ def q8_market_share(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q9_product_profit",
     """
 SELECT n_name AS nation, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
@@ -2667,6 +2674,7 @@ WHERE p_name LIKE '%widget%'
 GROUP BY 1, 2
 """,
     tags=("superset-tpch",),
+    bench=True,
 )
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9-shaped: profit on a part-name LIKE family per supplier
@@ -4164,7 +4172,7 @@ FROM c LEFT JOIN scd s
 """
 
 
-@register_extra("scd2_point_in_time", _SCD2_PIT_SQL, tags=("ext-temporal",))
+@register("scd2_point_in_time", _SCD2_PIT_SQL, tags=("ext-temporal",), bench=True)
 def scd2_point_in_time(spark, sf_dir):
     """SCD type-2 dimension build + point-in-time fact enrichment.
 
@@ -4284,7 +4292,7 @@ FROM s ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
-@register_extra("bm25_search", _BM25_SQL, tags=("ext-text",), bench=True)
+@register("bm25_search", _BM25_SQL, tags=("ext-text",), bench=True)
 def bm25_search(spark, sf_dir):
     """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed bag-of-terms
     query over the documents table, rational-idf variant (log-free for

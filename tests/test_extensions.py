@@ -105,7 +105,7 @@ def test_multimodal_decode_and_stub_boundary(spark, docs):
 def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     """LSH candidates re-scored exactly: every returned pair must appear
     in the exact all-pairs answer (no false positives), with usable recall."""
-    from flink_playground_spark.queries import REGISTRY
+    from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
 
     exact = {
         (r.id_a, r.id_b): r.sim
@@ -113,7 +113,7 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     }
     approx = {
         (r.id_a, r.id_b): r.sim
-        for r in REGISTRY["embedding_neardup_lsh"].spark_fn(spark, sf_dir).collect()
+        for r in EXTRA_REGISTRY["embedding_neardup_lsh"].spark_fn(spark, sf_dir).collect()
         if r.id_a < 600 and r.id_b < 600
     }
     assert set(approx) <= set(exact)

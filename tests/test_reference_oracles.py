@@ -52,9 +52,9 @@ def test_xxh64_matches_spark_expression(spark):
 
 def test_simhash_neardup_matches_reference(spark, sf_dir):
     from flink_playground_spark.functions.reference import simhash_neardup_ref
-    from flink_playground_spark.queries import REGISTRY
+    from flink_playground_spark.queries import EXTRA_REGISTRY
 
-    got = REGISTRY["simhash_neardup"].spark_fn(spark, sf_dir).toPandas()
+    got = EXTRA_REGISTRY["simhash_neardup"].spark_fn(spark, sf_dir).toPandas()
     ref = simhash_neardup_ref(sf_dir)
     assert sorted(map(tuple, got[["id_a", "id_b", "hamming"]].values.tolist())) == sorted(
         map(tuple, ref.values.tolist())
@@ -65,9 +65,9 @@ def test_embedding_neardup_lsh_matches_reference(spark, sf_dir):
     """Value equality including the rounded cosine — the double
     accumulation order and HALF_UP rounding are replicated exactly."""
     from flink_playground_spark.functions.reference import embedding_neardup_lsh_ref
-    from flink_playground_spark.queries import REGISTRY
+    from flink_playground_spark.queries import EXTRA_REGISTRY
 
-    got = REGISTRY["embedding_neardup_lsh"].spark_fn(spark, sf_dir).toPandas()
+    got = EXTRA_REGISTRY["embedding_neardup_lsh"].spark_fn(spark, sf_dir).toPandas()
     ref = embedding_neardup_lsh_ref(sf_dir)
     assert sorted(map(tuple, got[["id_a", "id_b", "sim"]].values.tolist())) == sorted(
         map(tuple, ref.values.tolist())
@@ -80,9 +80,9 @@ def test_ann_topk_matches_reference(spark, sf_dir):
     the centroids aggregation-order-independent, so the Python replica
     reproduces every sim and rank bit-for-bit)."""
     from flink_playground_spark.functions.reference import ann_topk_ref
-    from flink_playground_spark.queries import REGISTRY
+    from flink_playground_spark.queries import EXTRA_REGISTRY
 
-    got = REGISTRY["ann_topk"].spark_fn(spark, sf_dir).toPandas()
+    got = EXTRA_REGISTRY["ann_topk"].spark_fn(spark, sf_dir).toPandas()
     ref = ann_topk_ref(sf_dir)
     cols = ["method", "query_id", "neighbor_id", "sim", "rank"]
     assert sorted(map(tuple, got[cols].values.tolist())) == sorted(
