@@ -516,6 +516,83 @@ def _pq_adc_ref(
     )
 
 
+def ivfpq_topk_ref(
+    sf_dir: str,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    iters: int = 2,
+    probe_below: int = 8,
+) -> pd.DataFrame:
+    """ivfpq_topk(): coarse Lloyd cells + residual-PQ ADC (IVFADC).
+    Mirrors every fold of the Spark plan: kmeans_centroids_ref geometry,
+    nprobe=1 cell argmax, residual = float(x) − centroid[d] elementwise,
+    pq_train_ref/pq_encode_ref over residuals, and the decomposed cosine
+      (dot(q,c) + Σ_s lut) / (|q| · sqrt((|c|² + 2·Σ_s cdot) + Σ_s cwn2))
+    with all three Σ folding s ASC from 0.0, HALF_UP round 6."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    sub_len = dim // m
+
+    cents = kmeans_centroids_ref(vecs, n_centroids, kmeans_iters)
+    cell = {vid: cids[0] for vid, cids in _ivf_assign_ref(vecs, cents, 1).items()}
+    resid = {
+        vid: [float(x) - cents[cell[vid]][d] for d, x in enumerate(vecs[vid])]
+        for vid in vecs
+    }
+    book = pq_train_ref(resid, dim, m, n_codes, iters)
+    codes = pq_encode_ref(resid, book, dim, m)
+    inv: dict[int, list[int]] = {}
+    for vid, cid in cell.items():
+        inv.setdefault(cid, []).append(vid)
+    # FAISS-style precomputed table: dot(centroid_sub, codeword) per
+    # (cell, sub, code), plus |centroid|² — both bounded, both the exact
+    # dot_fixed fold
+    cdot = {
+        (cid, s, c): _dot_ref(cents[cid][s * sub_len : (s + 1) * sub_len], cw)
+        for cid in cents
+        for (s, c), cw in book.items()
+    }
+    cn2 = {cid: _dot_ref(cents[cid], cents[cid]) for cid in cents}
+
+    probes = {vid: v for vid, v in vecs.items() if vid < probe_below}
+    sims: dict[int, dict[int, float]] = {}
+    for q, qvec in probes.items():
+        lut, cwn2 = {}, {}
+        for (s, c), cw in book.items():
+            lut[(s, c)] = _dot_ref(qvec[s * sub_len : (s + 1) * sub_len], cw)
+            cwn2[(s, c)] = _dot_ref(cw, cw)
+        qn = 0.0
+        for x in qvec:
+            qn += float(x) * float(x)
+        qnorm = math.sqrt(qn)
+        for cid in _ivf_assign_ref({q: qvec}, cents, nprobe)[q]:
+            qc = _dot_ref(qvec, cents[cid])
+            for vid in inv.get(cid, ()):
+                if vid == q or vid not in codes:
+                    continue
+                vc = codes[vid]
+                raw = 0.0
+                cds = 0.0
+                n2 = 0.0
+                for s in range(m):
+                    raw += lut[(s, vc[s])]
+                    n2 += cwn2[(s, vc[s])]
+                    cds += cdot[(cid, s, vc[s])]
+                sims.setdefault(q, {})[vid] = spark_round(
+                    (qc + raw) / (qnorm * math.sqrt((cn2[cid] + 2.0 * cds) + n2)), 6
+                )
+
+    rows = _topk_ref(sims, k)
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rank"]).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "sim": "float64", "rank": "int32"}
+    )
+
+
 def streaming_pq_index_ref(
     sf_dir: str,
     dim: int = 64,

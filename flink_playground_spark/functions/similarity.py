@@ -371,6 +371,7 @@ def pq_train(
     k: int = 16,
     iters: int = 2,
     _subs: DataFrame | None = None,
+    _return_book_dict: bool = False,
 ) -> DataFrame:
     """Product-quantization codebooks: ``(sub, code, codeword)`` — one
     k-codeword codebook per subspace, all ``m`` trained together.
@@ -450,10 +451,15 @@ def pq_train(
         book = {(r["sub"], r["code"]): list(r["codeword"]) for r in rows}
     if own_subs:
         subs.unpersist()
-    return corpus.sparkSession.createDataFrame(
+    bdf = corpus.sparkSession.createDataFrame(
         [(s, c, cw) for (s, c), cw in sorted(book.items())],
         "sub int, code int, codeword array<double>",
     )
+    # The book already lives driver-side as a dict across the Lloyd
+    # rounds; callers that immediately encode (pq_topk) take it back as
+    # a dict too, so the encode pass can ship it in a task closure
+    # instead of re-collecting the DataFrame they were just handed.
+    return (bdf, book) if _return_book_dict else bdf
 
 
 def _pq_assign(subs: DataFrame, book, sub_len: int, keep_d2: bool = False) -> DataFrame:
@@ -569,13 +575,15 @@ def pq_encode_rows(
     dim: int = 64,
     m: int = 8,
     keep_err: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Compress vectors to ``(vid, codes[, err])`` in ONE zero-shuffle
+    """Compress vectors to ``(vid, *carry_cols, codes[, err])`` in ONE zero-shuffle
     Arrow pass: all ``m`` subspaces of a vector are encoded inside the
     same mapInPandas batch, so there is no subspace explode and no
-    (vid)-keyed re-assembly exchange — the ingest-path encoder for the
-    streaming PQ index (the batch ``pq_encode`` keeps the exploded shape
-    to share its persisted subvector table with training's Lloyd scans).
+    (vid)-keyed re-assembly exchange — the encoder for BOTH the
+    streaming PQ index's ingest path and the batch ``pq_topk`` (the
+    exploded ``pq_encode`` remains for callers that already hold a
+    subvector table and want the per-(vid, sub) drop semantics).
 
     Bit-contract: per subspace the distance fold, argmin tie-break and
     null poisoning are exactly ``_pq_assign``'s (same numpy fold), so
@@ -584,7 +592,11 @@ def pq_encode_rows(
     Σ_sub d2_winner, accumulated in sub ASC order (a fixed left fold).
     A vector with ANY unencodable subspace (no finite codeword pair, or
     a subspace absent from the book) is dropped whole — the row-wise
-    tightening of the exploded path's per-(vid, sub) drop."""
+    tightening of the exploded path's per-(vid, sub) drop.
+
+    ``carry_cols`` pass through unchanged (same row filter as ``vid``) —
+    the IVF-PQ index uses this to keep each code row's coarse cell id
+    without a corpus-sized join-back after encoding."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -594,10 +606,9 @@ def pq_encode_rows(
 
     id_field = corpus.schema[id_col]
     schema = T.StructType(
-        [
-            T.StructField("vid", id_field.dataType),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
+        [T.StructField("vid", id_field.dataType)]
+        + [T.StructField(c, corpus.schema[c].dataType) for c in carry_cols]
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
     if keep_err:
         schema = schema.add(T.StructField("err", T.DoubleType()))
@@ -632,18 +643,16 @@ def pq_encode_rows(
                 codes[:, s] = np.where(hit, code_ids[best], -1)
                 errs = errs + np.where(hit, bd2, 0.0)
                 valid &= hit
-            out = pd.DataFrame(
-                {
-                    "vid": pdf[id_col][valid].reset_index(drop=True),
-                    "codes": [c.tolist() for c in codes[valid]],
-                }
-            )
+            out = pd.DataFrame({"vid": pdf[id_col][valid].reset_index(drop=True)})
+            for c in carry_cols:
+                out[c] = pdf[c][valid].reset_index(drop=True)
+            out["codes"] = [c.tolist() for c in codes[valid]]
             if keep_err:
                 out["err"] = errs[valid]
             if len(out):
                 yield out
 
-    return corpus.select(id_col, vec_col).mapInPandas(encode_batches, schema)
+    return corpus.select(id_col, *carry_cols, vec_col).mapInPandas(encode_batches, schema)
 
 
 def pq_encode(
@@ -695,40 +704,56 @@ def pq_topk(
     adds — the FAISS IVFADC inner loop as codegen'd Spark expressions.
     Ranking reuses the two-level salted top-k (no per-query funnel).
     """
-    # ONE persisted subvector table shared by training (re-scanned every
-    # Lloyd round) and encoding — the round-5 shape rebuilt and
-    # re-exchanged it for the encode pass. codes is eagerly checkpointed
-    # (corpus_rows × m bytes — the whole point of PQ is that this is
-    # small) so the cache can be released before the scoring plan runs.
+    # The persisted subvector table feeds training's Lloyd re-scans
+    # only; ENCODING goes through the zero-shuffle row encoder
+    # (``pq_encode_rows``, the streaming ingest path) with the book
+    # dict pq_train already holds driver-side. The round-7 shape
+    # shared ``subs`` with an exploded encode pass — saving a corpus
+    # re-scan but paying a (vid)-keyed reassembly exchange of
+    # corpus × m rows; at 100 TB the cached subs table doesn't fit
+    # memory anyway, so a second columnar scan of (id, vec) beats
+    # that shuffle outright, and codes stay bit-identical (shared
+    # numpy fold — pq_encode_rows' contract). codes is eagerly
+    # checkpointed (corpus_rows × m bytes — the whole point of PQ is
+    # that this is small) so the scoring plan reads a materialized
+    # relation, not the encode lineage.
     subs = _spread(_subs_table(corpus, id_col, vec_col, dim, m), "vid", "sub").persist()
-    book = pq_train(corpus, id_col, vec_col, dim, m, n_codes, iters, _subs=subs)
-    codes = pq_encode(corpus, book, id_col, vec_col, dim, m, _subs=subs).localCheckpoint(
-        eager=True
+    book, book_dict = pq_train(
+        corpus, id_col, vec_col, dim, m, n_codes, iters, _subs=subs, _return_book_dict=True
     )
     subs.unpersist()
+    codes = pq_encode_rows(corpus, book_dict, id_col, vec_col, dim, m).localCheckpoint(
+        eager=True
+    )
     return pq_adc_topk(codes, book, queries, id_col, vec_col, dim, m, n_codes, k, n_salt)
 
 
-def pq_adc_topk(
-    codes: DataFrame,
-    book: DataFrame,
+def _adc_qtab(
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    m: int = 8,
-    n_codes: int = 16,
-    k: int = 5,
-    n_salt: int = 8,
+    book: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    n_codes: int,
 ) -> DataFrame:
-    """ADC scoring + salted ranking over an ALREADY-ENCODED corpus:
-    the serving half of ``pq_topk``, shared with the streaming PQ index
-    (streaming/pq_index.py) where ``codes`` is upserted state and the
-    book is frozen. ``codes`` = (vid, codes[m]); self-pairs are
-    excluded by id."""
-    sub_len = dim // m
+    """Per-query ADC lookup table ``(query_id, t, qnorm)``: ``t`` is the
+    m×k book as a DENSE array indexed by ``sub*n_codes + code`` of
+    ``struct(lutval = dot(q_sub, codeword), cwn2 = |codeword|²)``.
 
-    # per-(query, sub, code) dot + per-(sub, code) codeword norm²
+    Densifying BY KEY (map_from_entries → indexed transform) keeps every
+    surviving (sub, code) at its own slot with an explicit null sentinel
+    at holes: pq_train can drop a codeword whose cell loses all members
+    during Lloyd rounds, and a hole in a merely FLATTENED array would
+    shift every later entry (the round-5 bug) — while pair scoring stays
+    O(1) array indexing. (The round-5 map-keyed fix was hole-proof but
+    made every lookup an O(|map|) linear scan over the ~128 entries — 8
+    scans per candidate pair.) Hole slots are null and unreadable: codes
+    only ever reference surviving codewords. Shared by the flat-PQ ADC
+    (``pq_adc_topk``) and the IVF-PQ residual scorer (``ivfpq_topk`` —
+    there ``queries``' vectors are the RAW query vectors even though the
+    book is residual-trained: dot(q, r̂) decomposes per subspace)."""
+    sub_len = dim // m
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     lut = (
         q.select("query_id", "qvec", _sub_slices("qvec", dim, m).alias("s"))
@@ -737,18 +762,7 @@ def pq_adc_topk(
         .withColumn("lutval", dot_fixed(F.col("subvec"), F.col("codeword"), sub_len))
         .withColumn("cwn2", dot_fixed(F.col("codeword"), F.col("codeword"), sub_len))
     )
-    # each query's m×k table as a DENSE array indexed by sub*n_codes +
-    # code, built from the (sub, code)-keyed entries with an explicit
-    # null sentinel at holes: pq_train can drop a codeword whose cell
-    # loses all members during Lloyd rounds, and a hole in a merely
-    # FLATTENED array would shift every later entry (the round-5 bug) —
-    # but densifying by key keeps every surviving (sub, code) at its own
-    # slot, matching the (sub, code)-keyed Python reference, while pair
-    # scoring stays O(1) array indexing. (The round-5 map-keyed fix was
-    # hole-proof but made every lookup an O(|map|) linear scan over the
-    # ~128 entries — 8 scans per candidate pair.) Hole slots are null
-    # and unreadable: codes only ever reference surviving codewords.
-    qtab = (
+    return (
         lut.groupBy("query_id")
         .agg(
             F.map_from_entries(
@@ -770,6 +784,26 @@ def pq_adc_topk(
             "qnorm",
         )
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    book: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    n_salt: int = 8,
+) -> DataFrame:
+    """ADC scoring + salted ranking over an ALREADY-ENCODED corpus:
+    the serving half of ``pq_topk``, shared with the streaming PQ index
+    (streaming/pq_index.py) where ``codes`` is upserted state and the
+    book is frozen. ``codes`` = (vid, codes[m]); self-pairs are
+    excluded by id."""
+    qtab = _adc_qtab(queries, book, id_col, vec_col, dim, m, n_codes)
     paired = codes.join(F.broadcast(qtab), F.col("query_id") != F.col("vid"))
     raw: Column = F.lit(0.0)
     n2: Column = F.lit(0.0)
@@ -782,6 +816,15 @@ def pq_adc_topk(
         F.col("vid").alias("neighbor_id"),
         F.round(raw / (F.col("qnorm") * F.sqrt(n2)), 6).alias("sim"),
     )
+    return _salted_rank(scored, k, n_salt)
+
+
+def _salted_rank(scored: DataFrame, k: int, n_salt: int) -> DataFrame:
+    """Two-level top-k over ``(query_id, neighbor_id, sim)``: a salted
+    local row_number prunes each query's candidates to ``n_salt × k``
+    before the single per-query window — no one-reducer-per-query funnel
+    at scale. Ties break (sim DESC, neighbor_id ASC), matching
+    ``_topk_ref``."""
     order = [F.desc("sim"), F.asc("neighbor_id")]
     local_w = Window.partitionBy(
         "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salt))
@@ -793,6 +836,153 @@ def pq_adc_topk(
     )
     w = Window.partitionBy("query_id").orderBy(*order)
     return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    iters: int = 2,
+    n_salt: int = 8,
+) -> DataFrame:
+    """IVFADC — the composed IVF + residual-PQ index (Jégou et al.,
+    TPAMI 2011 §V; FAISS ``IVFxx,PQyy``), THE architecture a 100 TB
+    embedding corpus actually serves from: a coarse quantizer routes
+    every vector to one of ``n_centroids`` cells, and only the RESIDUAL
+    ``r = x − centroid(x)`` is product-quantized — residuals are
+    smaller-normed and centered, so the same m×k budget quantizes them
+    with far less error than raw vectors. A query probes its ``nprobe``
+    nearest cells and ADC-scores ONLY those cells' code rows.
+
+    Scale shape — every piece is the one you'd want at 1000 executors:
+
+    - the serving scan touches codes only: ``(vid, cell, m bytes)``,
+      never corpus floats (32× less IO than raw, same as flat PQ), and
+      the cell equi-join prunes it to the probed cells — at
+      ``nprobe/n_centroids`` = 4/16 the scan does ¼ of flat-ADC's work;
+      with production C (65k cells, nprobe 64) it is ~0.1%.
+    - all quantization tables are BOUNDED and broadcast: per-query LUT
+      (m×k dots — ``_adc_qtab``, shared with flat ADC), per-cell
+      precomputed table ``ct[cell][sub][code] = dot(centroid_sub, cw)``
+      (C×m×k — FAISS's ``precompute_table``) and ``|centroid|²``. The
+      cosine against the reconstruction ``x̂ = c + r̂`` decomposes as
+        (dot(q,c) + Σ_s lut[s][code_s]) /
+        (|q| · sqrt(|c|² + 2·Σ_s ct[...] + Σ_s |cw|²))
+      — m dense-array lookups per term, zero per-pair float-vector math.
+    - build = the proven deterministic pieces end to end: Lloyd coarse
+      centroids (``kmeans_centroids``), zero-shuffle cell argmax
+      (``ivf_assign`` nprobe=1), elementwise-double residuals, one PQ
+      book over residuals (``pq_train``), zero-shuffle row encode with
+      the cell id carried through (``pq_encode_rows`` ``carry_cols`` —
+      no corpus-sized join-back). The residual relation is persisted
+      for its three consumers (seed collect, Lloyd re-scans, encode)
+      and released before serving.
+
+    Every float fold reuses an existing pinned fold order, so the whole
+    construction is replicable bit-for-bit by the Python oracle
+    (functions/reference.py ``ivfpq_topk_ref``). Candidate pairs are
+    unique by construction (each corpus vector lives in exactly ONE
+    cell), so no dedup stage is needed — unlike LSH's bucket union."""
+    sub_len = dim // m
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+    cvecs = cents.select("centroid_id", F.col(vec_col).alias("cvec"))
+
+    # residuals, elementwise double: (double)x[d] - centroid[d]
+    cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    resid = (
+        cells.join(F.broadcast(cvecs), "centroid_id")
+        .select(
+            "vid",
+            "centroid_id",
+            F.zip_with(
+                F.col("vec"), F.col("cvec"), lambda x, c: x.cast("double") - c
+            ).alias("resid"),
+        )
+        .persist()
+    )
+    book, book_dict = pq_train(
+        resid, "vid", "resid", dim, m, n_codes, iters, _return_book_dict=True
+    )
+    codes = pq_encode_rows(
+        resid, book_dict, "vid", "resid", dim, m, carry_cols=("centroid_id",)
+    ).localCheckpoint(eager=True)
+    resid.unpersist()
+
+    # probe-side bounded tables. The .limit declares the centroid bound
+    # for the plan guard, as in ivf_topk.
+    probes = ivf_assign(
+        queries, cents.limit(n_centroids), id_col, vec_col, nprobe=nprobe
+    ).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id"
+    )
+    probe_cells = probes.join(F.broadcast(cvecs), "centroid_id").select(
+        "query_id",
+        "centroid_id",
+        dot_fixed(F.col("qvec"), F.col("cvec"), dim).alias("qcdot"),
+    )
+    qtab = _adc_qtab(queries, book, id_col, vec_col, dim, m, n_codes)
+    # per-cell precomputed table, dense like the query LUT (same hole
+    # discipline — _adc_qtab's docstring)
+    ctab = (
+        cvecs.select("centroid_id", "cvec", _sub_slices("cvec", dim, m).alias("s"))
+        .select("centroid_id", "cvec", "s.sub", "s.subvec")
+        .join(F.broadcast(book), "sub")
+        .select(
+            "centroid_id",
+            "cvec",
+            (F.col("sub") * n_codes + F.col("code")).alias("i"),
+            dot_fixed(F.col("subvec"), F.col("codeword"), sub_len).alias("cdot"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("i"), F.col("cdot").alias("v")))
+            ).alias("ct0"),
+            F.first(dot_fixed(F.col("cvec"), F.col("cvec"), dim)).alias("cnorm2"),
+        )
+        .select(
+            "centroid_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
+                lambda i: F.try_element_at(F.col("ct0"), i),
+            ).alias("ct"),
+            "cnorm2",
+        )
+    )
+
+    probe_t = probe_cells.join(qtab, "query_id").join(ctab, "centroid_id")
+    paired = codes.join(
+        F.broadcast(probe_t),
+        (codes["centroid_id"] == probe_t["centroid_id"])
+        & (F.col("query_id") != F.col("vid")),
+    )
+    raw: Column = F.lit(0.0)
+    cd: Column = F.lit(0.0)
+    n2: Column = F.lit(0.0)
+    for s in range(m):
+        i = F.lit(s * n_codes) + F.col("codes")[s]
+        e = F.get(F.col("t"), i)
+        raw = raw + e["lutval"]
+        n2 = n2 + e["cwn2"]
+        cd = cd + F.get(F.col("ct"), i)
+    scored = paired.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(
+            (F.col("qcdot") + raw)
+            / (F.col("qnorm") * F.sqrt(F.col("cnorm2") + F.lit(2.0) * cd + n2)),
+            6,
+        ).alias("sim"),
+    )
+    return _salted_rank(scored, k, n_salt)
 
 
 def lsh_buckets(df: DataFrame, id_col: str, vec_col: str, tables: int = 4, planes: int = 12) -> DataFrame:

@@ -1855,6 +1855,38 @@ def streaming_ann_pq_topk(spark, sf_dir):
     return idx.query(spark, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _ann_ivfpq_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import ivfpq_topk_ref
+
+    return ivfpq_topk_ref(sf_dir)
+
+
+@register_extra(
+    "ann_ivfpq_topk", None, tags=("ext-sim",), py_oracle=_ann_ivfpq_py_oracle
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVFADC — the COMPOSED coarse-IVF + residual-PQ index (FAISS
+    ``IVF16,PQ8``; Jégou et al. TPAMI 2011 §V), the architecture that
+    actually serves a 100 TB embedding corpus: vectors route to a coarse
+    cell and only the residual x − centroid is product-quantized;
+    queries probe nprobe=4 of 16 cells and ADC-score ONLY those cells'
+    m-byte code rows via bounded broadcast lookup tables (per-query LUT
+    + FAISS's per-cell precomputed table). vs the flat ann_pq_topk: the
+    serving scan does nprobe/n_centroids of the work, and residual
+    quantization spends the same m×k budget on smaller-normed, centered
+    vectors. k-means-seeded → no SQL oracle; fully value-checked by the
+    bit-exact Python oracle (reference.py ivfpq_topk_ref). Recall vs
+    brute force and cell-pruning structure pinned in tests."""
+    from flink_playground_spark.functions.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(
+        emb, probes, dim=64, m=8, n_codes=16, k=5,
+        n_centroids=16, nprobe=4, kmeans_iters=2, iters=2,
+    )
+
+
 _EMB_NEARDUP_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 600),

@@ -107,12 +107,15 @@ class StreamingPQIndex:
         w, self._wave = self._wave, self._wave + 1
         return w
 
-    def _set_book(self, spark: SparkSession, book_df: DataFrame) -> None:
+    def _set_book(
+        self, spark: SparkSession, book_df: DataFrame, book_dict: dict | None = None
+    ) -> None:
         """Freeze a newly trained geometry: persist the durable parquet
-        copy and cache the driver-side dict (book_df is pq_train's
-        bounded local relation — collecting it is not a corpus job)."""
+        copy and cache the driver-side dict — taken straight from
+        pq_train when available (it holds the book driver-side across
+        Lloyd rounds), else collected from the bounded local relation."""
         book_df.write.mode("overwrite").parquet(self.book_path)
-        self._book_dict = {
+        self._book_dict = book_dict or {
             (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
             for r in book_df.collect()
         }
@@ -144,10 +147,11 @@ class StreamingPQIndex:
         spark = batch.sparkSession
         first = not self._trained
         if first:
-            self._set_book(spark, pq_train(
+            bdf, bdict = pq_train(
                 batch, self.id_col, self.vec_col, self.dim, self.m,
-                self.n_codes, self.iters,
-            ))
+                self.n_codes, self.iters, _return_book_dict=True,
+            )
+            self._set_book(spark, bdf, bdict)
         encoded = self._encode_wave(batch, self._book(spark)).localCheckpoint(
             eager=True
         )  # one encode pass feeds state AND metrics
@@ -200,10 +204,11 @@ class StreamingPQIndex:
         book and reset the fit baseline. Vectors not in ``corpus`` keep
         codes from the OLD geometry and should be re-ingested — the same
         caveat as any PQ index rebuild without stored raws."""
-        self._set_book(spark, pq_train(
+        bdf, bdict = pq_train(
             corpus, self.id_col, self.vec_col, self.dim, self.m,
-            self.n_codes, self.iters,
-        ))
+            self.n_codes, self.iters, _return_book_dict=True,
+        )
+        self._set_book(spark, bdf, bdict)
         encoded = self._encode_wave(corpus, self._book(spark)).localCheckpoint(
             eager=True
         )

@@ -137,6 +137,47 @@ def test_ivf_topk_recall_and_exact_sims(spark, sf_dir):
     assert all(sims[p] == r.sim for r in approx for p in [(r.query_id, r.neighbor_id)] if p in sims)
 
 
+def test_ivfpq_topk_recall_and_cell_pruning(spark, sf_dir):
+    """IVFADC (coarse cells + residual PQ): every returned neighbor
+    must come from one of the query's nprobe probed cells (the pruning
+    that makes the 100 TB scan affordable), ranks are 1..k with non-null
+    sims, and recall@5 vs brute force stays usable. Value-exactness vs
+    the Python reference is covered by the ann_ivfpq_topk OK-PYREF
+    gate (tests/test_queries_oracle.py + tools/check.py)."""
+    from flink_playground_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivfpq_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivfpq_topk(
+        emb, queries, dim=64, m=8, n_codes=16, k=5,
+        n_centroids=16, nprobe=4, kmeans_iters=2, iters=2,
+    ).collect()
+    assert out and all(1 <= r.rank <= 5 and r.sim is not None for r in out)
+
+    # cell pruning: the deterministic geometry is reproducible, so
+    # recompute it and check neighbors ⊆ probed cells' members
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2)
+    cell = {
+        r.vid: r.centroid_id
+        for r in ivf_assign(emb, cents, nprobe=1).select("vid", "centroid_id").collect()
+    }
+    probed: dict[int, set] = {}
+    for r in ivf_assign(queries, cents, nprobe=4).select("vid", "centroid_id").collect():
+        probed.setdefault(r.vid, set()).add(r.centroid_id)
+    assert all(cell[r.neighbor_id] in probed[r.query_id] for r in out)
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in out}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.15, f"IVFPQ recall {recall} collapsed"
+
+
 def test_pq_topk_recall_and_code_compression(spark, sf_dir):
     """Product-quantization ADC: every corpus vector compresses to m=8
     codes in [0, 16); scoring touches only codes, yet recall@5 vs brute
