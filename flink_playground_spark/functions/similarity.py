@@ -241,41 +241,58 @@ def kmeans_centroids(
     independent of partitioning/aggregation order; a double sum is not),
     then divides in double. Determinism costs nothing measurable here
     (k×dim aggregates) and makes the whole IVF construction replicable
-    by the Python reference oracle (functions/reference.py)."""
+    by the Python reference oracle (functions/reference.py).
+
+    The geometry is BOUNDED (n_centroids × dim) and each round needs it
+    whole, so — like pq_train's book — it lives DRIVER-SIDE across the
+    Lloyd rounds: ONE Spark job per round (assignment scan + a single
+    (centroid_id) group-by whose per-dim decimal sums are plain agg
+    columns, collected ≤ n_centroids rows), no posexplode, no second
+    (centroid_id, pos) exchange, no per-round localCheckpoint. The
+    round-7 shape paid 2 shuffles + an eager checkpoint per round for
+    the same bits."""
     # each Lloyd round re-reads the vectors: persist the projection for
-    # the loop (every round's cents is eagerly materialized below, so
-    # the unpersist after the loop is safe — the returned table has no
-    # remaining lineage into it)
+    # the loop; the returned table is a driver-built local relation, so
+    # the unpersist after the loop is safe
     proj = _spread(corpus.select(id_col, vec_col), id_col).persist()
-    cents = (
-        proj.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    seed_rows = sorted(
+        proj.orderBy(id_col).limit(n_centroids).collect(), key=lambda r: r[id_col]
     )
+    cents: dict = {r[id_col]: [float(x) for x in r[vec_col]] for r in seed_rows}
+    dim = len(next(iter(cents.values()))) if cents else 0
+    id_type = corpus.schema[id_col].dataType.simpleString()
     for _ in range(iters):
-        assign = ivf_assign(proj, cents, id_col, vec_col, nprobe=1)
-        exploded = assign.select(
-            "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
+        cdf = proj.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())],
+            f"centroid_id {id_type}, {vec_col} array<double>",
         )
-        means = exploded.groupBy("centroid_id", "pos").agg(
-            (
-                F.sum(F.col("val").cast("double").cast("decimal(30,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        cents = (
-            means.groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        assign = ivf_assign(proj, cdf, id_col, vec_col, nprobe=1)
+        # division stays in Spark (decimal→double cast, then /n) so the
+        # collected doubles are the exact bits the exploded shape
+        # produced; the Python reference is unchanged.
+        rows = (
+            assign.groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("vec")[d].cast("double").cast("decimal(30,12)")).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
             .select(
                 "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias(vec_col),
+                F.array(
+                    *[F.col(f"s{d}").cast("double") / F.col("n") for d in range(dim)]
+                ).alias("m"),
             )
+            .collect()
         )
-        # small (n_centroids × dim): materialize so each round's plan
-        # doesn't re-run every previous round's corpus scan
-        cents = cents.localCheckpoint(eager=True)
+        cents = {r["centroid_id"]: list(r["m"]) for r in rows}
     proj.unpersist()
-    return cents
+    return corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cents.items())],
+        f"centroid_id {id_type}, {vec_col} array<double>",
+    )
 
 
 def ivf_topk(
