@@ -269,24 +269,23 @@ def kmeans_centroids(
         assign = ivf_assign(proj, cdf, id_col, vec_col, nprobe=1)
         # division stays in Spark (decimal→double cast, then /n) so the
         # collected doubles are the exact bits the exploded shape
-        # produced; the Python reference is unchanged.
-        rows = (
-            assign.groupBy("centroid_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col("vec")[d].cast("double").cast("decimal(30,12)")).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
-            .select(
-                "centroid_id",
-                F.array(
-                    *[F.col(f"s{d}").cast("double") / F.col("n") for d in range(dim)]
-                ).alias("m"),
-            )
-            .collect()
+        # produced; the Python reference is unchanged. The round's agg
+        # is ONE sql() string, not 2×dim Column objects — building
+        # hundreds of per-dim Columns through the Python API costs
+        # ~2s of driver round-trips per round per run, re-paid on
+        # every execution (it is plan construction, not codegen, so
+        # no cache ever absorbs it).
+        assign.createOrReplaceTempView("__kmeans_assign")
+        sums = ", ".join(
+            f"sum(cast(cast(vec[{d}] as double) as decimal(30,12))) as s{d}"
+            for d in range(dim)
         )
+        means = ", ".join(f"cast(s{d} as double) / n" for d in range(dim))
+        rows = proj.sparkSession.sql(
+            f"select centroid_id, array({means}) as m from ("
+            f"  select centroid_id, count(1) as n, {sums}"
+            f"  from __kmeans_assign group by centroid_id)"
+        ).collect()
         cents = {r["centroid_id"]: list(r["m"]) for r in rows}
     proj.unpersist()
     return corpus.sparkSession.createDataFrame(
