@@ -821,3 +821,51 @@ def pca_project_ref(
     return pd.DataFrame(rows, columns=cols).astype(
         {"vec_id": "int64", **{f"pc{i + 1}": "float64" for i in range(n_components)}}
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic_clusters: queries.py semantic_clusters (kmeans_centroids +
+# ivf_assign keep_sim + decimal-mean cohesion)
+# ---------------------------------------------------------------------------
+
+
+def semantic_clusters_ref(
+    sf_dir: str, n_centroids: int = 16, iters: int = 2
+) -> pd.DataFrame:
+    """(cluster_id, n_members, exemplar_vid, avg_cohesion) — equals the
+    semantic_clusters query exactly: Lloyd centroids
+    (kmeans_centroids_ref), nearest-cell assignment with the vector's
+    cosine against its centroid (ivf_assign keep_sim tie-break: csim
+    DESC, centroid_id ASC), per-cluster exact-decimal mean of csim
+    rounded at 6 (the quantization-fit signal the drift monitors use)."""
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    cents = kmeans_centroids_ref(vecs, n_centroids, iters)
+    members: dict[int, list[tuple[int, float]]] = {}
+    for vid, vec in vecs.items():
+        cid, csim = min(
+            ((cid, cosine_ref(vec, cv)) for cid, cv in cents.items()),
+            key=lambda it: (-it[1], it[0]),
+        )
+        members.setdefault(cid, []).append((vid, csim))
+    rows = [
+        (
+            cid,
+            len(mem),
+            min(v for v, _ in mem),
+            spark_round(_decimal_mean_ref([s for _, s in mem]), 6),
+        )
+        for cid, mem in sorted(members.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["cluster_id", "n_members", "exemplar_vid", "avg_cohesion"]
+    ).astype(
+        {
+            "cluster_id": "int64",
+            "n_members": "int64",
+            "exemplar_vid": "int64",
+            "avg_cohesion": "float64",
+        }
+    )

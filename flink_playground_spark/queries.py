@@ -1887,6 +1887,52 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _semantic_clusters_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import semantic_clusters_ref
+
+    return semantic_clusters_ref(sf_dir)
+
+
+@register_extra(
+    "semantic_clusters", None, tags=("ext-sim",), py_oracle=_semantic_clusters_py_oracle
+)
+def semantic_clusters(spark, sf_dir):
+    """K-means semantic clustering over document embeddings — the
+    curation primitive behind cluster-balanced data mixing (DoReMi-style
+    domain weights, SemDeDup's cluster-then-prune): Lloyd centroids
+    (``kmeans_centroids``), one zero-shuffle nearest-cell pass over the
+    corpus (``ivf_assign`` nprobe=1, keep_sim), then ONE bounded
+    group-by emitting per-cluster size, exemplar (min vid) and mean
+    vector↔centroid cosine — the quantization-fit/cohesion signal the
+    streaming drift monitors threshold on. Scale: centroids are a
+    driver-bounded local relation broadcast into the scan; the output is
+    ≤ n_centroids rows; the only exchange is the 16-group aggregate.
+    k-means-seeded → no SQL oracle; value-checked bit-exact by the
+    Python reference (reference.py semantic_clusters_ref — decimal-sum
+    mean, round 6)."""
+    from flink_playground_spark.functions.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 16, 2)
+    assign = ivf_assign(emb, cents, "vec_id", "embedding", nprobe=1, keep_sim=True)
+    return (
+        assign.groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vid").alias("exemplar_vid"),
+            F.round(
+                F.sum(F.col("csim").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cohesion"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 _EMB_NEARDUP_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 600),
