@@ -57,6 +57,12 @@ PROBES = [
     # round 7: verdict item 4 — the incremental PQ index (train-once
     # frozen book, keep-latest coded state) must stay sublinear too
     "streaming_ann_pq_topk",
+    # round 8: the composed IVFADC index and the kmeans-based cluster
+    # profile (driver-side Lloyd rounds — one job per round), plus the
+    # group-aware split (CC + hash assignment end to end)
+    "ann_ivfpq_topk",
+    "semantic_clusters",
+    "leakage_safe_split",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
