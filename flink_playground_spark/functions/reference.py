@@ -869,3 +869,59 @@ def semantic_clusters_ref(
             "avg_cohesion": "float64",
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report: queries.py ann_recall_report (per-method recall@k of
+# every ANN family vs the exact brute-force top-k)
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_report_ref(sf_dir: str, k: int = 5, probe_below: int = 8) -> pd.DataFrame:
+    """(method, returned, matched, recall_at_k) — equals the
+    ann_recall_report query exactly: exact top-k = brute_force_topk's
+    rank rule (sim rounded 6 DESC, neighbor_id ASC, self excluded);
+    approx sets from the existing bit-exact references (ann_topk_ref
+    lsh/ivf, pq_topk_ref, ivfpq_topk_ref); recall = matched pairs /
+    total exact pairs, HALF_UP round 6."""
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    probes = {vid: v for vid, v in vecs.items() if vid < probe_below}
+    exact: set[tuple[int, int]] = set()
+    for qid, qv in probes.items():
+        scored = sorted(
+            (
+                (spark_round(cosine_ref(qv, cv), 6), nb)
+                for nb, cv in vecs.items()
+                if nb != qid
+            ),
+            key=lambda it: (-it[0], it[1]),
+        )
+        exact.update((qid, nb) for _, nb in scored[:k])
+
+    ann = ann_topk_ref(sf_dir)
+    parts = [
+        ("lsh", ann[ann.method == "lsh"]),
+        ("ivf", ann[ann.method == "ivf"]),
+        ("pq", pq_topk_ref(sf_dir)),
+        ("ivfpq", ivfpq_topk_ref(sf_dir)),
+    ]
+    rows = []
+    for name, df in parts:
+        pairs = {(int(q), int(n)) for q, n in zip(df.query_id, df.neighbor_id)}
+        matched = len(pairs & exact)
+        rows.append(
+            (name, len(pairs), matched, spark_round(matched / len(exact), 6))
+        )
+    return pd.DataFrame(
+        rows, columns=["method", "returned", "matched", "recall_at_k"]
+    ).astype(
+        {
+            "method": "object",
+            "returned": "int64",
+            "matched": "int64",
+            "recall_at_k": "float64",
+        }
+    )

@@ -1887,6 +1887,81 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _ann_recall_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import ann_recall_report_ref
+
+    return ann_recall_report_ref(sf_dir)
+
+
+@register_extra(
+    "ann_recall_report",
+    None,
+    tags=("ext-sim",),
+    bench=False,
+    py_oracle=_ann_recall_py_oracle,
+)
+def ann_recall_report(spark, sf_dir):
+    """Index-selection scorecard: recall@5 of EVERY ANN family in the
+    catalog (hyperplane LSH, IVF, flat PQ-ADC, composed IVFADC) against
+    the exact brute-force top-k, in one DataFrame — the measurement a
+    100 TB user runs on a sample before committing an index choice
+    ("measure, don't guess"). Each method's candidate generation is its
+    real scale path (bucket/cell/code joins, never a cross product);
+    the exact baseline is the salted two-level brute-force rank. The
+    recall join is a broadcast of the bounded exact set (k × |probes|
+    rows); the denominator comes from a one-row aggregate, not a
+    hardcoded constant. bench=False: this is a diagnostic, not a
+    serving query — the gate still value-checks it bit-exactly against
+    the composed Python references (reference.py ann_recall_report_ref)."""
+    from flink_playground_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    parts = [
+        ("lsh", lsh_topk(emb, probes, k=5, tables=8, planes=4)),
+        ("ivf", ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4)),
+        ("pq", pq_topk(emb, probes, dim=64, m=8, n_codes=16, k=5)),
+        (
+            "ivfpq",
+            ivfpq_topk(
+                emb, probes, dim=64, m=8, n_codes=16, k=5,
+                n_centroids=16, nprobe=4, kmeans_iters=2, iters=2,
+            ),
+        ),
+    ]
+    approx = None
+    for name, df in parts:
+        tagged = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        approx = tagged if approx is None else approx.unionByName(tagged)
+    hit = approx.join(
+        F.broadcast(exact.withColumn("hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per = hit.groupBy("method").agg(
+        F.count(F.lit(1)).alias("returned"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched"),
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return per.crossJoin(F.broadcast(n_exact)).select(
+        "method",
+        "returned",
+        "matched",
+        F.round(
+            F.col("matched").cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_k"),
+    )
+
+
 def _semantic_clusters_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import semantic_clusters_ref
 

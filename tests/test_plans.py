@@ -359,6 +359,12 @@ def test_no_nested_loop_or_cartesian_anywhere(spark, sf_dir):
         # the corpus.
         "corpus_similarity": 1,
         "streaming_corpus_similarity": 1,
+        # ann_recall_report composes the three reviewed shapes above in
+        # one plan: the brute-force probe broadcast (cosine_topk's ≤8-row
+        # probe contract), the flat-PQ per-query LUT (ann_pq_topk's), and
+        # the IVFADC probe-table join (same ≤8-row probe set) — each
+        # bound lives in the vec_id < 8 query contract, not the plan.
+        "ann_recall_report": 3,
     }
     # Entries allowed to fail PLANNING itself, each with a written
     # reason. Currently EMPTY: every registry entry (including the
