@@ -191,7 +191,15 @@ def hist_quantiles(
     from pyspark.sql import Window
 
     spark = sketch.sparkSession
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded global window: the sketch has <= n_bins rows by contract;
+    # single_group pins the bound and silences the empty-spec warning
+    from flink_playground_spark.operators.windows import single_group
+
+    w = (
+        Window.partitionBy(single_group("bin"))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = sketch.withColumn("cum", F.sum("cnt").over(w)).join(
         F.broadcast(sketch.agg(F.sum("cnt").alias("n")))
     )

@@ -256,8 +256,15 @@ def pack_sequences(
 
     order = order_col or id_col
     shards = list(shard_cols or [])
+    # unsharded = single-stream BY CONTRACT (see docstring);
+    # single_group declares that intent so gate runs stay warning-free
+    # and any ACCIDENTAL unpartitioned window is the only warning left
+    from flink_playground_spark.operators.windows import single_group
+
     w = (
-        Window.partitionBy(*shards) if shards else Window
+        Window.partitionBy(*shards)
+        if shards
+        else Window.partitionBy(single_group(id_col))
     ).orderBy(F.asc("__o")).rowsBetween(Window.unboundedPreceding, -1)
     t = df.select(
         *shards,

@@ -13,8 +13,15 @@
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# monotonic suffix for per-call kmeans assignment views (see
+# kmeans_centroids): unique names keep concurrent builds in one
+# SparkSession from clobbering each other's temp view
+_KMEANS_VIEW_SEQ = itertools.count()
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -261,6 +268,19 @@ def kmeans_centroids(
     cents: dict = {r[id_col]: [float(x) for x in r[vec_col]] for r in seed_rows}
     dim = len(next(iter(cents.values()))) if cents else 0
     id_type = corpus.schema[id_col].dataType.simpleString()
+    if not cents:
+        # empty corpus: the per-dim SQL fragments below would be
+        # malformed (dim=0 → trailing comma); return the empty
+        # centroid relation directly
+        proj.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            [], f"centroid_id {id_type}, {vec_col} array<double>"
+        )
+    # per-call unique view name: two concurrent kmeans builds in one
+    # SparkSession (threaded tests, concurrent streaming queries) must
+    # not clobber each other's assignment view between
+    # createOrReplaceTempView and sql(); dropped after the loop
+    view = f"__kmeans_assign_{next(_KMEANS_VIEW_SEQ)}"
     for _ in range(iters):
         cdf = proj.sparkSession.createDataFrame(
             [(cid, vec) for cid, vec in sorted(cents.items())],
@@ -275,7 +295,7 @@ def kmeans_centroids(
         # ~2s of driver round-trips per round per run, re-paid on
         # every execution (it is plan construction, not codegen, so
         # no cache ever absorbs it).
-        assign.createOrReplaceTempView("__kmeans_assign")
+        assign.createOrReplaceTempView(view)
         sums = ", ".join(
             f"sum(cast(cast(vec[{d}] as double) as decimal(30,12))) as s{d}"
             for d in range(dim)
@@ -284,9 +304,10 @@ def kmeans_centroids(
         rows = proj.sparkSession.sql(
             f"select centroid_id, array({means}) as m from ("
             f"  select centroid_id, count(1) as n, {sums}"
-            f"  from __kmeans_assign group by centroid_id)"
+            f"  from {view} group by centroid_id)"
         ).collect()
         cents = {r["centroid_id"]: list(r["m"]) for r in rows}
+    proj.sparkSession.catalog.dropTempView(view)
     proj.unpersist()
     return corpus.sparkSession.createDataFrame(
         [(cid, vec) for cid, vec in sorted(cents.items())],
@@ -388,9 +409,13 @@ def pq_train(
     iters: int = 2,
     _subs: DataFrame | None = None,
     _return_book_dict: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, dict]:
     """Product-quantization codebooks: ``(sub, code, codeword)`` — one
     k-codeword codebook per subspace, all ``m`` trained together.
+    With ``_return_book_dict=True`` returns ``(book_df, book_dict)``
+    where ``book_dict`` maps ``(sub, code) -> list[float]`` — the
+    driver-side book, for callers (ivfpq, streaming PQ) that keep
+    encoding without a re-collect.
 
     PQ (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011) is THE 100 TB embedding-index family: a D-dim

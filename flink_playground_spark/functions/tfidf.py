@@ -157,7 +157,15 @@ def bm25_topk(
     survivors = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
         F.col("__lr") <= k
     )
-    w_global = Window.orderBy(F.desc("score"), F.asc(id_col))
+    # single-partition by construction: the survivor set is <= k*64 rows
+    # (one local top-k per salt). single_group() pins that bound in the
+    # plan so gate runs stay free of "No Partition Defined" warnings and
+    # any NEW unbounded global window is the only one left.
+    from flink_playground_spark.operators.windows import single_group
+
+    w_global = Window.partitionBy(single_group(id_col)).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
     return (
         survivors.withColumn("rank", F.row_number().over(w_global).cast("long"))
         .filter(F.col("rank") <= k)

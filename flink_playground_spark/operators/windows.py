@@ -23,6 +23,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def single_group(col: str) -> Column:
+    """Constant-valued but NON-FOLDABLE partition key for a window over a
+    provably bounded relation: ``pmod(xxhash64(col), 1)`` is always 0 —
+    one group, same execution as an empty partitionSpec — but Catalyst
+    cannot constant-fold it away (a plain ``lit(0)`` is stripped from
+    the spec by FoldablePropagation and the plan reverts to an
+    unpartitioned Window).
+
+    Use this ONLY where the input is bounded by construction (a <=k*64
+    salt-survivor set, a <=n_bins sketch, one metrics row per stream
+    wave) and say so at the call site. The point is hygiene at scale:
+    gate runs stay free of WindowExec "No Partition Defined" warnings,
+    so the ONE warning that ever appears again is a genuinely unbounded
+    global window — signal, not noise.
+    """
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(1))
+
+
 def tumble(
     df: DataFrame,
     time_col: str,

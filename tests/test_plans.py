@@ -298,12 +298,13 @@ def _walk_plan(node):
     ch = node.children()
     for i in range(ch.size()):
         yield from _walk_plan(ch.apply(i))
-    try:
-        sq = node.subqueries()
-        for i in range(sq.size()):
-            yield from _walk_plan(sq.apply(i))
-    except Exception:
-        pass
+    # LOUD on purpose: a throwing subqueries() accessor would hide a
+    # CartesianProduct parked inside a scalar subquery. The blanket
+    # guard's per-query try records the failure in `unplannable`, which
+    # is asserted empty — a walk failure is a red test, never a skip.
+    sq = node.subqueries()
+    for i in range(sq.size()):
+        yield from _walk_plan(sq.apply(i))
 
 
 def _build_side_is_constant(build) -> bool:
