@@ -23,7 +23,7 @@ the per-row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_playground_spark.functions.text import fingerprint, tokens
@@ -651,4 +651,133 @@ def contamination_overlap(
         .groupBy("doc")
         .agg(F.count_distinct("shingle").cast("long").alias("n_overlap"))
         .select(F.col("doc").alias(id_col), "n_overlap")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+) -> DataFrame:
+    """Duplicated-substring spans, suffix-array-family semantics (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): a position ``p`` in document ``d`` is DUPLICATED when the
+    exact ``min_len``-character window starting there appeared earlier
+    in the corpus — earlier meaning a lexicographically smaller
+    ``(doc_id, position)``, any document including ``d`` itself (the
+    first occurrence always survives, mirroring dedup_chunks_global's
+    contract). Overlapping duplicated windows merge into maximal spans;
+    output is one row per merged span ``(id, span_start, span_end)``,
+    1-based, end exclusive.
+
+    Distributed shape (the practical Spark rendering of the paper's
+    suffix array — which is also O(corpus bytes), just single-machine):
+
+    - positions explode stride-1 off the text scan; the window GRAM
+      itself is the key, so matches are EXACT by construction — no
+      rolling-hash collision risk. (At 100 TB you'd key on
+      ``xxhash64(gram)`` and verify survivors — one cheap residual
+      equality join — to shrink the exchange by ~min_len×; the
+      semantics here are the spec for that.)
+    - ONE corpus-bytes shuffle: per-gram first occurrence is a
+      ``min(struct(doc, pos))`` aggregate — map-side combinable, unlike
+      a rank window — then a self-join on the gram marks every
+      non-first position. AQE's skew handling covers pathological grams
+      (whitespace runs).
+    - span merge is the classic interval union, two windows inside ONE
+      per-document partition: new-segment flag = start beyond the
+      running max end, segment id = running flag sum.
+    """
+    t = df.select(
+        F.col(id_col).alias("__d"), F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= min_len)
+    pos = t.select(
+        "__d",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - F.lit(min_len) + F.lit(1))
+        ).alias("__p"),
+        "__t",
+    ).select("__d", "__p", F.expr(f"substring(__t, __p, {int(min_len)})").alias("__g"))
+    first = pos.groupBy("__g").agg(
+        F.min(F.struct("__d", "__p")).alias("__f"), F.count(F.lit(1)).alias("__n")
+    )
+    dup = (
+        pos.join(first.filter(F.col("__n") > 1).select("__g", "__f"), "__g")
+        .filter((F.col("__d") != F.col("__f.__d")) | (F.col("__p") != F.col("__f.__p")))
+        .select("__d", F.col("__p").alias("__s"), (F.col("__p") + min_len).alias("__e"))
+    )
+    w_order = Window.partitionBy("__d").orderBy("__s", "__e")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    seg = (
+        dup.withColumn(
+            "__new",
+            (F.col("__s") > F.coalesce(F.max("__e").over(w_prev), F.lit(-1))).cast("int"),
+        )
+        .withColumn("__seg", F.sum("__new").over(w_order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        seg.groupBy("__d", "__seg")
+        .agg(F.min("__s").alias("span_start"), F.max("__e").alias("span_end"))
+        .select(
+            F.col("__d").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+) -> DataFrame:
+    """Byte-exact corpus rewrite with every duplicated ``min_len``+
+    substring removed except its first occurrence (see
+    ``exact_substring_spans``): the one standard training-data dedup
+    family the catalog lacked — CDC chunk/passage dedup
+    (functions/chunking.py) only catches duplication that lands on
+    content-defined boundaries; an offset-shifted copy inside otherwise
+    novel text sails through it (pinned by the golden in
+    tests/test_chunkdedup.py).
+
+    Output ``(id, text, removed_chars)`` — text with the merged spans
+    excised (the kept pieces concatenate in order), removed_chars the
+    byte count cut. Documents with no duplicated span (including those
+    shorter than ``min_len``) pass through byte-identical.
+
+    The rebuild is ONE left join of the corpus against its per-document
+    span list (collect_list of a bounded-by-doc-length set) and a
+    single JVM fold over that array — no per-position explode, no
+    Python in the rewrite path.
+    """
+    spans = (
+        exact_substring_spans(df, id_col, text_col, min_len)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("__spans")
+        )
+    )
+    rebuilt = F.expr(
+        # left fold over the sorted spans: carry (next kept start, acc);
+        # finish = acc + tail from the last span end
+        "aggregate(__spans, named_struct('p', 1L, 'acc', ''), "
+        " (st, sp) -> named_struct("
+        "   'p', sp.span_end, "
+        "   'acc', concat(st.acc, substring({t}, st.p, int(sp.span_start - st.p)))), "
+        " st -> concat(st.acc, substring({t}, st.p, int(length({t}) + 1 - st.p))))".format(
+            t="__orig"
+        )
+    )
+    out = (
+        df.select(F.col(id_col), F.col(text_col).alias("__orig"))
+        .join(spans, id_col, "left")
+        .withColumn(
+            "__clean",
+            F.when(F.col("__spans").isNull(), F.col("__orig")).otherwise(rebuilt),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("__clean").alias(text_col),
+        (F.coalesce(F.length("__orig"), F.lit(0)) - F.coalesce(F.length("__clean"), F.lit(0)))
+        .cast("long")
+        .alias("removed_chars"),
     )

@@ -23,6 +23,48 @@ from pyspark.sql import functions as F
 # SparkSession from clobbering each other's temp view
 _KMEANS_VIEW_SEQ = itertools.count()
 
+# ivf_assign's nprobe=1 per-row expressions as ONE SQL string each
+# instead of ~40 py4j Column round-trips per call. The strings parse to
+# the EXACT trees the Column API built (same functions, same casts,
+# same fold order — SQL lambda syntax and F.transform/F.aggregate
+# produce identical LambdaFunction nodes), so results stay bit-equal;
+# only the Python-side construction cost changes (~0.3s/call at local
+# py4j latency, paid 4-5x per ANN query). Parity is pinned by
+# tests/test_extensions.py::test_ivf_assign_expr_string_parity.
+_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0.0D, (acc, v) -> acc + v)"
+)
+_VNORM_SQL = (
+    "sqrt(aggregate(transform(vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " 0.0D, (acc, v) -> acc + v))"
+)
+_IVF_BEST_SQL = (
+    "array_max(filter(transform(cents, cc -> named_struct("
+    "'csim', " + _DOT_SQL.format(a="vec", b="cc.cvec") + " / (vnorm * cc.cnorm), "
+    "'nid', -cc.centroid_id)), s -> s.csim IS NOT NULL))"
+)
+
+
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of ``dot_fixed``'s exact unrolled chain — same casts,
+    same left-associative fold ``((0.0 + a0*b0) + a1*b1) + ...`` — as
+    ONE parsed expression instead of ~4·dim py4j Column round-trips
+    (~0.5s at dim=64 local latency, paid on every ADC/probe-table
+    construction). Bit-identical results; parity pinned alongside the
+    _l2/_dot fold-parity tests."""
+    acc = "0.0D"
+    for i in range(dim):
+        acc = f"({acc} + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+    return acc
+
+
+def _norm_fixed_sql(a: str, dim: int) -> str:
+    """SQL text of ``norm_fixed``'s unrolled chain (see
+    ``_dot_fixed_sql``); ``norm_fixed(a) == sqrt(dot_fixed(a, a))``
+    term for term."""
+    return f"SQRT({_dot_fixed_sql(a, a, dim)})"
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -192,25 +234,12 @@ def ivf_assign(
                 F.collect_list(F.struct("centroid_id", "cvec", "cnorm"))
             ).alias("cents")
         )
-        best = F.array_max(
-            F.filter(
-                F.transform(
-                    F.col("cents"),
-                    lambda cc: F.struct(
-                        (
-                            dot(F.col("vec"), cc["cvec"])
-                            / (F.col("vnorm") * cc["cnorm"])
-                        ).alias("csim"),
-                        (-cc["centroid_id"]).alias("nid"),
-                    ),
-                ),
-                lambda s: s["csim"].isNotNull(),
-            )
-        )
+        # one parsed string per expression — see _IVF_BEST_SQL above;
+        # the tree (and therefore every bit of csim) is unchanged
         return (
             v.crossJoin(F.broadcast(carr))
-            .withColumn("vnorm", norm(F.col("vec")))
-            .withColumn("b", best)
+            .withColumn("vnorm", F.expr(_VNORM_SQL))
+            .withColumn("b", F.expr(_IVF_BEST_SQL))
             .filter(F.col("b").isNotNull())
             .select(
                 "vid",
@@ -234,7 +263,8 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 2,
-) -> DataFrame:
+    _return_seed_rows: bool = False,
+) -> DataFrame | tuple[DataFrame, list]:
     """Lloyd's k-means as pure DataFrame aggregations (no UDF, no driver
     math): seed = the first ``n_centroids`` corpus vectors (deterministic),
     then ``iters`` rounds of assign-to-nearest (broadcast centroids, rank
@@ -257,7 +287,30 @@ def kmeans_centroids(
     columns, collected ≤ n_centroids rows), no posexplode, no second
     (centroid_id, pos) exchange, no per-round localCheckpoint. The
     round-7 shape paid 2 shuffles + an eager checkpoint per round for
-    the same bits."""
+    the same bits.
+
+    MEMOIZED across calls when the corpus is file-backed: the build is
+    deterministic (seeded by the lowest ids, order-free decimal means),
+    so the same canonicalized scan + identical parameters always yields
+    the same centroids — the moral equivalent of an index catalog entry
+    keyed by table snapshot. ann_ivfpq_topk, semantic_clusters and
+    ann_recall_report all train ``(embeddings, 16, 2)``; without the
+    memo each re-pays the full Lloyd build. Driver-built/RDD-backed
+    corpora are NEVER memoized (a LocalRelation's canonical form does
+    not include its data, so two different in-memory corpora would
+    collide).
+
+    ``_return_seed_rows=True`` also returns the collected seed rows —
+    the ``n_centroids`` lowest-id ``(id, vector)`` pairs — which callers
+    (ivfpq_topk) reuse to derive downstream seeds WITHOUT another
+    corpus collect; they ride the memo too."""
+    memo_key = _kmeans_memo_key(corpus, id_col, vec_col, n_centroids, iters)
+    if memo_key is not None and memo_key in _KMEANS_MEMO:
+        id_type, rows, seed_pairs = _KMEANS_MEMO[memo_key]
+        cdf = corpus.sparkSession.createDataFrame(
+            rows, f"centroid_id {id_type}, {vec_col} array<double>"
+        )
+        return (cdf, seed_pairs) if _return_seed_rows else cdf
     # each Lloyd round re-reads the vectors: persist the projection for
     # the loop; the returned table is a driver-built local relation, so
     # the unpersist after the loop is safe
@@ -265,6 +318,10 @@ def kmeans_centroids(
     seed_rows = sorted(
         proj.orderBy(id_col).limit(n_centroids).collect(), key=lambda r: r[id_col]
     )
+    seed_pairs = [
+        (r[id_col], None if r[vec_col] is None else list(r[vec_col]))
+        for r in seed_rows
+    ]
     cents: dict = {r[id_col]: [float(x) for x in r[vec_col]] for r in seed_rows}
     dim = len(next(iter(cents.values()))) if cents else 0
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -273,9 +330,10 @@ def kmeans_centroids(
         # malformed (dim=0 → trailing comma); return the empty
         # centroid relation directly
         proj.unpersist()
-        return corpus.sparkSession.createDataFrame(
+        empty = corpus.sparkSession.createDataFrame(
             [], f"centroid_id {id_type}, {vec_col} array<double>"
         )
+        return (empty, []) if _return_seed_rows else empty
     # per-call unique view name: two concurrent kmeans builds in one
     # SparkSession (threaded tests, concurrent streaming queries) must
     # not clobber each other's assignment view between
@@ -309,10 +367,117 @@ def kmeans_centroids(
         cents = {r["centroid_id"]: list(r["m"]) for r in rows}
     proj.sparkSession.catalog.dropTempView(view)
     proj.unpersist()
-    return corpus.sparkSession.createDataFrame(
-        [(cid, vec) for cid, vec in sorted(cents.items())],
-        f"centroid_id {id_type}, {vec_col} array<double>",
+    out_rows = [(cid, vec) for cid, vec in sorted(cents.items())]
+    if memo_key is not None:
+        while len(_KMEANS_MEMO) >= _KMEANS_MEMO_CAP:
+            _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
+        _KMEANS_MEMO[memo_key] = (id_type, out_rows, seed_pairs)
+    cdf = corpus.sparkSession.createDataFrame(
+        out_rows, f"centroid_id {id_type}, {vec_col} array<double>"
     )
+    return (cdf, seed_pairs) if _return_seed_rows else cdf
+
+
+# bounded FIFO memo for kmeans_centroids over FILE-BACKED corpora — see
+# the function docstring. Keyed by the corpus's canonicalized logical
+# plan (normalized expr ids; includes path + pushed filters) plus the
+# build parameters; values are plain driver-side rows.
+_KMEANS_MEMO: dict = {}
+_KMEANS_MEMO_CAP = 8
+
+
+def _derive_resid_seeds(cents: DataFrame, corpus_seed: list, n_codes: int):
+    """ivfpq_topk's driver-side PQ seed derivation: walk the (vid-ASC)
+    kmeans seed rows, assign each to its cell with ``_ivf_assign_py``,
+    and emit the first ``n_codes`` surviving residuals — the exact rows
+    ``resid.orderBy(vid).limit(n_codes)`` would collect, without the
+    job. Returns None (→ caller falls back to the Spark collect) when
+    the seed rows can't prove the answer: fewer than n_codes survivors
+    among them (the true seed set might extend past the collected
+    prefix) or any non-finite assignment."""
+    cent_rows = [
+        (r["centroid_id"], None if r[1] is None else list(r[1]))
+        for r in cents.collect()
+    ]
+    cent_rows.sort(key=lambda t: t[0])
+    out = []
+    for vid, vec in corpus_seed:
+        hit = _ivf_assign_py(vec, cent_rows)
+        if hit == "unsafe":
+            return None
+        if hit is None:
+            continue
+        _, cvec = hit
+        out.append((vid, [float(x) - c for x, c in zip(vec, cvec)]))
+        if len(out) == n_codes:
+            return out
+    return None
+
+
+def _ivf_assign_py(vec, cents_rows):
+    """Driver-side replica of ``ivf_assign``'s nprobe=1 argmax for ONE
+    vector — identical left folds (dot, x², both per ``_DOT_SQL`` /
+    ``_VNORM_SQL``) over IEEE binary64, so the chosen cell is the same
+    bits the Spark path produces. Used only to derive bounded seed rows
+    (ivfpq_topk's PQ seeds) without an extra corpus collect; parity is
+    pinned by tests/test_extensions.py.
+
+    Returns ``(centroid_id, cvec)``, ``None`` for a row the Spark path
+    drops (null/len-mismatched vector), or the string ``"unsafe"`` when
+    any csim is non-finite (NaN ordering differs between Spark structs
+    and Python tuples — callers must fall back to the Spark collect)."""
+    import math
+
+    if vec is None or any(x is None for x in vec):
+        return None
+    acc = 0.0
+    for x in vec:
+        xf = float(x)
+        acc = acc + xf * xf
+    vnorm = math.sqrt(acc)
+    best = None
+    best_cvec = None
+    for cid, cvec in cents_rows:
+        if cvec is None or len(cvec) != len(vec) or any(c is None for c in cvec):
+            continue
+        d = 0.0
+        cn = 0.0
+        for x, c in zip(vec, cvec):
+            d = d + float(x) * float(c)
+            cf = float(c)
+            cn = cn + cf * cf
+        denom = vnorm * math.sqrt(cn)
+        if denom == 0.0:
+            return "unsafe"
+        csim = d / denom
+        if math.isnan(csim) or math.isinf(csim):
+            return "unsafe"
+        key = (csim, -cid)
+        if best is None or key > best:
+            best = key
+            best_cvec = (cid, cvec)
+    return best_cvec
+
+
+def _kmeans_memo_key(corpus, id_col, vec_col, n_centroids, iters):
+    """Memo key, or None when the corpus must not be memoized: only
+    plans rooted in file relations are cacheable — a LocalRelation /
+    LogicalRDD canonical form omits its DATA, so two different
+    in-memory corpora would share a key. The canonical plan string
+    also omits the scan LOCATION (two same-schema parquet tables print
+    identically), so the key additionally pins the exact backing files
+    via ``inputFiles()`` — which, with Spark's uuid part-file names,
+    doubles as staleness protection for rewritten tables."""
+    try:
+        s = corpus._jdf.queryExecution().analyzed().canonicalized().toString()
+        if "LocalRelation" in s or "LogicalRDD" in s or "Relation" not in s:
+            return None
+        files = tuple(sorted(corpus.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    return (s, files, id_col, vec_col, int(n_centroids), int(iters))
 
 
 def ivf_topk(
@@ -409,13 +574,18 @@ def pq_train(
     iters: int = 2,
     _subs: DataFrame | None = None,
     _return_book_dict: bool = False,
+    _seed_pairs: list | None = None,
 ) -> DataFrame | tuple[DataFrame, dict]:
     """Product-quantization codebooks: ``(sub, code, codeword)`` — one
     k-codeword codebook per subspace, all ``m`` trained together.
     With ``_return_book_dict=True`` returns ``(book_df, book_dict)``
     where ``book_dict`` maps ``(sub, code) -> list[float]`` — the
     driver-side book, for callers (ivfpq, streaming PQ) that keep
-    encoding without a re-collect.
+    encoding without a re-collect. ``_seed_pairs`` (a vid-ASC list of
+    exactly ``k`` ``(vid, vector)`` pairs) replaces the seed collect
+    when the caller already holds the k lowest-id vectors driver-side
+    (ivfpq_topk derives them from kmeans' seed rows) — the values must
+    be the same bits the collect would return.
 
     PQ (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011) is THE 100 TB embedding-index family: a D-dim
@@ -450,16 +620,24 @@ def pq_train(
     # per-round localCheckpoint, no book re-collect, no broadcast
     # exchange. Seeds = the k lowest vector ids' subvector slices —
     # a k-row bounded collect.
-    seed_rows = sorted(
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .orderBy("vid")
-        .limit(k)
-        .collect(),
-        key=lambda r: r["vid"],
-    )
+    if _seed_pairs is not None:
+        seed_vecs = [vec for _, vec in _seed_pairs]
+    else:
+        seed_vecs = [
+            r["vec"]
+            for r in sorted(
+                corpus.select(
+                    F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+                )
+                .orderBy("vid")
+                .limit(k)
+                .collect(),
+                key=lambda r: r["vid"],
+            )
+        ]
     book: dict = {
-        (s, c): [float(x) for x in r["vec"][s * sub_len : (s + 1) * sub_len]]
-        for c, r in enumerate(seed_rows)
+        (s, c): [float(x) for x in vec[s * sub_len : (s + 1) * sub_len]]
+        for c, vec in enumerate(seed_vecs)
         for s in range(m)
     }
     for _ in range(iters):
@@ -800,8 +978,8 @@ def _adc_qtab(
         q.select("query_id", "qvec", _sub_slices("qvec", dim, m).alias("s"))
         .select("query_id", "qvec", "s.sub", "s.subvec")
         .join(F.broadcast(book), "sub")
-        .withColumn("lutval", dot_fixed(F.col("subvec"), F.col("codeword"), sub_len))
-        .withColumn("cwn2", dot_fixed(F.col("codeword"), F.col("codeword"), sub_len))
+        .withColumn("lutval", F.expr(_dot_fixed_sql("subvec", "codeword", sub_len)))
+        .withColumn("cwn2", F.expr(_dot_fixed_sql("codeword", "codeword", sub_len)))
     )
     return (
         lut.groupBy("query_id")
@@ -814,7 +992,7 @@ def _adc_qtab(
                     )
                 )
             ).alias("t0"),
-            F.first(norm_fixed(F.col("qvec"), dim)).alias("qnorm"),
+            F.first(F.expr(_norm_fixed_sql("qvec", dim))).alias("qnorm"),
         )
         .select(
             "query_id",
@@ -846,16 +1024,18 @@ def pq_adc_topk(
     excluded by id."""
     qtab = _adc_qtab(queries, book, id_col, vec_col, dim, m, n_codes)
     paired = codes.join(F.broadcast(qtab), F.col("query_id") != F.col("vid"))
-    raw: Column = F.lit(0.0)
-    n2: Column = F.lit(0.0)
+    # the m-lookup ADC chain as one parsed string (same left fold as the
+    # previous F.get loop — see _dot_fixed_sql's rationale)
+    raw = "0.0D"
+    n2 = "0.0D"
     for s in range(m):
-        e = F.get(F.col("t"), F.lit(s * n_codes) + F.col("codes")[s])
-        raw = raw + e["lutval"]
-        n2 = n2 + e["cwn2"]
+        idx = f"({s * n_codes} + codes[{s}])"
+        raw = f"({raw} + get(t, {idx}).lutval)"
+        n2 = f"({n2} + get(t, {idx}).cwn2)"
     scored = paired.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
-        F.round(raw / (F.col("qnorm") * F.sqrt(n2)), 6).alias("sim"),
+        F.expr(f"ROUND({raw} / (qnorm * SQRT({n2})), 6)").alias("sim"),
     )
     return _salted_rank(scored, k, n_salt)
 
@@ -933,7 +1113,9 @@ def ivfpq_topk(
     unique by construction (each corpus vector lives in exactly ONE
     cell), so no dedup stage is needed — unlike LSH's bucket union."""
     sub_len = dim // m
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+    cents, corpus_seed = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, kmeans_iters, _return_seed_rows=True
+    )
     cvecs = cents.select("centroid_id", F.col(vec_col).alias("cvec"))
 
     # residuals, elementwise double: (double)x[d] - centroid[d]
@@ -949,8 +1131,26 @@ def ivfpq_topk(
         )
         .persist()
     )
+    # PQ seeds = the n_codes lowest-vid RESIDUAL rows. kmeans already
+    # collected the n_centroids lowest-vid corpus vectors (seed rows),
+    # and the centroid table is a driver-local relation — so when those
+    # suffice, the residual seeds are derived DRIVER-SIDE with the same
+    # IEEE folds (_ivf_assign_py) and pq_train skips its seed-collect
+    # job entirely; the Lloyd round-1 scan then materializes the resid
+    # cache instead. Any corner (too few survivors, a dropped or
+    # non-finite row) falls back to the Spark collect — bits are
+    # identical either way.
+    pq_seeds = _derive_resid_seeds(cents, corpus_seed, n_codes) if corpus_seed else None
     book, book_dict = pq_train(
-        resid, "vid", "resid", dim, m, n_codes, iters, _return_book_dict=True
+        resid,
+        "vid",
+        "resid",
+        dim,
+        m,
+        n_codes,
+        iters,
+        _return_book_dict=True,
+        _seed_pairs=pq_seeds,
     )
     codes = pq_encode_rows(
         resid, book_dict, "vid", "resid", dim, m, carry_cols=("centroid_id",)
@@ -967,7 +1167,7 @@ def ivfpq_topk(
     probe_cells = probes.join(F.broadcast(cvecs), "centroid_id").select(
         "query_id",
         "centroid_id",
-        dot_fixed(F.col("qvec"), F.col("cvec"), dim).alias("qcdot"),
+        F.expr(_dot_fixed_sql("qvec", "cvec", dim)).alias("qcdot"),
     )
     qtab = _adc_qtab(queries, book, id_col, vec_col, dim, m, n_codes)
     # per-cell precomputed table, dense like the query LUT (same hole
@@ -980,14 +1180,14 @@ def ivfpq_topk(
             "centroid_id",
             "cvec",
             (F.col("sub") * n_codes + F.col("code")).alias("i"),
-            dot_fixed(F.col("subvec"), F.col("codeword"), sub_len).alias("cdot"),
+            F.expr(_dot_fixed_sql("subvec", "codeword", sub_len)).alias("cdot"),
         )
         .groupBy("centroid_id")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("i"), F.col("cdot").alias("v")))
             ).alias("ct0"),
-            F.first(dot_fixed(F.col("cvec"), F.col("cvec"), dim)).alias("cnorm2"),
+            F.first(F.expr(_dot_fixed_sql("cvec", "cvec", dim))).alias("cnorm2"),
         )
         .select(
             "centroid_id",
@@ -1005,22 +1205,22 @@ def ivfpq_topk(
         (codes["centroid_id"] == probe_t["centroid_id"])
         & (F.col("query_id") != F.col("vid")),
     )
-    raw: Column = F.lit(0.0)
-    cd: Column = F.lit(0.0)
-    n2: Column = F.lit(0.0)
+    # the 3 m-lookup ADC chains as one parsed string (same left folds as
+    # the previous F.get loop — see _dot_fixed_sql's rationale)
+    raw = "0.0D"
+    cd = "0.0D"
+    n2 = "0.0D"
     for s in range(m):
-        i = F.lit(s * n_codes) + F.col("codes")[s]
-        e = F.get(F.col("t"), i)
-        raw = raw + e["lutval"]
-        n2 = n2 + e["cwn2"]
-        cd = cd + F.get(F.col("ct"), i)
+        i = f"({s * n_codes} + codes[{s}])"
+        raw = f"({raw} + get(t, {i}).lutval)"
+        n2 = f"({n2} + get(t, {i}).cwn2)"
+        cd = f"({cd} + get(ct, {i}))"
     scored = paired.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
-        F.round(
-            (F.col("qcdot") + raw)
-            / (F.col("qnorm") * F.sqrt(F.col("cnorm2") + F.lit(2.0) * cd + n2)),
-            6,
+        F.expr(
+            f"ROUND((qcdot + {raw})"
+            f" / (qnorm * SQRT(cnorm2 + 2.0D * {cd} + {n2})), 6)"
         ).alias("sim"),
     )
     return _salted_rank(scored, k, n_salt)

@@ -2045,14 +2045,17 @@ def embedding_neardup(spark, sf_dir):
       rather than once per PAIR (360k chains), which also shrinks the
       planned expression tree ~3x (driver-side analysis of unrolled
       chains is not free)."""
-    from flink_playground_spark.functions.similarity import dot_fixed, norm_fixed
+    from flink_playground_spark.functions.similarity import (
+        _dot_fixed_sql,
+        _norm_fixed_sql,
+    )
 
     v = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600).select(
         "vec_id", "embedding"
     )
     dim = v.select(F.size("embedding")).head()[0]  # metadata peek, one tiny job
     n_blocks = spark.sparkContext.defaultParallelism
-    vn = v.withColumn("nrm", norm_fixed(F.col("embedding"), dim))
+    vn = v.withColumn("nrm", F.expr(_norm_fixed_sql("embedding", dim)))
     a_rep = vn.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
     ).withColumn("bb", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
@@ -2067,9 +2070,7 @@ def embedding_neardup(spark, sf_dir):
         .join(F.broadcast(b_blk), "bb")
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    sim = F.round(
-        dot_fixed(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb")), 6
-    )
+    sim = F.expr(f"ROUND({_dot_fixed_sql('ea', 'eb', dim)} / (na * nb), 6)")
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= 0.4)
@@ -4180,6 +4181,68 @@ def crossdoc_passage_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return dedup_chunks_global(docs, "doc_id", "text")
+
+
+_EXACT_SUBSTRING_SQL = """
+WITH t AS (SELECT doc_id, text FROM documents),
+pos AS (
+  SELECT doc_id, i AS s, substr(text, i, 40) AS g
+  FROM t, LATERAL unnest(generate_series(1, length(text) - 40 + 1)) AS u(i)
+  WHERE length(text) >= 40),
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+  FROM pos),
+marks AS (SELECT doc_id, s, s + 40 AS e FROM ranked WHERE rn > 1),
+m2 AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM marks),
+seg AS (SELECT doc_id, s, e,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e) AS sid
+        FROM m2),
+spans AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se FROM seg GROUP BY doc_id, sid),
+kept AS (
+  SELECT doc_id, COALESCE(LAG(se) OVER (PARTITION BY doc_id ORDER BY ss), 1) AS ks,
+         ss AS ke
+  FROM spans
+  UNION ALL
+  SELECT sp.doc_id, MAX(sp.se) AS ks, ANY_VALUE(length(t.text)) + 1 AS ke
+  FROM spans sp JOIN t USING (doc_id) GROUP BY sp.doc_id),
+rebuilt AS (
+  SELECT kept.doc_id,
+         string_agg(substr(t.text, ks, ke - ks), '' ORDER BY ks) AS clean
+  FROM kept JOIN t USING (doc_id) GROUP BY kept.doc_id)
+SELECT d.doc_id, COALESCE(r.clean, d.text) AS text,
+       CAST(length(d.text) - length(COALESCE(r.clean, d.text)) AS BIGINT) AS removed_chars
+FROM t d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register_extra(
+    "exact_substring_dedup",
+    _EXACT_SUBSTRING_SQL,
+    tags=("ext-text", "ext-dedup"),
+    bench=True,
+)
+def exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup, suffix-array-family semantics (Lee et al.
+    2021): every 40+-char substring that occurred earlier in the corpus
+    — lexicographically earlier (doc_id, position), any document — is
+    excised; overlapping duplicated windows merge into maximal spans and
+    the text is rebuilt byte-exactly from the kept pieces
+    (functions/dedupe.py exact_substring_spans/_dedup). This catches
+    what the content-defined chunk machinery cannot: an offset-shifted
+    copy inside otherwise novel text never lands on CDC boundaries
+    (golden in tests/test_chunkdedup.py). One corpus-bytes shuffle
+    (per-gram first occurrence = map-side-combinable MIN struct), one
+    per-doc window pass for span merge, one JVM fold for the rewrite —
+    no Python, no second corpus exchange."""
+    from flink_playground_spark.functions.dedupe import exact_substring_dedup as _esd
+
+    docs = _t(spark, sf_dir, "documents")
+    return _esd(docs, "doc_id", "text", min_len=40)
 
 
 def _doc_centrality_py_oracle(sf_dir):

@@ -194,3 +194,52 @@ def test_merge_changes_schema_evolution_keeps_state_columns(spark, tmp_path):
     )
     got = {r.k: (r.v, r.quality) for r in st.read(spark).collect()}
     assert got == {2: ("b2", None), 3: ("c2", 0.7)}
+
+
+def test_exact_substring_dedup_offset_shifted_golden(spark):
+    """The operator's reason to exist: an offset-shifted exact copy
+    inside otherwise-novel text. CDC chunking misses it (every word in
+    the corpus is a non-boundary word by construction, so each document
+    is one chunk and no chunk repeats), exact-substring dedup excises
+    EXACTLY the copied run — nothing more — while the first occurrence
+    survives untouched. Also pins the self-repeat case (second
+    occurrence within one document removed, first kept) and the
+    short-document passthrough."""
+    from flink_playground_spark.functions.chunking import dedup_chunks_global
+    from flink_playground_spark.functions.dedupe import exact_substring_dedup
+
+    boiler = "the quick brown fox jumps over the sleepy wolf near the river bank today"
+    rep = "zebra quartz violet marble sunset harbor crystal willow thunder"
+    d2_prefix = "completely different preamble text here "  # 40 chars
+    d2_tail = " plus fresh new tail"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {boiler} omega"),
+            (2, f"{d2_prefix}{boiler}{d2_tail}"),   # offset-shifted copy
+            (3, f"{rep} filler words {rep}"),        # self-repeat
+            (4, "tiny"),                              # < min_len
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in exact_substring_dedup(docs, "doc_id", "text", min_len=40).collect()
+    }
+    # first occurrence + short doc: byte-identical passthrough
+    assert got[1] == (f"alpha {boiler} omega", 0)
+    assert got[4] == ("tiny", 0)
+    # offset-shifted copy: the excised span is the boiler PLUS its two
+    # flanking spaces — doc 1 also has spaces around its occurrence, so
+    # the duplicated run genuinely extends one char each way; the other
+    # straddling grams are novel and survive
+    assert got[2] == (d2_prefix[:-1] + d2_tail[1:], len(boiler) + 2)
+    # self-repeat: the second occurrence goes, the first stays
+    assert got[3] == (f"{rep} filler words ", len(rep))
+
+    # CDC chunk dedup does NOT catch the doc-2 copy: no word is a
+    # boundary word, so each doc is a single chunk and nothing repeats
+    cdc = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in dedup_chunks_global(docs, "doc_id", "text").collect()
+    }
+    assert boiler in cdc[2], "CDC unexpectedly caught the offset-shifted copy"

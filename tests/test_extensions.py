@@ -750,3 +750,122 @@ def test_pca_rank_deficient_scatter_emits_zero_components():
     c1, c2 = principal_components(rank1, 4, n_components=2)
     assert c1 == [1.0, 0.0, 0.0, 0.0]
     assert c2 == [0.0] * 4
+
+
+def test_ivf_assign_expr_string_parity(spark):
+    """ivf_assign's nprobe=1 argmax now parses from ONE SQL string
+    (_VNORM_SQL/_IVF_BEST_SQL) instead of ~40 py4j Column calls; this
+    pins the string against the original Column-API tree bit for bit —
+    including dirty rows (null element, null vector) whose csim must
+    stay null-filtered."""
+    from flink_playground_spark.functions.similarity import dot, ivf_assign, norm
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed = sorted(
+        emb.orderBy("vec_id").limit(16).collect(), key=lambda r: r["vec_id"]
+    )
+    cdf = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in seed],
+        "centroid_id bigint, embedding array<double>",
+    )
+    dirty = spark.createDataFrame(
+        [(100001, [None] + [0.5] * 63), (100002, [0.25] * 64), (100003, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    corpus = emb.unionByName(dirty)
+
+    # the pre-round-9 Column-API tree, verbatim
+    c = cdf.select(F.col("centroid_id"), F.col("embedding").alias("cvec"))
+    v = corpus.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"))
+    carr = c.select(
+        "centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cvec", "cnorm"))).alias(
+            "cents"
+        )
+    )
+    best = F.array_max(
+        F.filter(
+            F.transform(
+                F.col("cents"),
+                lambda cc: F.struct(
+                    (dot(F.col("vec"), cc["cvec"]) / (F.col("vnorm") * cc["cnorm"])).alias("csim"),
+                    (-cc["centroid_id"]).alias("nid"),
+                ),
+            ),
+            lambda s: s["csim"].isNotNull(),
+        )
+    )
+    old = (
+        v.crossJoin(F.broadcast(carr))
+        .withColumn("vnorm", norm(F.col("vec")))
+        .withColumn("b", best)
+        .filter(F.col("b").isNotNull())
+        .select("vid", (-F.col("b.nid")).alias("centroid_id"), F.col("b.csim").alias("csim"))
+    )
+    want = {r["vid"]: (r["centroid_id"], r["csim"]) for r in old.collect()}
+    got = {
+        r["vid"]: (r["centroid_id"], r["csim"])
+        for r in ivf_assign(corpus, cdf, "vec_id", "embedding", nprobe=1, keep_sim=True).collect()
+    }
+    assert got == want and len(got) == corpus.count() - 2  # 2 dirty rows dropped
+
+
+def test_kmeans_memo_distinct_paths_do_not_collide(spark, tmp_path):
+    """The kmeans memo is keyed by canonical plan + BACKING FILES: two
+    same-schema parquet corpora at different paths must train separate
+    centroids (same-schema scans canonicalize to the same string — the
+    collision that poisoned test_ivf_kmeans_refinement_improves_recall
+    when the key was plan-only), and an in-memory corpus must never be
+    memoized at all."""
+    from flink_playground_spark.functions import similarity as S
+
+    a_path, b_path = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    rows_a = [(i, [float(i % 7) + 1.0] * 4) for i in range(40)]
+    rows_b = [(i, [float(i % 3) + 10.0] * 4) for i in range(40)]
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame(rows_a, schema).write.mode("overwrite").parquet(a_path)
+    spark.createDataFrame(rows_b, schema).write.mode("overwrite").parquet(b_path)
+
+    da, db = spark.read.parquet(a_path), spark.read.parquet(b_path)
+    ca = {r["centroid_id"]: list(r["embedding"]) for r in S.kmeans_centroids(da, n_centroids=4, iters=1).collect()}
+    cb = {r["centroid_id"]: list(r["embedding"]) for r in S.kmeans_centroids(db, n_centroids=4, iters=1).collect()}
+    assert ca != cb, "same-schema corpora at different paths shared a memo entry"
+    # repeat call = memo hit, same values
+    ca2 = {r["centroid_id"]: list(r["embedding"]) for r in S.kmeans_centroids(da, n_centroids=4, iters=1).collect()}
+    assert ca2 == ca
+    # in-memory corpus: never memoized
+    mem = spark.createDataFrame(rows_a, schema)
+    assert S._kmeans_memo_key(mem, "vec_id", "embedding", 4, 1) is None
+
+
+def test_ivfpq_driver_seed_derivation_matches_spark_collect(spark):
+    """_derive_resid_seeds (ivfpq's job-free PQ seed path) must produce
+    the exact rows resid.orderBy(vid).limit(n_codes) would collect —
+    same vids, same residual bits."""
+    from flink_playground_spark.functions.similarity import (
+        _derive_resid_seeds,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents, seed_rows = kmeans_centroids(
+        emb, "vec_id", "embedding", 16, 2, _return_seed_rows=True
+    )
+    derived = _derive_resid_seeds(cents, seed_rows, 16)
+    assert derived is not None and len(derived) == 16
+
+    cvecs = cents.select("centroid_id", F.col("embedding").alias("cvec"))
+    resid = (
+        ivf_assign(emb, cents, "vec_id", "embedding", nprobe=1)
+        .join(F.broadcast(cvecs), "centroid_id")
+        .select(
+            "vid",
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda x, c: x.cast("double") - c).alias("resid"),
+        )
+    )
+    want = [(r["vid"], list(r["resid"])) for r in resid.orderBy("vid").limit(16).collect()]
+    assert derived == want
