@@ -331,15 +331,30 @@ def _lsh_rep_pairs(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared kernel: collapse exact classes, band REPRESENTATIVES only,
     verify candidates. Returns (members, idx, rep_pairs) where rep_pairs
-    is (id_a, id_b[, jaccard]) among representatives."""
+    is (id_a, id_b[, jaccard]) among representatives.
+
+    ``idx`` and ``rep_pairs`` are eagerly localCheckpointed, not merely
+    persisted: both fan out into several downstream branches (signatures
+    + verification + the expand/cluster/split consumers), and a persisted
+    relation still re-embeds its full logical lineage in every branch —
+    the composed pipelines (neardup_clean_pipeline, leakage_safe_split)
+    were re-analyzing the whole LSH build per branch, 66-67 exchanges in
+    the static plan (r8 audit). Checkpointing cuts each to a scan: plans
+    drop to ~1/3 of the exchanges AND the sf0.1 sweep runs ~15% faster
+    (the A/B in round 9's PERF.md entry). Storage cost matches the old
+    persist (same relations, executor-local disk); like the CC loop's
+    checkpoints (operators/graph.py), executor loss means recompute from
+    the upstream persisted/parquet inputs. ``members`` stays a plain
+    persist — corpus-sized, referenced by plans that already truncate
+    it to an InMemoryRelation, and checkpointing it measured SLOWER."""
     members = exact_dup_members(df, id_col, text_col).persist()
     rep_ids = members.filter(F.col("doc") == F.col("rep")).select(F.col("rep").alias(id_col))
     reps_df = df.join(rep_ids, id_col, "left_semi")
-    idx = shingle_index(reps_df, id_col, text_col, n).persist()
+    idx = shingle_index(reps_df, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures(reps_df, id_col, text_col, k, n, index=idx)
     cand = lsh_band_candidates(_band_signatures(sigs, bands, k // bands), max_bucket)
     rep_pairs = verify_pairs(idx, cand, threshold) if verify else cand
-    return members, idx, rep_pairs
+    return members, idx, rep_pairs.localCheckpoint(eager=True)
 
 
 def expand_rep_pairs(

@@ -466,7 +466,7 @@ def tumble_hop_events(spark, sf_dir):
     return tumble.unionAll(hop).unionAll(cml)
 
 
-@register(
+@register_extra(
     "q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
@@ -547,7 +547,7 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q3_revenue_by_order",
     """
 SELECT l.l_orderkey,
@@ -615,7 +615,7 @@ def json_props_agg(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q5_local_supplier_volume",
     """
 SELECT n.n_name AS nation,
@@ -661,7 +661,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q6_forecast_revenue",
     """
 SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
@@ -698,7 +698,7 @@ def q6_forecast_revenue(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "q18_large_volume_customer",
     """
 WITH big AS (
@@ -3756,7 +3756,7 @@ def value_drift_psi(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "retention_cohorts",
     """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -3862,7 +3862,7 @@ def event_transition_matrix(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "resample_locf_purchases",
     """
 WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
@@ -3910,7 +3910,7 @@ def resample_locf_purchases(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "sessionize_dynamic_gap",
     """
 WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
@@ -4137,7 +4137,7 @@ def bpe_token_stats(spark, sf_dir):
     return bpe_token_counts(docs, "doc_id", "text", merges)
 
 
-@register_extra(
+@register(
     "crossdoc_passage_dedup",
     """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -4629,7 +4629,7 @@ FROM events GROUP BY event_type
 """
 
 
-@register_extra("variant_json_shred", _VARIANT_SHRED_SQL, tags=("ext-json",), bench=False)
+@register("variant_json_shred", _VARIANT_SHRED_SQL, tags=("ext-json",), bench=False)
 def variant_json_shred(spark, sf_dir):
     """Semi-structured shredding on Spark 4's VARIANT type: ``parse_json``
     parses each props payload ONCE into the binary variant encoding and
