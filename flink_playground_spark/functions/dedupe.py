@@ -686,34 +686,72 @@ def exact_substring_spans(
     Distributed shape (the practical Spark rendering of the paper's
     suffix array — which is also O(corpus bytes), just single-machine):
 
-    - positions explode stride-1 off the text scan; the window GRAM
-      itself is the key, so matches are EXACT by construction — no
-      rolling-hash collision risk. (At 100 TB you'd key on
-      ``xxhash64(gram)`` and verify survivors — one cheap residual
-      equality join — to shrink the exchange by ~min_len×; the
-      semantics here are the spec for that.)
-    - ONE corpus-bytes shuffle: per-gram first occurrence is a
-      ``min(struct(doc, pos))`` aggregate — map-side combinable, unlike
-      a rank window — then a self-join on the gram marks every
-      non-first position. AQE's skew handling covers pathological grams
-      (whitespace runs).
+    - positions explode stride-1 off the text scan; final decisions key
+      on the GRAM itself, so matches are EXACT by construction — no
+      rolling-hash collision risk.
+    - hash pre-prune, then exact: the one heavy exchange moves 8-byte
+      ``xxhash64(gram)`` keys, not 40-char strings — a count per hash
+      (map-side combinable) keeps only hashes seen >1 time. A UNIQUE
+      gram can never be mis-pruned (a collision only ADDS a candidate),
+      so exactness is untouched: candidate positions (the few %% of the
+      corpus with a repeated hash) then run the exact per-gram
+      ``min(struct(doc, pos))`` + count on the RAW gram, where a
+      collision-borne candidate shows __n=1 and drops out. Locally this
+      cut the operator ~2.5x; at 100 TB it is the difference between
+      shuffling corpus-bytes×L and corpus-bytes×8/L. The candidate-hash
+      side joins back without a hint — AQE broadcasts it while it fits
+      and degrades to a hash join when duplication is rampant.
     - span merge is the classic interval union, two windows inside ONE
       per-document partition: new-segment flag = start beyond the
       running max end, segment id = running flag sum.
     """
-    t = df.select(
-        F.col(id_col).alias("__d"), F.col(text_col).alias("__t")
+    pos = _gram_positions(df, id_col, text_col, min_len)
+    cand = (
+        pos.select(F.xxhash64("__g").alias("__gh"))
+        .groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__gh")
+    )
+    pos_c = (
+        pos.withColumn("__gh", F.xxhash64("__g")).join(cand, "__gh").drop("__gh")
+    )
+    first = pos_c.groupBy("__g").agg(
+        F.min(F.struct("__d", "__p")).alias("__f"), F.count(F.lit(1)).alias("__n")
+    )
+    return _spans_against_firsts(pos_c, first, id_col, min_len)
+
+
+def _gram_positions(df: DataFrame, id_col: str, text_col: str, min_len: int) -> DataFrame:
+    """Stride-1 ``min_len``-gram positions: ``(__d, __p, __g)``, 1-based.
+    Work ∝ input rows — the streaming ledger calls this per wave.
+
+    The input is ``_spread`` so the explode+substring fan-out (the
+    operator's CPU) parallelizes even when the scan is one tiny local
+    split — a no-op at real scale (similarity.py ``_spread``)."""
+    from flink_playground_spark.functions.similarity import _spread
+
+    t = _spread(
+        df.select(F.col(id_col).alias("__d"), F.col(text_col).alias("__t")), "__d"
     ).filter(F.length("__t") >= min_len)
-    pos = t.select(
+    return t.select(
         "__d",
         F.explode(
             F.sequence(F.lit(1), F.length("__t") - F.lit(min_len) + F.lit(1))
         ).alias("__p"),
         "__t",
     ).select("__d", "__p", F.expr(f"substring(__t, __p, {int(min_len)})").alias("__g"))
-    first = pos.groupBy("__g").agg(
-        F.min(F.struct("__d", "__p")).alias("__f"), F.count(F.lit(1)).alias("__n")
-    )
+
+
+def _spans_against_firsts(
+    pos: DataFrame, first: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Merged duplicated spans of ``pos`` given a per-gram first-
+    occurrence relation ``first`` = ``(__g, __f struct(__d,__p), __n)``:
+    a position is duplicated iff its gram has ``__n > 1`` and it is not
+    the recorded first. Shared by the batch operator (firsts from the
+    same corpus) and the streaming ledger (firsts from accumulated
+    state)."""
     dup = (
         pos.join(first.filter(F.col("__n") > 1).select("__g", "__f"), "__g")
         .filter((F.col("__d") != F.col("__f.__d")) | (F.col("__p") != F.col("__f.__p")))
@@ -761,8 +799,21 @@ def exact_substring_dedup(
     single JVM fold over that array — no per-position explode, no
     Python in the rewrite path.
     """
+    return rebuild_without_spans(
+        df, exact_substring_spans(df, id_col, text_col, min_len), id_col, text_col
+    )
+
+
+def rebuild_without_spans(
+    df: DataFrame, span_rows: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Byte-exact rewrite of ``df`` with ``span_rows`` — ``(id,
+    span_start, span_end)`` merged non-overlapping spans, 1-based end-
+    exclusive — excised: one left join against the per-document span
+    list and a single JVM fold (see exact_substring_dedup). Output
+    ``(id, text, removed_chars)``."""
     spans = (
-        exact_substring_spans(df, id_col, text_col, min_len)
+        span_rows
         .groupBy(id_col)
         .agg(
             F.array_sort(

@@ -4245,6 +4245,34 @@ def exact_substring_dedup(spark, sf_dir):
     return _esd(docs, "doc_id", "text", min_len=40)
 
 
+@register_extra(
+    "streaming_substring_dedup",
+    _EXACT_SUBSTRING_SQL,
+    tags=("ext-dedup", "ext-text", "T5"),
+    bench=True,
+)
+def streaming_substring_dedup(spark, sf_dir):
+    """Ingestion-time exact-substring dedup
+    (streaming/substring_dedup.py): document waves fold their L-gram
+    first occurrences and counts into a bucketed state ledger (MIN/SUM —
+    order-free merges, so out-of-order waves land on the same ledger the
+    batch pass computes), then the corpus is rewritten against the
+    drained ledger. Oracle = the BATCH exact-substring SQL: the drained
+    stream must reproduce the batch rewrite byte for byte. Per-wave work
+    ∝ wave bytes; state IO ∝ touched buckets (never a history re-scan)."""
+    import tempfile
+
+    from flink_playground_spark.streaming.substring_dedup import (
+        StreamingSubstringLedger,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    led = StreamingSubstringLedger(tempfile.mkdtemp(prefix="fps_ssd_"))
+    for w in range(3):
+        led.ingest(docs.filter(F.col("doc_id") % 3 == w))
+    return led.rewrite(docs)
+
+
 def _doc_centrality_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import doc_centrality_ref
 

@@ -3,6 +3,8 @@ bucketed."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_playground_spark.queries import EXTRA_REGISTRY
 from flink_playground_spark.streaming.chunkdedup import streaming_chunk_dedup
 from flink_playground_spark.streaming.neardup import replay_documents_stream
@@ -243,3 +245,49 @@ def test_exact_substring_dedup_offset_shifted_golden(spark):
         for r in dedup_chunks_global(docs, "doc_id", "text").collect()
     }
     assert boiler in cdc[2], "CDC unexpectedly caught the offset-shifted copy"
+
+def test_streaming_substring_ledger_out_of_order_waves_equal_batch(spark, sf_dir, tmp_path):
+    """The gram ledger's MIN/SUM merges are order-free: ingesting waves
+    that interleave doc_ids (w = doc_id % 3 delivers doc 3 before doc 1's
+    wave finishes the corpus) must land on exactly the batch firsts, and
+    the post-drain rewrite must equal the batch operator byte for byte —
+    including removed_chars."""
+    from flink_playground_spark.functions.dedupe import exact_substring_dedup
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    led = StreamingSubstringLedger(str(tmp_path / "led"), min_len=30)
+    # deliberately NOT in doc_id order
+    for w in (2, 0, 1):
+        led.ingest(docs.filter(F.col("doc_id") % 3 == w))
+    got = {r["doc_id"]: (r["text"], r["removed_chars"]) for r in led.rewrite(docs).collect()}
+    want = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in exact_substring_dedup(docs, "doc_id", "text", min_len=30).collect()
+    }
+    assert got == want and any(v[1] > 0 for v in want.values())
+
+
+def test_streaming_substring_ledger_reattach_and_pre_ingest(spark, sf_dir, tmp_path):
+    """A second ledger instance on the same path resumes the on-disk
+    state (restart story), and a fresh ledger's rewrite is the identity
+    (nothing ingested -> nothing duplicated)."""
+    from flink_playground_spark.functions.dedupe import exact_substring_dedup
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    fresh = StreamingSubstringLedger(str(tmp_path / "fresh"), min_len=30)
+    ident = {r["doc_id"]: (r["text"], r["removed_chars"]) for r in fresh.rewrite(docs).collect()}
+    orig = {r["doc_id"]: (r["text"], 0) for r in docs.collect()}
+    assert ident == orig
+
+    a = StreamingSubstringLedger(str(tmp_path / "led"), min_len=30)
+    a.ingest(docs.filter(F.col("doc_id") % 2 == 0))
+    b = StreamingSubstringLedger(str(tmp_path / "led"), min_len=30)  # reattach
+    b.ingest(docs.filter(F.col("doc_id") % 2 == 1))
+    got = {r["doc_id"]: (r["text"], r["removed_chars"]) for r in b.rewrite(docs).collect()}
+    want = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in exact_substring_dedup(docs, "doc_id", "text", min_len=30).collect()
+    }
+    assert got == want

@@ -63,6 +63,9 @@ PROBES = [
     "ann_ivfpq_topk",
     "semantic_clusters",
     "leakage_safe_split",
+    # round 9: exact-substring dedup — corpus-bytes gram shuffle + span
+    # merge + rewrite must track corpus size, not pair count
+    "exact_substring_dedup",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
