@@ -4249,7 +4249,12 @@ def exact_substring_dedup(spark, sf_dir):
     "streaming_substring_dedup",
     _EXACT_SUBSTRING_SQL,
     tags=("ext-dedup", "ext-text", "T5"),
-    bench=True,
+    # bench=False: this query is the stream==batch parity GATE — its
+    # wall-time is three full ledger-state parquet rewrites of the same
+    # corpus (exactly-once merge IO, ~14s at sf0.1), not query compute;
+    # the batch operator right above is the benched serving shape, and
+    # the ledger's per-wave cost is profiled in PERF.md round 9.
+    bench=False,
 )
 def streaming_substring_dedup(spark, sf_dir):
     """Ingestion-time exact-substring dedup

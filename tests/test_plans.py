@@ -11,6 +11,16 @@ from flink_playground_spark.operators.dedup import dedup_latest
 from flink_playground_spark.operators.temporal import as_of_join
 from flink_playground_spark.plans.spec import QuerySpec, compile_plan, explain_str
 from flink_playground_spark.queries import REGISTRY
+
+
+def _q(name):
+    """Query lookup across both registries — driver-gate rotation moves
+    entries between them (r9 moved the long-green TPC-H rows to extras)
+    without changing what these plan assertions pin."""
+    from flink_playground_spark.queries import EXTRA_REGISTRY
+
+    return {**REGISTRY, **EXTRA_REGISTRY}[name]
+
 from flink_playground_spark.sources.tables import load_table
 
 FLAGSHIP_SPEC = QuerySpec(
@@ -51,7 +61,7 @@ def test_query_spec_roundtrip_executes(spark, sf_dir):
 
 
 def test_compile_plan_snapshot(spark, sf_dir):
-    df = REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir)
+    df = _q("q1_pricing_summary").spark_fn(spark, sf_dir)
     snap = compile_plan(df)
     assert snap["schema"]["type"] == "struct"
     assert "HashAggregate" in snap["physical"]
@@ -103,7 +113,7 @@ def test_q1_two_level_exact_integer_aggregation(spark, sf_dir):
     codegen), collapse map-side to one row per (partition, group), and
     leave decimal math to the tiny partials stage — two hash exchanges,
     both carrying only partial rows, never lineitem."""
-    df = REGISTRY["q1_pricing_summary"].spark_fn(spark, sf_dir)
+    df = _q("q1_pricing_summary").spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 2
@@ -116,7 +126,7 @@ def test_q1_two_level_exact_integer_aggregation(spark, sf_dir):
 def test_q5_fact_never_shuffles_for_joins(spark, sf_dir):
     """Six-way join: every dim side broadcasts; the only hash shuffle is
     the final aggregation — the fact table streams through the joins."""
-    df = REGISTRY["q5_local_supplier_volume"].spark_fn(spark, sf_dir)
+    df = _q("q5_local_supplier_volume").spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
@@ -127,7 +137,7 @@ def test_q18_big_tables_never_shuffle_for_joins(spark, sf_dir):
     """Q18 shape: lineitem shuffles ONCE (the per-order agg); the
     qualifying-order set broadcasts to orders and customer, and the
     top-100 runs as TakeOrderedAndProject, not a full sort."""
-    df = REGISTRY["q18_large_volume_customer"].spark_fn(spark, sf_dir)
+    df = _q("q18_large_volume_customer").spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
