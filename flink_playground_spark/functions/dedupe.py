@@ -342,9 +342,13 @@ def _lsh_rep_pairs(
     the static plan (r8 audit). Checkpointing cuts each to a scan: plans
     drop to ~1/3 of the exchanges AND the sf0.1 sweep runs ~15% faster
     (the A/B in round 9's PERF.md entry). Storage cost matches the old
-    persist (same relations, executor-local disk); like the CC loop's
-    checkpoints (operators/graph.py), executor loss means recompute from
-    the upstream persisted/parquet inputs. ``members`` stays a plain
+    persist (same relations, executor-local disk). Fault-tolerance
+    tradeoff vs the old persist: localCheckpoint TRUNCATES lineage, so
+    losing an executor that held checkpoint blocks fails the query and
+    the whole build must re-run from the parquet inputs (same policy as
+    the CC loop's checkpoints in operators/graph.py); on a real cluster
+    where executor churn matters, swap for reliable checkpoint() to an
+    HDFS/object-store dir. ``members`` stays a plain
     persist — corpus-sized, referenced by plans that already truncate
     it to an InMemoryRelation, and checkpointing it measured SLOWER."""
     members = exact_dup_members(df, id_col, text_col).persist()
@@ -670,7 +674,7 @@ def contamination_overlap(
 
 
 def exact_substring_spans(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 40
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 40, _hash=None
 ) -> DataFrame:
     """Duplicated-substring spans, suffix-array-family semantics (Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models
@@ -705,16 +709,21 @@ def exact_substring_spans(
       per-document partition: new-segment flag = start beyond the
       running max end, segment id = running flag sum.
     """
+    # _hash is injectable ONLY for the planted-collision test (lit(0)
+    # collides every gram into one hash): the output must be unchanged,
+    # which pins the exactness argument above — the prune can only ever
+    # widen the candidate set, never change the answer
+    h = _hash if _hash is not None else F.xxhash64
     pos = _gram_positions(df, id_col, text_col, min_len)
     cand = (
-        pos.select(F.xxhash64("__g").alias("__gh"))
+        pos.select(h("__g").alias("__gh"))
         .groupBy("__gh")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") > 1)
         .select("__gh")
     )
     pos_c = (
-        pos.withColumn("__gh", F.xxhash64("__g")).join(cand, "__gh").drop("__gh")
+        pos.withColumn("__gh", h("__g")).join(cand, "__gh").drop("__gh")
     )
     first = pos_c.groupBy("__g").agg(
         F.min(F.struct("__d", "__p")).alias("__f"), F.count(F.lit(1)).alias("__n")
@@ -780,7 +789,7 @@ def _spans_against_firsts(
 def exact_substring_dedup(
     df: DataFrame, id_col: str, text_col: str, min_len: int = 40
 ) -> DataFrame:
-    """Byte-exact corpus rewrite with every duplicated ``min_len``+
+    """Character-exact corpus rewrite with every duplicated ``min_len``+
     substring removed except its first occurrence (see
     ``exact_substring_spans``): the one standard training-data dedup
     family the catalog lacked — CDC chunk/passage dedup
@@ -791,8 +800,11 @@ def exact_substring_dedup(
 
     Output ``(id, text, removed_chars)`` — text with the merged spans
     excised (the kept pieces concatenate in order), removed_chars the
-    byte count cut. Documents with no duplicated span (including those
-    shorter than ``min_len``) pass through byte-identical.
+    CHARACTER count cut (Spark ``length``/``substring`` are
+    character-based, so for multibyte text spans and counts are
+    character offsets — matching the DuckDB oracle, not octets).
+    Documents with no duplicated span (including those shorter than
+    ``min_len``) pass through character-identical.
 
     The rebuild is ONE left join of the corpus against its per-document
     span list (collect_list of a bounded-by-doc-length set) and a
@@ -807,11 +819,11 @@ def exact_substring_dedup(
 def rebuild_without_spans(
     df: DataFrame, span_rows: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Byte-exact rewrite of ``df`` with ``span_rows`` — ``(id,
+    """Character-exact rewrite of ``df`` with ``span_rows`` — ``(id,
     span_start, span_end)`` merged non-overlapping spans, 1-based end-
-    exclusive — excised: one left join against the per-document span
-    list and a single JVM fold (see exact_substring_dedup). Output
-    ``(id, text, removed_chars)``."""
+    exclusive CHARACTER offsets — excised: one left join against the
+    per-document span list and a single JVM fold (see
+    exact_substring_dedup). Output ``(id, text, removed_chars)``."""
     spans = (
         span_rows
         .groupBy(id_col)

@@ -305,8 +305,12 @@ def kmeans_centroids(
     (ivfpq_topk) reuse to derive downstream seeds WITHOUT another
     corpus collect; they ride the memo too."""
     memo_key = _kmeans_memo_key(corpus, id_col, vec_col, n_centroids, iters)
-    if memo_key is not None and memo_key in _KMEANS_MEMO:
-        id_type, rows, seed_pairs = _KMEANS_MEMO[memo_key]
+    # single atomic .get(): concurrent builds share this dict, and the
+    # eviction loop below may pop the key between a membership check and
+    # a separate read — read once and branch on None instead
+    memo_hit = _KMEANS_MEMO.get(memo_key) if memo_key is not None else None
+    if memo_hit is not None:
+        id_type, rows, seed_pairs = memo_hit
         cdf = corpus.sparkSession.createDataFrame(
             rows, f"centroid_id {id_type}, {vec_col} array<double>"
         )
@@ -339,34 +343,38 @@ def kmeans_centroids(
     # not clobber each other's assignment view between
     # createOrReplaceTempView and sql(); dropped after the loop
     view = f"__kmeans_assign_{next(_KMEANS_VIEW_SEQ)}"
-    for _ in range(iters):
-        cdf = proj.sparkSession.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(cents.items())],
-            f"centroid_id {id_type}, {vec_col} array<double>",
-        )
-        assign = ivf_assign(proj, cdf, id_col, vec_col, nprobe=1)
-        # division stays in Spark (decimal→double cast, then /n) so the
-        # collected doubles are the exact bits the exploded shape
-        # produced; the Python reference is unchanged. The round's agg
-        # is ONE sql() string, not 2×dim Column objects — building
-        # hundreds of per-dim Columns through the Python API costs
-        # ~2s of driver round-trips per round per run, re-paid on
-        # every execution (it is plan construction, not codegen, so
-        # no cache ever absorbs it).
-        assign.createOrReplaceTempView(view)
-        sums = ", ".join(
-            f"sum(cast(cast(vec[{d}] as double) as decimal(30,12))) as s{d}"
-            for d in range(dim)
-        )
-        means = ", ".join(f"cast(s{d} as double) / n" for d in range(dim))
-        rows = proj.sparkSession.sql(
-            f"select centroid_id, array({means}) as m from ("
-            f"  select centroid_id, count(1) as n, {sums}"
-            f"  from {view} group by centroid_id)"
-        ).collect()
-        cents = {r["centroid_id"]: list(r["m"]) for r in rows}
-    proj.sparkSession.catalog.dropTempView(view)
-    proj.unpersist()
+    try:
+        for _ in range(iters):
+            cdf = proj.sparkSession.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(cents.items())],
+                f"centroid_id {id_type}, {vec_col} array<double>",
+            )
+            assign = ivf_assign(proj, cdf, id_col, vec_col, nprobe=1)
+            # division stays in Spark (decimal→double cast, then /n) so
+            # the collected doubles are the exact bits the exploded
+            # shape produced; the Python reference is unchanged. The
+            # round's agg is ONE sql() string, not 2×dim Column
+            # objects — building hundreds of per-dim Columns through
+            # the Python API costs ~2s of driver round-trips per round
+            # per run, re-paid on every execution (it is plan
+            # construction, not codegen, so no cache ever absorbs it).
+            assign.createOrReplaceTempView(view)
+            sums = ", ".join(
+                f"sum(cast(cast(vec[{d}] as double) as decimal(30,12))) as s{d}"
+                for d in range(dim)
+            )
+            means = ", ".join(f"cast(s{d} as double) / n" for d in range(dim))
+            rows = proj.sparkSession.sql(
+                f"select centroid_id, array({means}) as m from ("
+                f"  select centroid_id, count(1) as n, {sums}"
+                f"  from {view} group by centroid_id)"
+            ).collect()
+            cents = {r["centroid_id"]: list(r["m"]) for r in rows}
+    finally:
+        # always release the session-scoped view and the persisted
+        # projection, even when a Lloyd round throws mid-loop
+        proj.sparkSession.catalog.dropTempView(view)
+        proj.unpersist()
     out_rows = [(cid, vec) for cid, vec in sorted(cents.items())]
     if memo_key is not None:
         while len(_KMEANS_MEMO) >= _KMEANS_MEMO_CAP:

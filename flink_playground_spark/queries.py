@@ -4249,22 +4249,25 @@ def exact_substring_dedup(spark, sf_dir):
     "streaming_substring_dedup",
     _EXACT_SUBSTRING_SQL,
     tags=("ext-dedup", "ext-text", "T5"),
-    # bench=False: this query is the stream==batch parity GATE — its
-    # wall-time is three full ledger-state parquet rewrites of the same
-    # corpus (exactly-once merge IO, ~14s at sf0.1), not query compute;
-    # the batch operator right above is the benched serving shape, and
-    # the ledger's per-wave cost is profiled in PERF.md round 9.
+    # bench=False: this query is the stream==batch parity GATE — the
+    # batch operator right above is the benched serving shape; the
+    # ledger's per-wave cost profile lives in PERF.md (round 10: ingest
+    # is append-only, so per-wave write IO ∝ wave grams).
     bench=False,
 )
 def streaming_substring_dedup(spark, sf_dir):
     """Ingestion-time exact-substring dedup
     (streaming/substring_dedup.py): document waves fold their L-gram
-    first occurrences and counts into a bucketed state ledger (MIN/SUM —
-    order-free merges, so out-of-order waves land on the same ledger the
-    batch pass computes), then the corpus is rewritten against the
-    drained ledger. Oracle = the BATCH exact-substring SQL: the drained
-    stream must reproduce the batch rewrite byte for byte. Per-wave work
-    ∝ wave bytes; state IO ∝ touched buckets (never a history re-scan)."""
+    HASH stats (xxhash64 keys, ≤ ~24 B per distinct gram) into an
+    append-only delta ledger (MIN/SUM — order-free merges, so
+    out-of-order waves land on the same stats the batch pass computes;
+    per-wave write IO ∝ wave grams, prior state never rewritten), then
+    the corpus is rewritten against the drained ledger: hash counts
+    prune to candidate positions, and a residual RAW-gram phase settles
+    firsts exactly (collisions only widen the candidate set — pinned by
+    a planted-total-collision test). Oracle = the BATCH exact-substring
+    SQL: the drained stream must reproduce the batch rewrite
+    character for character."""
     import tempfile
 
     from flink_playground_spark.streaming.substring_dedup import (

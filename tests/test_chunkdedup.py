@@ -291,3 +291,130 @@ def test_streaming_substring_ledger_reattach_and_pre_ingest(spark, sf_dir, tmp_p
         for r in exact_substring_dedup(docs, "doc_id", "text", min_len=30).collect()
     }
     assert got == want
+
+
+def _state_files(root):
+    """{relpath: (size, mtime_ns)} snapshot of every file under root."""
+    import os
+
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            rel = os.path.relpath(p, root)
+            st = os.stat(p)
+            out[rel] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_substring_ledger_per_wave_write_io_tracks_wave(spark, sf_dir, tmp_path):
+    """The round-10 contract: ingest is APPEND-ONLY — a wave writes new
+    delta files proportional to ITS OWN grams and never rewrites prior
+    state (the round-9 design rewrote the whole accumulated ledger each
+    wave). Measured on files, not wall-clock: after a big first wave, a
+    one-doc wave must (a) leave every pre-existing state file untouched
+    byte-for-byte and (b) write an order of magnitude fewer bytes than
+    the big wave did."""
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    led = StreamingSubstringLedger(str(tmp_path / "led"), min_len=30)
+    led.ingest(docs.filter(F.col("doc_id") % 2 == 0))  # big wave
+    before = _state_files(str(tmp_path / "led"))
+    big_bytes = sum(s for s, _ in before.values())
+
+    tiny = docs.filter(F.col("doc_id") == 1).limit(1)
+    led.ingest(tiny)
+    after = _state_files(str(tmp_path / "led"))
+    # (a) append-only: every pre-existing data file survives unmodified
+    # (the manifest json is the one expected rewrite)
+    changed = [
+        p for p in before
+        if p in after and after[p] != before[p] and not p.endswith((".json", ".lock"))
+    ]
+    removed = [p for p in before if p not in after and not p.endswith((".json", ".tmp", ".lock", ".crc"))]
+    assert changed == [] and removed == [], (changed, removed)
+    # (b) the tiny wave's new bytes ∝ its grams, not total state
+    new_bytes = sum(
+        s for p, (s, _) in after.items() if p not in before and not p.endswith(".json")
+    )
+    assert 0 < new_bytes < big_bytes / 5, (new_bytes, big_bytes)
+
+
+def test_substring_ledger_compaction_and_replay_skip(spark, tmp_path):
+    """Auto-compaction folds the live deltas back to one dir without
+    changing the folded ledger, and a redelivered (writer, batch) wave
+    is skipped (exactly-once under foreachBatch's at-least-once)."""
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    base = "abcdefghij klmnopqrst uvwxyz0123 4567890abc defghijklm "
+    docs = spark.createDataFrame(
+        [(i, base * 2 + f"tail{i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    led = StreamingSubstringLedger(str(tmp_path / "led"), min_len=30, compact_every=3)
+    assert led.ingest(docs.filter("doc_id < 2"), writer_id="w", batch_id=0)
+    assert led.ingest(docs.filter("doc_id in (2,3)"), writer_id="w", batch_id=1)
+    # replay of batch 1: skipped, ledger unchanged
+    assert not led.ingest(docs.filter("doc_id in (2,3)"), writer_id="w", batch_id=1)
+    snap = {tuple(r) for r in led.firsts(spark).collect()}
+    # third append crosses compact_every=3 -> auto-compaction to 1 delta
+    assert led.ingest(docs.filter("doc_id >= 4"), writer_id="w", batch_id=2)
+    assert led.state._manifest()["deltas"] == [led.state._manifest()["seq"]]
+    # compaction preserved batches 0-1 contributions exactly: re-fold of
+    # the compacted ledger minus wave-2 docs is impossible to read back
+    # directly, so assert instead on the FULL ledger equalling a fresh
+    # one-shot ingest of all six docs
+    fresh = StreamingSubstringLedger(str(tmp_path / "fresh"), min_len=30)
+    fresh.ingest(docs)
+    assert {tuple(r) for r in led.firsts(spark).collect()} == {
+        tuple(r) for r in fresh.firsts(spark).collect()
+    }
+    assert len(snap) > 0
+
+
+def test_substring_planted_total_collision_still_exact(spark):
+    """The collision-safety argument, pinned executable: with the hash
+    forced to lit(0) EVERY gram collides into one hash — the prune
+    admits everything and the residual raw-gram phase must still produce
+    exactly the default answer, for both the batch operator and the
+    streaming ledger (a unique gram that rode in on a collision shows
+    count 1 in the exact phase and is dropped)."""
+    import tempfile
+
+    from flink_playground_spark.functions.dedupe import (
+        exact_substring_dedup,
+        exact_substring_spans,
+        rebuild_without_spans,
+    )
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    boiler = "the quick brown fox jumps over the sleepy wolf near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {boiler} omega"),
+            (2, f"completely different preamble text here {boiler} plus fresh new tail"),
+            (3, "a wholly unique document with no repeats anywhere in it at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    want = {
+        tuple(r) for r in exact_substring_dedup(docs, "doc_id", "text", min_len=40).collect()
+    }
+    collide = lambda c: F.lit(0).cast("long")  # noqa: E731
+    got_batch = {
+        tuple(r)
+        for r in rebuild_without_spans(
+            docs,
+            exact_substring_spans(docs, "doc_id", "text", min_len=40, _hash=collide),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert got_batch == want
+    led = StreamingSubstringLedger(
+        tempfile.mkdtemp(prefix="fps_coll_"), min_len=40, _hash=collide
+    )
+    for w in (1, 0):
+        led.ingest(docs.filter(F.col("doc_id") % 2 == w))
+    got_stream = {tuple(r) for r in led.rewrite(docs).collect()}
+    assert got_stream == want
