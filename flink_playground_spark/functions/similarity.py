@@ -392,6 +392,9 @@ def kmeans_centroids(
 # build parameters; values are plain driver-side rows.
 _KMEANS_MEMO: dict = {}
 _KMEANS_MEMO_CAP = 8
+# sibling memo for pq_train books (same key discipline + cap; values
+# are {(sub, code): codeword} dicts)
+_PQ_TRAIN_MEMO: dict = {}
 
 
 def _derive_resid_seeds(cents: DataFrame, corpus_seed: list, n_codes: int):
@@ -610,6 +613,23 @@ def pq_train(
     divide in double — the same discipline as ``kmeans_centroids``.
     """
     sub_len = dim // m
+    # MEMOIZED like kmeans_centroids (same rationale: the build is
+    # deterministic — lowest-id seeds, order-free decimal means — so a
+    # file-backed corpus plus identical parameters always yields the
+    # same book; an index catalog entry keyed by table snapshot). The
+    # streaming PQ index trains the same wave-0 book on every
+    # construction; without the memo each re-pays the seed collect and
+    # every Lloyd round. Keyed by canonical plan + inputFiles + params;
+    # in-memory corpora are never memoized (_kmeans_memo_key).
+    memo_key = _kmeans_memo_key(corpus, id_col, vec_col, k, iters)
+    memo_key = (memo_key, int(dim), int(m)) if memo_key is not None else None
+    memo_hit = _PQ_TRAIN_MEMO.get(memo_key) if memo_key is not None else None
+    if memo_hit is not None:
+        bdf = corpus.sparkSession.createDataFrame(
+            [(s, c, cw) for (s, c), cw in sorted(memo_hit.items())],
+            "sub int, code int, codeword array<double>",
+        )
+        return (bdf, dict(memo_hit)) if _return_book_dict else bdf
     # persisted for the Lloyd loop: every round re-scans the subvector
     # table; the final book is eagerly checkpointed, so unpersist after
     # the loop is safe. A caller that already holds a persisted
@@ -678,6 +698,10 @@ def pq_train(
         book = {(r["sub"], r["code"]): list(r["codeword"]) for r in rows}
     if own_subs:
         subs.unpersist()
+    if memo_key is not None:
+        while len(_PQ_TRAIN_MEMO) >= _KMEANS_MEMO_CAP:
+            _PQ_TRAIN_MEMO.pop(next(iter(_PQ_TRAIN_MEMO)))
+        _PQ_TRAIN_MEMO[memo_key] = dict(book)
     bdf = corpus.sparkSession.createDataFrame(
         [(s, c, cw) for (s, c), cw in sorted(book.items())],
         "sub int, code int, codeword array<double>",

@@ -99,8 +99,12 @@ class StreamingPQIndex:
         import os
 
         if self._wave is None:
+            # reattach: count metric rows without a Spark job (the log
+            # is one tiny file per wave, arrow-readable)
+            import pyarrow.dataset as ds
+
             self._wave = (
-                spark.read.parquet(self.metrics_path).count()
+                ds.dataset(self.metrics_path, format="parquet").count_rows()
                 if os.path.isdir(self.metrics_path)
                 else 0
             )
@@ -132,13 +136,58 @@ class StreamingPQIndex:
             batch, book, self.id_col, self.vec_col, self.dim, self.m, keep_err=True
         )
 
-    def _record(self, encoded: DataFrame, phase: str, wave: int) -> None:
-        m = encoded.agg(
-            F.count("*").alias("n"), F.avg("err").alias("mean_err")
-        ).select(
-            F.lit(wave).alias("wave"), F.lit(phase).alias("phase"), "n", "mean_err"
+    def _write_metric(
+        self, wave: int, phase: str, n: int, mean_err: float | None
+    ) -> None:
+        """Append one drift-log row DRIVER-SIDE (pyarrow, no Spark job —
+        the row is literally four scalars; Spark still reads the dir).
+        Schema matches the former DataFrame write: wave int32 (lit(int)),
+        phase string, n int64 (count), mean_err float64."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        os.makedirs(self.metrics_path, exist_ok=True)
+        papq.write_table(
+            pa.table(
+                {
+                    "wave": pa.array([wave], pa.int32()),
+                    "phase": pa.array([phase], pa.string()),
+                    "n": pa.array([n], pa.int64()),
+                    "mean_err": pa.array([mean_err], pa.float64()),
+                }
+            ),
+            f"{self.metrics_path}/wave-{wave:06d}-{phase}.parquet",
         )
-        m.coalesce(1).write.mode("append").parquet(self.metrics_path)
+
+    def _fold_wave(self, spark: SparkSession, encoded: DataFrame, phase: str) -> None:
+        """Fold one checkpointed encode pass into state + drift log with
+        the minimum job count: ONE collect of per-bucket (count, Σerr)
+        yields the wave metrics AND the touched buckets (so the merge
+        skips its discovery job), the metric row lands driver-side, and
+        the state merge is fold-only (the PQ index never diffs state) —
+        three Spark jobs per wave total, encode included."""
+        import time
+
+        rows = sorted(
+            encoded.groupBy(self.codes._bucket().alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("err").alias("s"))
+            .collect(),
+            key=lambda r: r["b"],
+        )
+        n = int(sum(r["n"] for r in rows))
+        mean = (sum(float(r["s"]) for r in rows) / n) if n else None
+        self._write_metric(self._next_wave(spark), phase, n, mean)
+        stamped = encoded.drop("err").withColumn(
+            "__seq", F.lit(int(time.time() * 1e6))
+        )
+        self.codes.merge_keep_latest(
+            stamped,
+            "__seq",
+            return_contents=False,
+            _touched=[int(r["b"]) for r in rows],
+        )
 
     def ingest(self, batch: DataFrame) -> None:
         """Encode a vector wave against the frozen codebooks and upsert
@@ -152,18 +201,14 @@ class StreamingPQIndex:
                 self.n_codes, self.iters, _return_book_dict=True,
             )
             self._set_book(spark, bdf, bdict)
+        # LAZY checkpoint: _fold_wave's stats collect is the action that
+        # both executes the encode pass and materializes the checkpoint
+        # blocks, so the wave costs no separate materialization job; the
+        # state merge then reads the checkpointed rows, never re-encoding
         encoded = self._encode_wave(batch, self._book(spark)).localCheckpoint(
-            eager=True
-        )  # one encode pass feeds state AND metrics
-        self._record(encoded, "train" if first else "ingest", self._next_wave(spark))
-        import time
-
-        stamped = encoded.drop("err").withColumn(
-            "__seq", F.lit(int(time.time() * 1e6))
+            eager=False
         )
-        # fold-only: the PQ index never diffs its state, so skip the
-        # changelog read-back job merge_keep_latest does by default
-        self.codes.merge_keep_latest(stamped, "__seq", return_contents=False)
+        self._fold_wave(spark, encoded, "train" if first else "ingest")
 
     def drift_report(self, spark: SparkSession) -> DataFrame:
         """(wave, phase, n, mean_err, baseline, ratio) — baseline is the
@@ -218,15 +263,9 @@ class StreamingPQIndex:
         )
         self._set_book(spark, bdf, bdict)
         encoded = self._encode_wave(corpus, self._book(spark)).localCheckpoint(
-            eager=True
-        )
-        self._record(encoded, "retrain", self._next_wave(spark))
-        import time
-
-        stamped = encoded.drop("err").withColumn(
-            "__seq", F.lit(int(time.time() * 1e6))
-        )
-        self.codes.merge_keep_latest(stamped, "__seq", return_contents=False)
+            eager=False
+        )  # lazy: materialized by _fold_wave's stats collect (see ingest)
+        self._fold_wave(spark, encoded, "retrain")
 
     def query(self, spark: SparkSession, queries: DataFrame, k: int = 5) -> DataFrame:
         """Approximate top-k neighbors of each query vector from the

@@ -80,6 +80,7 @@ class BucketedKeyState:
         order_col: str,
         tiebreakers: Sequence[str] = (),
         return_contents: bool = True,
+        _touched: Sequence[int] | None = None,
     ) -> tuple[DataFrame, DataFrame] | None:
         """Fold a micro-batch into the state; returns
         ``(old_touched, new_touched)`` — the before/after contents of the
@@ -90,10 +91,18 @@ class BucketedKeyState:
         (one eager read-back job per merge) and returns None — for
         callers that only fold state and never diff it (e.g. the
         streaming PQ index, whose per-wave job count is its latency).
+        ``_touched`` skips the bucket-discovery job when the caller
+        already knows the batch's buckets (it must be a SUPERSET of the
+        true touched set — a superset only widens the read-back, never
+        loses state).
         """
         spark = batch.sparkSession
         tagged = batch.withColumn(BUCKET_COL, self._bucket())
-        touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+        touched = (
+            list(_touched)
+            if _touched is not None
+            else [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+        )
         if self._has_state:
             # localCheckpoint (eager) breaks lineage: the merge below must
             # not lazily re-read the very files the dynamic overwrite is

@@ -507,9 +507,10 @@ def test_iterative_trainers_scan_cached_input_per_round(spark, sf_dir, monkeypat
         "ivf_assign",
         lambda df, cents, *a, **kw: (kmeans_inputs.append(cached(df)), orig_assign(df, cents, *a, **kw))[1],
     )
-    # the r9 memo would satisfy a repeat build without any Lloyd round —
-    # clear it so this test observes the actual per-round scans
+    # the r9/r10 memos would satisfy a repeat build without any Lloyd
+    # round — clear them so this test observes the actual per-round scans
     sim._KMEANS_MEMO.clear()
+    sim._PQ_TRAIN_MEMO.clear()
     sim.kmeans_centroids(emb, iters=2)
     assert kmeans_inputs == [True, True]
 
