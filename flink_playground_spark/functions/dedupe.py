@@ -124,6 +124,21 @@ def prefix_filter_candidates(idx: DataFrame, threshold: float) -> DataFrame:
     (no hot-shingle candidate blowup), yet the guarantee is exact rather
     than heuristic. A size filter (min >= t*max, from
     |inter| <= min(n_a,n_b) and |union| >= max(n_a,n_b)) prunes further.
+
+    PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2), round 10 —
+    candidate volume was tracking shingle co-occurrence, not true-pair
+    density (SCALE_PROOF 0.67 at the 10x step). Each prefix entry
+    carries its rank ``rk`` in the doc's sorted shingle order; a match
+    at ranks (i, j) bounds the pair's overlap by
+    ``1 + min(n_a - i, n_b - j)`` (every other common shingle sorts
+    AFTER the matched one in BOTH docs — the order is global), while
+    Jaccard >= t forces overlap >= t/(1+t)·(n_a+n_b). Rows violating
+    the bound are pruned BEFORE the pair ever materializes. Exactness:
+    the pair's FIRST common shingle in global order achieves rank
+    minima in both docs simultaneously and sits in both prefixes (the
+    prefix theorem), and at that row the bound >= true overlap — so
+    every true pair still survives on at least one row; extra survivors
+    only cost verification, never recall.
     """
     from pyspark.sql import Window
 
@@ -133,7 +148,7 @@ def prefix_filter_candidates(idx: DataFrame, threshold: float) -> DataFrame:
         idx.join(dfreq, "shingle")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + F.lit(1))
-        .select("doc", "n_sh", "shingle")
+        .select("doc", "n_sh", "shingle", "rk")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # -1e-9: don't let float rounding of t*max prune a boundary-exact pair
@@ -145,6 +160,15 @@ def prefix_filter_candidates(idx: DataFrame, threshold: float) -> DataFrame:
             & (
                 F.least("a.n_sh", "b.n_sh")
                 >= threshold * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk")
+                )
+                >= (threshold / (1.0 + threshold))
+                * (F.col("a.n_sh") + F.col("b.n_sh"))
+                - F.lit(1e-9)
             ),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
