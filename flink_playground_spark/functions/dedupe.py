@@ -517,22 +517,34 @@ def minhash_dup_clusters(
     members, idx, rep_pairs = _lsh_rep_pairs(
         df, id_col, text_col, k, bands, n, threshold, True, max_bucket
     )
+    from pyspark.sql import Window
+
     have_sh = idx.select(F.col("doc").alias("rep")).distinct()
     mem_ok = members.join(have_sh, "rep", "left_semi")
     comp = connected_components(rep_pairs, "id_a", "id_b", max_iter=max_iter).select(
         F.col("node").alias("rep"), F.col("comp")
     )
-    csz = mem_ok.groupBy("rep").agg(F.count(F.lit(1)).alias("__csz"))
-    # a doc participates iff its class has >=2 members (within-class
-    # pairs at Jaccard 1.0) or its rep near-dups another class
+    # per-class and per-cluster counts as WINDOWS, not groupBy+self-join:
+    # each self-join re-embedded the full members lineage (persisted, but
+    # persist does not truncate the analyzed plan) in another branch —
+    # the r9 plan carried members' fingerprint exchange 8 times (19
+    # exchanges total). Single-referencing mem_ok/expanded keeps one
+    # lineage per relation; a count-over-partition is one exchange+sort
+    # with the same skew bound the groupBy had (class/cluster size).
+    # A doc participates iff its class has >=2 members (within-class
+    # pairs at Jaccard 1.0) or its rep near-dups another class.
     expanded = (
-        mem_ok.join(csz, "rep")
+        mem_ok.withColumn(
+            "__csz", F.count(F.lit(1)).over(Window.partitionBy("rep"))
+        )
         .join(comp, "rep", "left")
         .filter((F.col("__csz") > 1) | F.col("comp").isNotNull())
         .select("doc", F.coalesce("comp", F.col("rep")).alias("cluster_id"))
     )
-    sizes = expanded.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return expanded.join(sizes, "cluster_id").select(
+    return expanded.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+    ).select(
         F.col("doc").alias("doc_id"),
         "cluster_id",
         "cluster_size",
