@@ -600,19 +600,23 @@ def simhash_chunks(fp: DataFrame) -> DataFrame:
     ).select("doc", "c.band", "c.bucket", "sh")
 
 
-def _simhash_rep_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int,
-    max_bucket: int | None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared kernel: collapse exact classes, band REPRESENTATIVES only,
-    verify exact Hamming. Returns (members, fp, rep_pairs)."""
-    members = exact_dup_members(df, id_col, text_col).persist()
-    rep_ids = members.filter(F.col("doc") == F.col("rep")).select(F.col("rep").alias(id_col))
-    reps_df = df.join(rep_ids, id_col, "left_semi")
-    fp = simhash_fingerprints(reps_df, id_col, text_col).persist()
+def hamming_band_pairs(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Generic Hamming near-dup kernel over 64-bit fingerprints: (doc, sh)
+    in, (id_a, id_b, hamming) pairs with hamming <= max_hamming out.
+
+    4x16-bit pigeonhole banding (a COMPLETE candidate generator for
+    max_hamming <= 3: two hashes within distance 3 must agree on at
+    least one 16-bit chunk), loud bucket-cap guard, exact bit_count
+    verification on the survivors. Fingerprint-agnostic: SimHash text
+    dedup and perceptual-hash image dedup both feed it. One shuffle for
+    the band self-join; a fingerprint is 8 bytes/doc so the banded
+    relation is 4 tiny rows per doc regardless of payload size."""
+    if max_hamming > 3:
+        raise ValueError("4x16 banding is only complete for max_hamming <= 3")
     banded = simhash_chunks(fp)
     if max_bucket is not None:
         over = lsh_bucket_overflow(banded, max_bucket).select("band", "bucket")
@@ -634,11 +638,27 @@ def _simhash_rep_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    rep_pairs = (
+    return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _simhash_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared kernel: collapse exact classes, band REPRESENTATIVES only,
+    verify exact Hamming. Returns (members, fp, rep_pairs)."""
+    members = exact_dup_members(df, id_col, text_col).persist()
+    rep_ids = members.filter(F.col("doc") == F.col("rep")).select(F.col("rep").alias(id_col))
+    reps_df = df.join(rep_ids, id_col, "left_semi")
+    fp = simhash_fingerprints(reps_df, id_col, text_col).persist()
+    rep_pairs = hamming_band_pairs(fp, max_hamming, max_bucket)
     return members, fp, rep_pairs
 
 

@@ -295,3 +295,151 @@ def frame_sample(df: DataFrame, every_n: int = 4, frame_size: int = 64, blob_col
             yield out
 
     return df.mapInPandas(sample, schema=out_schema)
+
+
+def _pooled_gray_sums(px, grid_h: int, grid_w: int):
+    """Integer gray-sum pooling: (h, w, 3) uint8 pixels -> per-cell
+    (sum, count) over a grid_h x grid_w partition of the image, using
+    floor boundaries (row i covers [i*h//grid_h, (i+1)*h//grid_h)).
+    Gray is the CHANNEL SUM r+g+b — no division anywhere, so every
+    quantity is an exact integer and the hash is bit-reproducible on
+    any platform. Returns (sums, counts) as Python-int lists (immune to
+    int64 overflow on pathologically large frames)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype(np.int64).sum(axis=2)
+    rb = [i * h // grid_h for i in range(grid_h)] + [h]
+    cb = [j * w // grid_w for j in range(grid_w)] + [w]
+    sums, counts = [], []
+    for i in range(grid_h):
+        row = gray[rb[i] : rb[i + 1]]
+        for j in range(grid_w):
+            cell = row[:, cb[j] : cb[j + 1]]
+            sums.append(int(cell.sum()))
+            counts.append(cell.size)
+    return sums, counts
+
+
+def _ahash64(blob: bytes) -> int | None:
+    """aHash: 8x8 pooled gray grid, bit = cell mean > global mean.
+    Comparison is cross-multiplied (cell_sum * total_cnt >
+    total_sum * cell_cnt) — exact integer math, no float means. Images
+    smaller than the grid (or undecodable) hash to None."""
+    import numpy as np
+
+    try:
+        w, h, off = _ppm_header(blob)
+    except (ValueError, IndexError):
+        return None
+    if w < 8 or h < 8 or len(blob) - off < 3 * w * h:
+        return None
+    px = np.frombuffer(blob, dtype=np.uint8, count=3 * w * h, offset=off).reshape(h, w, 3)
+    sums, counts = _pooled_gray_sums(px, 8, 8)
+    total_sum, total_cnt = sum(sums), sum(counts)
+    hv = 0
+    for b, (s, c) in enumerate(zip(sums, counts)):
+        if s * total_cnt > total_sum * c:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def _dhash64(blob: bytes) -> int | None:
+    """dHash: 8x9 pooled gray grid, bit = left cell mean > right
+    neighbor's (gradient direction survives resizing better than
+    absolute brightness). Same exact-integer comparison as aHash."""
+    import numpy as np
+
+    try:
+        w, h, off = _ppm_header(blob)
+    except (ValueError, IndexError):
+        return None
+    if w < 9 or h < 8 or len(blob) - off < 3 * w * h:
+        return None
+    px = np.frombuffer(blob, dtype=np.uint8, count=3 * w * h, offset=off).reshape(h, w, 3)
+    sums, counts = _pooled_gray_sums(px, 8, 9)
+    hv = 0
+    for i in range(8):
+        for j in range(8):
+            a, b = i * 9 + j, i * 9 + j + 1
+            if sums[a] * counts[b] > sums[b] * counts[a]:
+                hv |= 1 << (i * 8 + j)
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+_PHASHERS: dict[str, Callable[[bytes], int | None]] = {"ahash": _ahash64, "dhash": _dhash64}
+
+
+def perceptual_hash(df: DataFrame, blob_col: str = "blob", kind: str = "ahash") -> DataFrame:
+    """Perceptual image hash over a binary-PPM column: appends
+    ``phash bigint`` (signed 64, NULL for undecodable / sub-grid
+    images). Feed the result to ``dedupe.hamming_band_pairs`` for
+    banded near-duplicate detection — the image analogue of SimHash.
+
+    aHash/dHash pool the image to a tiny gray grid, so the hash is
+    invariant to resizing (any resample that preserves region means)
+    and robust to small local edits — the first dedup pass a multimodal
+    training corpus needs (catch re-encoded/resized copies before
+    embedding-level near-dup). All-integer math: bit-exact against the
+    pure-Python reference.
+
+    At scale: ONE Arrow-batched mapInPandas pass over the blobs, no
+    shuffle; downstream banding sees only (id, 8-byte hash) — the blobs
+    never move again."""
+    hasher = _PHASHERS[kind]
+    keep_cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", phash bigint"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [hasher(bytes(b)) for b in pdf[blob_col]]
+            yield pdf[keep_cols].assign(phash=pd.array(hashes, dtype="Int64"))
+
+    return df.mapInPandas(compute, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic image corpus (the testdata has no real media):
+# shared INPUT spec for the phash_image_neardup query and its oracle —
+# the computation under test (hash + pairing) is implemented twice, the
+# input generator once.
+# ---------------------------------------------------------------------------
+
+_SM64_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer (public domain, Steele et al.) — the
+    deterministic bit source for synthetic image patterns."""
+    x = (x + 0x9E3779B97F4A7C15) & _SM64_MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _SM64_MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _SM64_MASK
+    return x ^ (x >> 31)
+
+
+_SYNTH_DIMS = ((32, 32), (16, 16), (24, 24))
+
+
+def synth_block_image(doc_id: int) -> bytes:
+    """One P6 blob per document: class ``doc_id // 3`` defines a binary
+    8x8 block pattern (bit t = LSB of splitmix64(class*64+t)); member
+    ``doc_id % 3`` renders it at 32x32 / 16x16 / 24x24; member 2 also
+    flips ``class % 4`` blocks (positions (class + 17*t) % 64). Every
+    dimension is a multiple of 8, so mean-pooling is exact per block:
+    members 0/1 hash IDENTICALLY despite different resolutions, and
+    member 2 sits at a planted Hamming distance of exactly ``class % 4``
+    — a ground-truth resized-copy corpus for perceptual-hash dedup."""
+    cls, member = doc_id // 3, doc_id % 3
+    bits = [(_splitmix64(cls * 64 + t)) & 1 for t in range(64)]
+    if member == 2:
+        for t in range(cls % 4):
+            bits[(cls + 17 * t) % 64] ^= 1
+    w, h = _SYNTH_DIMS[member]
+    rows = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 255 if bits[(y * 8 // h) * 8 + (x * 8 // w)] else 0
+            rows += bytes((v, v, v))
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(rows)

@@ -925,3 +925,79 @@ def ann_recall_report_ref(sf_dir: str, k: int = 5, probe_below: int = 8) -> pd.D
             "recall_at_k": "float64",
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# phash_image_neardup: functions/multimodal.py perceptual_hash +
+# functions/dedupe.py hamming_band_pairs. The INPUT generator
+# (synth_block_image) is shared by design; the hash below is an
+# INDEPENDENT pure-Python implementation (no numpy, no pooling code
+# shared with the operator).
+# ---------------------------------------------------------------------------
+
+
+def ahash64_ref(blob: bytes) -> int | None:
+    """Reference aHash: parse the P6 header by hand, pool gray sums with
+    plain loops, cross-multiplied integer mean comparison."""
+    if blob[:2] != b"P6":
+        return None
+    vals, i = [], 2
+    while len(vals) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        vals.append(int(blob[i:j]))
+        i = j
+    w, h, off = vals[0], vals[1], i + 1
+    if w < 8 or h < 8 or len(blob) - off < 3 * w * h:
+        return None
+    sums = [0] * 64
+    counts = [0] * 64
+    for y in range(h):
+        gi = y * 8 // h
+        base = off + 3 * y * w
+        for x in range(w):
+            gj = x * 8 // w
+            p = base + 3 * x
+            sums[gi * 8 + gj] += blob[p] + blob[p + 1] + blob[p + 2]
+            counts[gi * 8 + gj] += 3  # count in channel-samples; the
+            # operator counts pixels — ratios differ by the constant 3
+            # on BOTH sides of the cross-multiplication, so the bits
+            # are identical
+    total_sum, total_cnt = sum(sums), sum(counts)
+    hv = 0
+    for b in range(64):
+        if sums[b] * total_cnt > total_sum * counts[b]:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def phash_image_neardup_ref(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(id_a, id_b, hamming) — equals the banded Spark query exactly:
+    4x16 banding is complete for Hamming <= 3, so brute force over all
+    doc pairs is the same set."""
+    from flink_playground_spark.functions.multimodal import synth_block_image
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fps = sorted(
+        (int(d), ahash64_ref(synth_block_image(int(d)))) for d in docs["doc_id"]
+    )
+    fps = [(d, s) for d, s in fps if s is not None]
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(len(fps)):
+        ida, sa = fps[i]
+        for j in range(i + 1, len(fps)):
+            idb, sb = fps[j]
+            ham = ((sa & mask) ^ (sb & mask)).bit_count()
+            if ham <= max_hamming:
+                out.append((ida, idb, ham))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+    )

@@ -5129,6 +5129,59 @@ def multimodal_ppm_roundtrip(spark, sf_dir):
     )
 
 
+def _phash_neardup_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import phash_image_neardup_ref
+
+    return phash_image_neardup_ref(sf_dir)
+
+
+@register_extra(
+    "phash_image_neardup",
+    None,
+    tags=("ext-multimodal", "ext-dedup"),
+    bench=True,
+    py_oracle=_phash_neardup_py_oracle,
+)
+def phash_image_neardup(spark, sf_dir):
+    """Perceptual-hash IMAGE near-dup — the missing multimodal dedup
+    modality (VERDICT r9 Next #5): synthesize a ground-truth image
+    corpus (one P6 blob per document; each class of 3 docs renders the
+    same 8x8 block pattern at 32x32/16x16/24x24, the third member with
+    class%4 blocks flipped — multimodal.synth_block_image), aHash every
+    blob with exact integer mean-pooling (multimodal.perceptual_hash),
+    and find all pairs within Hamming 3 via the same 4x16 pigeonhole
+    banding SimHash uses (dedupe.hamming_band_pairs). Catches resized
+    copies (members 0/1 hash identically across resolutions) at their
+    planted distances; value-checked bit-exactly against an independent
+    pure-Python hash + brute-force pair scan.
+
+    At scale: one Arrow mapInPandas pass over the blobs (no shuffle);
+    banding moves only (id, 8-byte hash) rows — 100 TB of pixels never
+    shuffles. The bucket-cap guard bounds any degenerate band bucket
+    loudly, exactly as in simhash_pairs."""
+    from flink_playground_spark.functions.dedupe import hamming_band_pairs
+    from flink_playground_spark.functions.multimodal import (
+        perceptual_hash,
+        synth_block_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_block_image(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="image/ppm")
+
+    blobs = docs.mapInPandas(synth, schema=out_schema)
+    fp = perceptual_hash(blobs, kind="ahash").select(
+        F.col("doc_id").alias("doc"), F.col("phash").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    return hamming_band_pairs(fp, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 

@@ -869,3 +869,83 @@ def test_ivfpq_driver_seed_derivation_matches_spark_collect(spark):
     )
     want = [(r["vid"], list(r["resid"])) for r in resid.orderBy("vid").limit(16).collect()]
     assert derived == want
+
+
+def test_perceptual_hash_resize_robust_golden(spark):
+    """The promised golden: a RESIZED copy of an image is caught (small
+    Hamming distance through the real nearest-neighbor resampler) and an
+    unrelated image is not. Sub-grid and undecodable blobs hash NULL."""
+    from flink_playground_spark.functions.dedupe import hamming_band_pairs
+    from flink_playground_spark.functions.multimodal import (
+        perceptual_hash,
+        resize_nearest,
+    )
+
+    def ppm(w, h, fn):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = fn(x, y) & 0xFF
+                px += bytes((v, v, v))
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+    # smooth plane + bright quadrant (low spatial frequency: the regime
+    # perceptual hashes are built for)
+    base = ppm(32, 32, lambda x, y: min(255, x * 5 + y * 2 + (80 if x >= 16 and y >= 16 else 0)))
+    unrelated = ppm(32, 32, lambda x, y: 255 - min(255, x * 5 + y * 2))
+    src = spark.createDataFrame(
+        [(1, base, "image/ppm")], "id int, blob binary, media_format string"
+    )
+    # real resampler, including a non-multiple-of-8 target
+    r24 = bytes(resize_nearest(src, 24, 24).collect()[0]["resized"])
+    r20 = bytes(resize_nearest(src, 20, 20).collect()[0]["resized"])
+    rows = [
+        (1, base),
+        (2, r24),
+        (3, r20),
+        (4, unrelated),
+        (5, ppm(7, 7, lambda x, y: x)),  # sub-grid -> NULL
+        (6, b"not an image"),  # undecodable -> NULL
+    ]
+    for kind, slack in (("ahash", 3), ("dhash", 3)):
+        fp = {
+            r["id"]: r["phash"]
+            for r in perceptual_hash(
+                spark.createDataFrame(rows, "id int, blob binary"), kind=kind
+            ).collect()
+        }
+        assert fp[5] is None and fp[6] is None, kind
+        mask = (1 << 64) - 1
+
+        def ham(a, b):
+            return ((fp[a] & mask) ^ (fp[b] & mask)).bit_count()
+
+        assert ham(1, 2) <= slack, (kind, ham(1, 2))
+        assert ham(1, 3) <= slack, (kind, ham(1, 3))
+        assert ham(1, 4) > 10, (kind, ham(1, 4))
+        assert ham(2, 4) > 10, (kind, ham(2, 4))
+    # end-to-end banded pairing finds exactly the copies
+    fp_df = perceptual_hash(
+        spark.createDataFrame(rows, "id int, blob binary"), kind="ahash"
+    ).selectExpr("id as doc", "phash as sh").where("phash is not null")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_band_pairs(fp_df, max_hamming=3).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}, pairs
+
+
+def test_synth_block_corpus_planted_distances(spark):
+    """synth_block_image ground truth: members 0/1 of a class hash
+    identically at different resolutions; member 2 sits at exactly
+    class%4 flipped bits; the registry query's banding therefore returns
+    exactly 3 pairs per full class at the planted distances."""
+    from flink_playground_spark.functions.multimodal import _ahash64, synth_block_image
+
+    mask = (1 << 64) - 1
+    for cls in (0, 1, 2, 3, 7, 50, 101):
+        h0 = _ahash64(synth_block_image(cls * 3))
+        h1 = _ahash64(synth_block_image(cls * 3 + 1))
+        h2 = _ahash64(synth_block_image(cls * 3 + 2))
+        assert h0 == h1, cls
+        assert ((h0 & mask) ^ (h2 & mask)).bit_count() == cls % 4, cls
