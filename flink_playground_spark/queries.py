@@ -173,7 +173,7 @@ def pk_upsert_latest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "proj_filter_arith",
     """
 SELECT l_orderkey, l_linenumber,
@@ -183,7 +183,7 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1998-06-01'
   AND l_quantity > 25
 """,
-    tags=("P1", "P2", "P3", "P7"),
+    tags=("P1", "P2", "P3", "P7"),    bench=False,
 )
 def proj_filter_arith(spark, sf_dir):
     """Projection + alias + filter + computed column; predicates and the
@@ -229,7 +229,7 @@ def join_left_outer(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "join_multiway",
     """
 SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
@@ -237,7 +237,7 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 """,
-    tags=("J6",),
+    tags=("J6",),    bench=False,
 )
 def join_multiway(spark, sf_dir):
     """Multi-way dimension join; nation/region are broadcast (small dims)."""
@@ -592,7 +592,7 @@ def q3_revenue_by_order(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "json_props_agg",
     """
 SELECT event_type,
@@ -600,7 +600,7 @@ SELECT event_type,
        MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """,
-    tags=("P7",),
+    tags=("P7",),    bench=False,
 )
 def json_props_agg(spark, sf_dir):
     """Scalar-function surface: JSON extraction (get_json_object) + cast +
@@ -1073,7 +1073,7 @@ def join_semi_anti(spark, sf_dir):
     return semi.unionAll(anti)
 
 
-@register(
+@register_extra(
     "set_ops",
     """
 WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -1084,7 +1084,7 @@ SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELEC
 UNION ALL
 SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM rich) e
 """,
-    tags=("superset-setop",),
+    tags=("superset-setop",),    bench=False,
 )
 def set_ops(spark, sf_dir):
     """UNION / INTERSECT / EXCEPT in one tagged result."""
@@ -1306,13 +1306,13 @@ def pivot_linestatus(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "order_limit_topn",
     """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """,
-    tags=("superset-sort",),
+    tags=("superset-sort",),    bench=False,
 )
 def order_limit_topn(spark, sf_dir):
     """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort)."""
@@ -3815,7 +3815,7 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "event_transition_matrix",
     """
 WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
@@ -3947,7 +3947,7 @@ def sessionize_dynamic_gap(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "ts", "session_id")
 
 
-@register_extra(
+@register(
     "intradoc_chunk_dedup",
     """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -4058,7 +4058,7 @@ def quality_classifier(spark, sf_dir):
     return out
 
 
-@register_extra(
+@register(
     "bigram_lm_score",
     """
 WITH arr AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
@@ -4077,6 +4077,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM lp GROUP BY 1
 """,
     tags=("ext-text",),
+    bench=True,
 )
 def bigram_lm_score(spark, sf_dir):
     """Perplexity-style quality signal (the CCNet/Gopher 'score with a
@@ -4702,7 +4703,7 @@ FROM t GROUP BY lang
 """
 
 
-@register_extra("corpus_report_card", _REPORT_CARD_SQL, tags=("ext-text", "ext-dedup"), bench=False)
+@register("corpus_report_card", _REPORT_CARD_SQL, tags=("ext-text", "ext-dedup"), bench=False)
 def corpus_report_card(spark, sf_dir):
     """The corpus health summary a data team reads before training: per
     language, document and token volumes, exact interpolated token-count
@@ -4861,7 +4862,7 @@ FROM flagged GROUP BY lang
 """
 
 
-@register_extra("gopher_quality_filter", _GOPHER_FILTER_SQL, tags=("ext-text",), bench=False)
+@register("gopher_quality_filter", _GOPHER_FILTER_SQL, tags=("ext-text",), bench=False)
 def gopher_quality_filter(spark, sf_dir):
     """The quality SIGNALS applied as a GATE: Gopher-style keep rules
     (length window 50..1000 tokens, type-token ratio >= 0.2, top-token

@@ -70,7 +70,7 @@ def test_compile_plan_snapshot(spark, sf_dir):
 def test_filter_and_column_pushdown(spark, sf_dir):
     """Predicates and the projected column set must reach the parquet scan."""
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    df = REGISTRY["proj_filter_arith"].spark_fn(spark, sf_dir)
+    df = _q("proj_filter_arith").spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:500]
     read_schema = plan.split("ReadSchema")[1][:500]
@@ -79,7 +79,7 @@ def test_filter_and_column_pushdown(spark, sf_dir):
 
 
 def test_small_dims_broadcast(spark, sf_dir):
-    df = REGISTRY["join_multiway"].spark_fn(spark, sf_dir)
+    df = _q("join_multiway").spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -174,7 +174,7 @@ def test_scalar_threshold_reuses_agg_exchange(spark, sf_dir, name):
     be computed once (ReusedExchange), i.e. one real fact pass, not two."""
     from flink_playground_spark.queries import EXTRA_REGISTRY
 
-    df = EXTRA_REGISTRY[name].spark_fn(spark, sf_dir)
+    df = _q(name).spark_fn(spark, sf_dir)
     df.collect()  # AQE reuse materializes in the final adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
@@ -186,7 +186,7 @@ def test_q21_single_fact_pass(spark, sf_dir):
     order-key shuffle."""
     from flink_playground_spark.queries import EXTRA_REGISTRY
 
-    df = EXTRA_REGISTRY["q21_waiting_supplier"].spark_fn(spark, sf_dir)
+    df = _q("q21_waiting_supplier").spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1
 
@@ -531,7 +531,7 @@ def test_iterative_trainers_scan_cached_input_per_round(spark, sf_dir, monkeypat
         "train_logreg",
         lambda df, *a, **kw: (clf_inputs.append(cached(df)), orig_train(df, *a, **kw))[1],
     )
-    EXTRA_REGISTRY["quality_classifier"].spark_fn(spark, sf_dir).write.mode(
+    _q("quality_classifier").spark_fn(spark, sf_dir).write.mode(
         "overwrite"
     ).format("noop").save()
     assert clf_inputs == [True]

@@ -66,6 +66,9 @@ PROBES = [
     # round 9: exact-substring dedup — corpus-bytes gram shuffle + span
     # merge + rewrite must track corpus size, not pair count
     "exact_substring_dedup",
+    # round 10: perceptual-hash image near-dup — one mapInPandas pass
+    # over the blobs + (id, 8-byte hash) banding must track corpus size
+    "phash_image_neardup",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
