@@ -443,3 +443,110 @@ def synth_block_image(doc_id: int) -> bytes:
             v = 255 if bits[(y * 8 // h) * 8 + (x * 8 // w)] else 0
             rows += bytes((v, v, v))
     return f"P6\n{w} {h}\n255\n".encode() + bytes(rows)
+
+
+def _wav_pcm16(blob: bytes):
+    """Decode a RIFF/WAVE blob to a mono-folded int16 sample array via
+    the stdlib wave module (the real decoder — no fake). Returns None
+    for undecodable blobs or non-16-bit payloads."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    try:
+        with wave_mod.open(io.BytesIO(blob), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            chans = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+    except (wave_mod.Error, EOFError):
+        return None
+    samples = np.frombuffer(frames, dtype="<i2")
+    if chans > 1:  # fold to mono by channel SUM (integer, exact)
+        n = len(samples) // chans
+        samples = samples[: n * chans].reshape(n, chans).astype(np.int64).sum(axis=1)
+    return samples
+
+
+def _audiohash64(blob: bytes) -> int | None:
+    """Energy-envelope audio fingerprint: fold to mono, partition the
+    samples into 64 time windows (floor boundaries), bit = window energy
+    above the track's mean energy — the audio analogue of aHash, and
+    like it invariant to resampling that preserves the envelope (a
+    re-encoded/resampled copy of a track keeps its loud/quiet shape).
+    Cross-multiplied integer comparison, no floats: bit-exact against
+    the pure-Python reference. Tracks shorter than 64 samples (or
+    undecodable) hash to None."""
+    import numpy as np
+
+    samples = _wav_pcm16(blob)
+    if samples is None or len(samples) < 64:
+        return None
+    sq = samples.astype(np.int64) ** 2
+    n = len(sq)
+    bounds = [i * n // 64 for i in range(64)] + [n]
+    sums = [int(sq[bounds[i] : bounds[i + 1]].sum()) for i in range(64)]
+    counts = [bounds[i + 1] - bounds[i] for i in range(64)]
+    total_sum, total_cnt = sum(sums), n
+    hv = 0
+    for b in range(64):
+        if sums[b] * total_cnt > total_sum * counts[b]:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def audio_fingerprint(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Appends ``afp bigint`` — the 64-bit energy-envelope fingerprint —
+    to a WAV binary column. Same shape as perceptual_hash: ONE Arrow
+    mapInPandas pass, no shuffle; near-dup via dedupe.hamming_band_pairs
+    on (id, 8-byte hash) rows only."""
+    keep_cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", afp bigint"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_audiohash64(bytes(b)) for b in pdf[blob_col]]
+            yield pdf[keep_cols].assign(afp=pd.array(hashes, dtype="Int64"))
+
+    return df.mapInPandas(compute, schema=out_schema)
+
+
+_SYNTH_AUDIO_SEG = (32, 16, 24)  # samples per segment for members 0/1/2
+
+
+def synth_envelope_wav(doc_id: int) -> bytes:
+    """One real RIFF/WAVE (16-bit PCM mono) per document, the audio
+    counterpart of synth_block_image: class ``doc_id // 3`` defines a
+    binary 64-segment loudness envelope (bit t = LSB of
+    splitmix64(2^32 + class*64 + t) — offset so image and audio patterns
+    differ); member ``doc_id % 3`` renders each segment as a constant-
+    amplitude square wave of 32/16/24 samples (total a multiple of 64,
+    so the 64 analysis windows align with segments exactly); member 2
+    flips ``class % 4`` segments. Members 0/1 fingerprint identically
+    at different durations; member 2 sits at Hamming exactly
+    ``class % 4``."""
+    import io
+    import wave as wave_mod
+
+    cls, member = doc_id // 3, doc_id % 3
+    bits = [(_splitmix64((1 << 32) + cls * 64 + t)) & 1 for t in range(64)]
+    if member == 2:
+        for t in range(cls % 4):
+            bits[(cls + 17 * t) % 64] ^= 1
+    seg = _SYNTH_AUDIO_SEG[member]
+    pcm = bytearray()
+    for t in range(64):
+        amp = 12000 if bits[t] else 2000
+        for s in range(seg):
+            v = amp if s % 2 == 0 else -amp
+            pcm += v.to_bytes(2, "little", signed=True)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(pcm))
+    return buf.getvalue()

@@ -1001,3 +1001,72 @@ def phash_image_neardup_ref(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
         {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint_neardup: functions/multimodal.py audio_fingerprint +
+# functions/dedupe.py hamming_band_pairs. Input generator
+# (synth_envelope_wav) shared by design; the fingerprint below is an
+# INDEPENDENT pure-Python implementation (struct unpack + loops, no
+# numpy, no code shared with the operator).
+# ---------------------------------------------------------------------------
+
+
+def audiohash64_ref(blob: bytes) -> int | None:
+    """Reference energy-envelope fingerprint: stdlib wave decode, plain
+    loops, cross-multiplied integer mean comparison."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    try:
+        with wave_mod.open(io.BytesIO(blob), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            chans = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+    except (wave_mod.Error, EOFError):
+        return None
+    raw = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    if chans > 1:
+        n = len(raw) // chans
+        raw = [sum(raw[i * chans : (i + 1) * chans]) for i in range(n)]
+    n = len(raw)
+    if n < 64:
+        return None
+    sums = [0] * 64
+    counts = [0] * 64
+    for i, s in enumerate(raw):
+        b = i * 64 // n
+        sums[b] += s * s
+        counts[b] += 1
+    total_sum = sum(sums)
+    hv = 0
+    for b in range(64):
+        if sums[b] * n > total_sum * counts[b]:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def audio_fingerprint_neardup_ref(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(id_a, id_b, hamming) — brute force over all doc pairs; equals the
+    banded Spark query exactly (4x16 banding complete for Hamming <= 3)."""
+    from flink_playground_spark.functions.multimodal import synth_envelope_wav
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fps = sorted(
+        (int(d), audiohash64_ref(synth_envelope_wav(int(d)))) for d in docs["doc_id"]
+    )
+    fps = [(d, s) for d, s in fps if s is not None]
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(len(fps)):
+        ida, sa = fps[i]
+        for j in range(i + 1, len(fps)):
+            idb, sb = fps[j]
+            ham = ((sa & mask) ^ (sb & mask)).bit_count()
+            if ham <= max_hamming:
+                out.append((ida, idb, ham))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+    )

@@ -5183,6 +5183,59 @@ def phash_image_neardup(spark, sf_dir):
     )
 
 
+def _audio_neardup_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import audio_fingerprint_neardup_ref
+
+    return audio_fingerprint_neardup_ref(sf_dir)
+
+
+@register_extra(
+    "audio_fingerprint_neardup",
+    None,
+    tags=("ext-multimodal", "ext-dedup"),
+    bench=True,
+    py_oracle=_audio_neardup_py_oracle,
+)
+def audio_fingerprint_neardup(spark, sf_dir):
+    """Audio near-dup — the WAV counterpart of phash_image_neardup:
+    synthesize a ground-truth track corpus (one REAL RIFF/WAVE per
+    document; each class of 3 renders the same 64-segment loudness
+    envelope at three durations, the third member with class%4 segments
+    flipped — multimodal.synth_envelope_wav), fingerprint every track
+    with the energy-envelope hash over the real stdlib-wave decode
+    (multimodal.audio_fingerprint), and find all pairs within Hamming 3
+    via the shared 4x16 pigeonhole banding (dedupe.hamming_band_pairs).
+    Catches resampled/re-encoded copies (members 0/1 fingerprint
+    identically at different durations) at their planted distances;
+    value-checked bit-exactly against an independent pure-Python decode
+    + brute-force pair scan.
+
+    At scale: identical profile to the image path — one Arrow
+    mapInPandas pass over the audio blobs, banding moves only
+    (id, 8-byte hash) rows, PCM bytes never shuffle."""
+    from flink_playground_spark.functions.dedupe import hamming_band_pairs
+    from flink_playground_spark.functions.multimodal import (
+        audio_fingerprint,
+        synth_envelope_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_envelope_wav(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="audio/wav")
+
+    blobs = docs.mapInPandas(synth, schema=out_schema)
+    fp = audio_fingerprint(blobs).select(
+        F.col("doc_id").alias("doc"), F.col("afp").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    return hamming_band_pairs(fp, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 

@@ -949,3 +949,85 @@ def test_synth_block_corpus_planted_distances(spark):
         h2 = _ahash64(synth_block_image(cls * 3 + 2))
         assert h0 == h1, cls
         assert ((h0 & mask) ^ (h2 & mask)).bit_count() == cls % 4, cls
+
+
+def test_audio_fingerprint_resample_robust_golden(spark):
+    """A track re-rendered at a doubled sample rate (the same loudness
+    envelope, twice the samples) fingerprints within Hamming 3 of the
+    original; an unrelated track does not; a stereo render folds to mono
+    and matches; undecodable / too-short blobs hash NULL."""
+    import io
+    import math
+    import wave as wave_mod
+
+    from flink_playground_spark.functions.dedupe import hamming_band_pairs
+    from flink_playground_spark.functions.multimodal import audio_fingerprint
+
+    def wav(rate, seconds, env, chans=1):
+        """Amplitude-modulated 440 Hz sine: env(t in [0,1)) -> amplitude."""
+        buf = io.BytesIO()
+        n = int(rate * seconds)
+        pcm = bytearray()
+        for i in range(n):
+            amp = env(i / n)
+            v = int(amp * math.sin(2 * math.pi * 440 * i / rate))
+            for _ in range(chans):
+                pcm += v.to_bytes(2, "little", signed=True)
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(chans)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(bytes(pcm))
+        return buf.getvalue()
+
+    loud_mid = lambda t: 12000 if 0.3 <= t < 0.7 else 1500  # noqa: E731
+    loud_ends = lambda t: 1500 if 0.3 <= t < 0.7 else 12000  # noqa: E731
+    rows = [
+        (1, wav(8000, 1.0, loud_mid)),
+        (2, wav(16000, 1.0, loud_mid)),  # resampled copy
+        (3, wav(8000, 1.0, loud_mid, chans=2)),  # stereo render
+        (4, wav(8000, 1.0, loud_ends)),  # unrelated envelope
+        (5, b"RIFFjunk"),  # undecodable
+        (6, wav(8000, 0.005, loud_mid)),  # 40 samples < 64 windows
+    ]
+    fp = {
+        r["id"]: r["afp"]
+        for r in audio_fingerprint(
+            spark.createDataFrame(rows, "id int, blob binary")
+        ).collect()
+    }
+    assert fp[5] is None and fp[6] is None
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return ((fp[a] & mask) ^ (fp[b] & mask)).bit_count()
+
+    assert ham(1, 2) <= 3, ham(1, 2)
+    assert ham(1, 3) <= 3, ham(1, 3)
+    assert ham(1, 4) > 10, ham(1, 4)
+    assert ham(2, 4) > 10, ham(2, 4)
+    fp_df = audio_fingerprint(
+        spark.createDataFrame(rows, "id int, blob binary")
+    ).selectExpr("id as doc", "afp as sh").where("afp is not null")
+    pairs = set()
+    for r in hamming_band_pairs(fp_df, max_hamming=3).collect():
+        pairs.add((r["id_a"], r["id_b"]))
+    assert pairs == {(1, 2), (1, 3), (2, 3)}, pairs
+
+
+def test_synth_envelope_corpus_planted_distances():
+    """synth_envelope_wav ground truth: members 0/1 of a class hash
+    identically at different durations; member 2 sits at exactly
+    class%4 flipped envelope segments."""
+    from flink_playground_spark.functions.multimodal import (
+        _audiohash64,
+        synth_envelope_wav,
+    )
+
+    mask = (1 << 64) - 1
+    for cls in (0, 1, 2, 3, 11, 42):
+        h0 = _audiohash64(synth_envelope_wav(cls * 3))
+        h1 = _audiohash64(synth_envelope_wav(cls * 3 + 1))
+        h2 = _audiohash64(synth_envelope_wav(cls * 3 + 2))
+        assert h0 == h1, cls
+        assert ((h0 & mask) ^ (h2 & mask)).bit_count() == cls % 4, cls
