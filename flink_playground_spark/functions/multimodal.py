@@ -550,3 +550,78 @@ def synth_envelope_wav(doc_id: int) -> bytes:
         w.setframerate(8000)
         w.writeframes(bytes(pcm))
     return buf.getvalue()
+
+
+def _raw_ahash64(frame: bytes, w: int, h: int) -> int | None:
+    """aHash over a RAW w x h x 3 RGB frame (no container header) —
+    the per-frame kernel for video dedup. Same exact integer pooling
+    as _ahash64."""
+    import numpy as np
+
+    if w < 8 or h < 8 or len(frame) < 3 * w * h:
+        return None
+    px = np.frombuffer(frame, dtype=np.uint8, count=3 * w * h).reshape(h, w, 3)
+    sums, counts = _pooled_gray_sums(px, 8, 8)
+    total_sum, total_cnt = sum(sums), sum(counts)
+    hv = 0
+    for b, (s, c) in enumerate(zip(sums, counts)):
+        if s * total_cnt > total_sum * c:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def frame_phash(
+    df: DataFrame,
+    every_n: int = 2,
+    frame_w: int = 8,
+    frame_h: int = 8,
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Video fingerprinting: sample every ``every_n``-th fixed-size frame
+    (frame_sample — the container codec stays the documented stub; the
+    frame payload is raw w x h x 3 RGB) and perceptual-hash each sampled
+    frame. Output one row per sampled frame: original columns +
+    ``frame_no int, fhash bigint`` (NULL for short frames). A video's
+    near-dup signature is its DISTINCT fhash set — scene content, not
+    frame count, so re-timed/re-sampled copies keep their signature."""
+    frames = frame_sample(df, every_n=every_n, frame_size=3 * frame_w * frame_h, blob_col=blob_col)
+    keep_cols = [c for c in frames.columns if c != "frame"]
+    out_schema = ", ".join(
+        f"`{c}` {frames.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", fhash bigint"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_raw_ahash64(bytes(b), frame_w, frame_h) for b in pdf["frame"]]
+            yield pdf[keep_cols].assign(fhash=pd.array(hashes, dtype="Int64"))
+
+    return frames.mapInPandas(compute, schema=out_schema)
+
+
+_SYNTH_SCENE_DUR = (2, 4, 3)  # frames per scene for members 0/1/2
+
+
+def synth_scene_video(doc_id: int) -> bytes:
+    """One raw 'video' per document (concatenated 8x8x3 RGB frames, the
+    container format frame_sample models): class ``doc_id // 3`` defines
+    16 scenes, each an 8x8 binary block pattern (bit t of scene s = LSB
+    of splitmix64(2^33 + (class*16+s)*64 + t)); member ``doc_id % 3``
+    holds every scene for 2/4/3 frames (a re-timed copy — every duration
+    >= the default frame-sampling stride, so each scene survives
+    sampling); member 2 replaces scene ``class % 16`` with the class's
+    alternate pattern (slot 16). Members 0/1 have IDENTICAL distinct
+    frame-hash sets; member 2 shares 15 of 16 scenes: Jaccard 15/17."""
+    cls, member = doc_id // 3, doc_id % 3
+    scenes = []
+    for s in range(17):  # 16 scenes + 1 alternate
+        bits = [(_splitmix64((1 << 33) + (cls * 17 + s) * 64 + t)) & 1 for t in range(64)]
+        px = bytearray()
+        for b in bits:
+            v = 255 if b else 0
+            px += bytes((v, v, v))
+        scenes.append(bytes(px))
+    order = list(range(16))
+    if member == 2:
+        order[cls % 16] = 16  # the alternate scene
+    dur = _SYNTH_SCENE_DUR[member]
+    return b"".join(scenes[s] * dur for s in order)

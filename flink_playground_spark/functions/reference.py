@@ -1070,3 +1070,67 @@ def audio_fingerprint_neardup_ref(sf_dir: str, max_hamming: int = 3) -> pd.DataF
     return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
         {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
     )
+
+
+# ---------------------------------------------------------------------------
+# video_scene_neardup: functions/multimodal.py frame_phash +
+# dedupe prefix-filter Jaccard. Input generator (synth_scene_video)
+# shared by design; the frame hash + set scan below are INDEPENDENT
+# pure Python.
+# ---------------------------------------------------------------------------
+
+
+def raw_ahash64_ref(frame: bytes, w: int = 8, h: int = 8) -> int | None:
+    """Reference raw-frame aHash: plain loops over w x h x 3 bytes."""
+    if w < 8 or h < 8 or len(frame) < 3 * w * h:
+        return None
+    sums = [0] * 64
+    counts = [0] * 64
+    for y in range(h):
+        gi = y * 8 // h
+        for x in range(w):
+            gj = x * 8 // w
+            p = 3 * (y * w + x)
+            sums[gi * 8 + gj] += frame[p] + frame[p + 1] + frame[p + 2]
+            counts[gi * 8 + gj] += 3
+    total_sum, total_cnt = sum(sums), sum(counts)
+    hv = 0
+    for b in range(64):
+        if sums[b] * total_cnt > total_sum * counts[b]:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def video_scene_neardup_ref(
+    sf_dir: str, threshold: float = 0.8, every_n: int = 2, frame_size: int = 192
+) -> pd.DataFrame:
+    """(id_a, id_b, jaccard) — brute force over all doc pairs' distinct
+    sampled-frame-hash sets; equals the prefix-filtered Spark query
+    exactly (prefix filtering is recall-lossless)."""
+    from flink_playground_spark.functions.multimodal import synth_scene_video
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    sigs = []
+    for d in sorted(int(x) for x in docs["doc_id"]):
+        blob = synth_scene_video(d)
+        hs = {
+            raw_ahash64_ref(blob[i * frame_size : (i + 1) * frame_size])
+            for i in range(0, max(len(blob) // frame_size, 1), every_n)
+        }
+        hs.discard(None)
+        if hs:
+            sigs.append((d, hs))
+    out = []
+    for i in range(len(sigs)):
+        ida, sa = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            idb, sb = sigs[j]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            jac = spark_round(inter / (len(sa) + len(sb) - inter), 6)
+            if jac >= threshold:
+                out.append((ida, idb, jac))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+    )

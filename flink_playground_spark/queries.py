@@ -5236,6 +5236,63 @@ def audio_fingerprint_neardup(spark, sf_dir):
     )
 
 
+def _video_neardup_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import video_scene_neardup_ref
+
+    return video_scene_neardup_ref(sf_dir)
+
+
+@register_extra(
+    "video_scene_neardup",
+    None,
+    tags=("ext-multimodal", "ext-dedup"),
+    bench=True,
+    py_oracle=_video_neardup_py_oracle,
+)
+def video_scene_neardup(spark, sf_dir):
+    """Video near-dup — the third multimodal dedup modality: sample
+    every 2nd frame of each synthesized track (multimodal.frame_sample
+    plumbing over raw 8x8 RGB frames; multimodal.synth_scene_video
+    plants re-timed copies — the same 16 scenes held for 2/4/3 frames —
+    plus one member with a single scene swapped, Jaccard 15/17),
+    perceptual-hash each sampled frame (multimodal.frame_phash), and
+    compare videos by EXACT Jaccard over their distinct frame-hash sets
+    through the same PPJoin prefix-filter + verify kernel the n-gram
+    text path uses (dedupe.prefix_filter_candidates + verify_pairs).
+    Value-checked bit-exactly against an independent pure-Python frame
+    hash + brute-force set scan.
+
+    At scale: frames stream through one Arrow pass and collapse to
+    (id, 8-byte hash) distinct rows before any shuffle — a 100 TB video
+    corpus joins on ~16 longs per title, and the positional filter
+    keeps candidate volume tracking true-pair density exactly as proven
+    for text (SCALE_PROOF ngram probe)."""
+    from flink_playground_spark.functions.dedupe import (
+        prefix_filter_candidates,
+        verify_pairs,
+    )
+    from flink_playground_spark.functions.multimodal import (
+        frame_phash,
+        synth_scene_video,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_scene_video(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="video/raw-rgb8")
+
+    blobs = docs.mapInPandas(synth, schema=out_schema)
+    fh = frame_phash(blobs, every_n=2).filter(F.col("fhash").isNotNull())
+    grams = fh.select(F.col("doc_id").alias("doc"), F.col("fhash").alias("shingle")).distinct()
+    counts = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    idx = grams.join(counts, "doc").select("doc", "n_sh", "shingle").persist()
+    cand = prefix_filter_candidates(idx, threshold=0.8)
+    return verify_pairs(idx, cand, threshold=0.8)
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 

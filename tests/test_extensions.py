@@ -1031,3 +1031,46 @@ def test_synth_envelope_corpus_planted_distances():
         h2 = _audiohash64(synth_envelope_wav(cls * 3 + 2))
         assert h0 == h1, cls
         assert ((h0 & mask) ^ (h2 & mask)).bit_count() == cls % 4, cls
+
+
+def test_video_scene_neardup_golden(spark):
+    """Video dedup ground truth: a re-timed copy (same scenes, longer
+    holds) and a re-ORDERED copy both keep Jaccard 1.0 with the
+    original (signatures are distinct frame-hash SETS); swapping one of
+    four scenes gives exactly 3/5; an unrelated video shares nothing."""
+    from flink_playground_spark.functions.dedupe import (
+        prefix_filter_candidates,
+        verify_pairs,
+    )
+    from flink_playground_spark.functions.multimodal import frame_phash
+
+    def frame(seed):
+        # 8x8 binary block frame from a seed
+        from flink_playground_spark.functions.multimodal import _splitmix64
+
+        px = bytearray()
+        for t in range(64):
+            v = 255 if _splitmix64(seed * 64 + t) & 1 else 0
+            px += bytes((v, v, v))
+        return bytes(px)
+
+    A, B, C, D, E, X = (frame(s) for s in (1, 2, 3, 4, 5, 6))
+    rows = [
+        (1, A * 2 + B * 2 + C * 2 + D * 2),  # original: scenes ABCD
+        (2, A * 4 + B * 4 + C * 4 + D * 4),  # re-timed copy
+        (3, D * 2 + C * 2 + B * 2 + A * 2),  # re-ordered copy
+        (4, A * 2 + B * 2 + C * 2 + E * 2),  # one scene swapped: J=3/5
+        (5, X * 8),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, blob binary")
+    fh = frame_phash(df, every_n=2).filter(F.col("fhash").isNotNull())
+    grams = fh.select(F.col("doc_id").alias("doc"), F.col("fhash").alias("shingle")).distinct()
+    counts = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    idx = grams.join(counts, "doc").select("doc", "n_sh", "shingle")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in verify_pairs(idx, prefix_filter_candidates(idx, 0.6), 0.6).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
+    assert got[(1, 4)] == got[(2, 4)] == got[(3, 4)] == 0.6
+    assert not any(5 in k for k in got), got
