@@ -584,16 +584,35 @@ def frame_phash(
     ``frame_no int, fhash bigint`` (NULL for short frames). A video's
     near-dup signature is its DISTINCT fhash set — scene content, not
     frame count, so re-timed/re-sampled copies keep their signature."""
+    import numpy as np
+
     frames = frame_sample(df, every_n=every_n, frame_size=3 * frame_w * frame_h, blob_col=blob_col)
     keep_cols = [c for c in frames.columns if c != "frame"]
     out_schema = ", ".join(
         f"`{c}` {frames.schema[c].dataType.simpleString()}" for c in keep_cols
     ) + ", fhash bigint"
+    fs = 3 * frame_w * frame_h
+    pows = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [_raw_ahash64(bytes(b), frame_w, frame_h) for b in pdf["frame"]]
-            yield pdf[keep_cols].assign(fhash=pd.array(hashes, dtype="Int64"))
+            blobs = [bytes(b) for b in pdf["frame"]]
+            if frame_w == 8 and frame_h == 8 and all(len(b) == fs for b in blobs):
+                # vectorized fast path: an 8x8 frame IS the pooled grid,
+                # so the whole batch hashes in a handful of numpy ops —
+                # bit-identical to _raw_ahash64 (same integer compare,
+                # gray*64 > total_gray, cell counts all 1)
+                px = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, 64, 3)
+                gray = px.sum(axis=2, dtype=np.int64)
+                total = gray.sum(axis=1, keepdims=True)
+                bits = (gray * 64 > total).astype(np.uint64)
+                hv = (bits * pows).sum(axis=1, dtype=np.uint64).view(np.int64)
+                hashes = pd.array(hv, dtype="Int64")
+            else:
+                hashes = pd.array(
+                    [_raw_ahash64(b, frame_w, frame_h) for b in blobs], dtype="Int64"
+                )
+            yield pdf[keep_cols].assign(fhash=hashes)
 
     return frames.mapInPandas(compute, schema=out_schema)
 

@@ -1074,3 +1074,26 @@ def test_video_scene_neardup_golden(spark):
     assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
     assert got[(1, 4)] == got[(2, 4)] == got[(3, 4)] == 0.6
     assert not any(5 in k for k in got), got
+
+
+def test_frame_phash_fast_path_matches_scalar():
+    """The vectorized 8x8 batch hash must be bit-identical to the
+    per-frame scalar kernel, including frames whose pooled means tie."""
+    import numpy as np
+
+    from flink_playground_spark.functions.multimodal import _raw_ahash64, _splitmix64
+
+    pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    frames = []
+    for seed in range(50):
+        px = bytes(_splitmix64(seed * 192 + i) & 0xFF for i in range(192))
+        frames.append(px)
+    frames.append(bytes(192))  # all-zero: every cell ties the mean
+    frames.append(bytes([255]) * 192)  # all-max: ties again
+    px = np.frombuffer(b"".join(frames), dtype=np.uint8).reshape(-1, 64, 3)
+    gray = px.sum(axis=2, dtype=np.int64)
+    total = gray.sum(axis=1, keepdims=True)
+    bits = (gray * 64 > total).astype(np.uint64)
+    hv = (bits * pows).sum(axis=1, dtype=np.uint64).view(np.int64)
+    for f, fast in zip(frames, hv):
+        assert int(fast) == _raw_ahash64(f, 8, 8), f[:6]
