@@ -5166,7 +5166,11 @@ def phash_image_neardup(spark, sf_dir):
         synth_block_image,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from flink_playground_spark.functions.similarity import _spread
+
+    # _spread: one local parquet split = one task running ALL the
+    # Python synth+hash work serially; a no-op at real scale
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     out_schema = "doc_id bigint, blob binary, media_format string"
 
     def synth(batches):
@@ -5219,7 +5223,9 @@ def audio_fingerprint_neardup(spark, sf_dir):
         synth_envelope_wav,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from flink_playground_spark.functions.similarity import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     out_schema = "doc_id bigint, blob binary, media_format string"
 
     def synth(batches):
@@ -5276,7 +5282,9 @@ def video_scene_neardup(spark, sf_dir):
         synth_scene_video,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from flink_playground_spark.functions.similarity import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     out_schema = "doc_id bigint, blob binary, media_format string"
 
     def synth(batches):
@@ -5288,7 +5296,12 @@ def video_scene_neardup(spark, sf_dir):
     fh = frame_phash(blobs, every_n=2).filter(F.col("fhash").isNotNull())
     grams = fh.select(F.col("doc_id").alias("doc"), F.col("fhash").alias("shingle")).distinct()
     counts = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    idx = grams.join(counts, "doc").select("doc", "n_sh", "shingle").persist()
+    # localCheckpoint, not persist: the prefix+verify arm references the
+    # index 3x, and persist does not truncate the analyzed plan — the
+    # whole synth->frame_sample->hash lineage would re-embed per branch
+    # (22 exchanges; the same fix as dedupe._lsh_rep_pairs, with the
+    # same executor-loss tradeoff documented there)
+    idx = grams.join(counts, "doc").select("doc", "n_sh", "shingle").localCheckpoint(eager=True)
     cand = prefix_filter_candidates(idx, threshold=0.8)
     return verify_pairs(idx, cand, threshold=0.8)
 
