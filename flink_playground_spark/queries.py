@@ -5179,9 +5179,12 @@ def phash_image_neardup(spark, sf_dir):
             yield pdf[["doc_id"]].assign(blob=blobs, media_format="image/ppm")
 
     blobs = docs.mapInPandas(synth, schema=out_schema)
+    # checkpoint the 8-byte-per-doc fingerprints: the band self-join +
+    # overflow guard reference them 3x, and each static branch would
+    # re-embed the spread+synth+hash lineage (7 exchanges -> 4)
     fp = perceptual_hash(blobs, kind="ahash").select(
         F.col("doc_id").alias("doc"), F.col("phash").alias("sh")
-    ).filter(F.col("sh").isNotNull())
+    ).filter(F.col("sh").isNotNull()).localCheckpoint(eager=True)
     return hamming_band_pairs(fp, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
@@ -5234,9 +5237,10 @@ def audio_fingerprint_neardup(spark, sf_dir):
             yield pdf[["doc_id"]].assign(blob=blobs, media_format="audio/wav")
 
     blobs = docs.mapInPandas(synth, schema=out_schema)
+    # checkpointed for the same 3x band-join fan-out as the image query
     fp = audio_fingerprint(blobs).select(
         F.col("doc_id").alias("doc"), F.col("afp").alias("sh")
-    ).filter(F.col("sh").isNotNull())
+    ).filter(F.col("sh").isNotNull()).localCheckpoint(eager=True)
     return hamming_band_pairs(fp, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
