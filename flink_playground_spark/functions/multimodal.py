@@ -578,31 +578,49 @@ def frame_phash(
     blob_col: str = "blob",
 ) -> DataFrame:
     """Video fingerprinting: sample every ``every_n``-th fixed-size frame
-    (frame_sample — the container codec stays the documented stub; the
-    frame payload is raw w x h x 3 RGB) and perceptual-hash each sampled
-    frame. Output one row per sampled frame: original columns +
-    ``frame_no int, fhash bigint`` (NULL for short frames). A video's
-    near-dup signature is its DISTINCT fhash set — scene content, not
-    frame count, so re-timed/re-sampled copies keep their signature."""
+    and perceptual-hash it, FUSED in one Arrow pass. Output one row per
+    sampled frame: original non-blob columns + ``frame_no int, fhash
+    bigint`` (NULL for short frames). A video's near-dup signature is
+    its DISTINCT fhash set — scene content, not frame count, so
+    re-timed/re-sampled copies keep their signature.
+
+    Sampling mirrors ``frame_sample``'s contract exactly (same frame_no
+    grid, same tail-slice semantics — pinned by a test), but the fusion
+    is the scale-relevant part: composing frame_sample ∘ hash replicates
+    the FULL source blob onto every sampled frame row across two Arrow
+    boundaries (at the 10x fixture: 1.2M rows x ~4.6KB video = ~5.5GB
+    serialized twice, 87s); fused, neither blobs nor frame payloads ever
+    leave Python — only (id, frame_no, 8-byte hash) rows do."""
     import numpy as np
 
-    frames = frame_sample(df, every_n=every_n, frame_size=3 * frame_w * frame_h, blob_col=blob_col)
-    keep_cols = [c for c in frames.columns if c != "frame"]
+    keep_cols = [c for c in df.columns if c != blob_col]
     out_schema = ", ".join(
-        f"`{c}` {frames.schema[c].dataType.simpleString()}" for c in keep_cols
-    ) + ", fhash bigint"
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + ", frame_no int, fhash bigint"
     fs = 3 * frame_w * frame_h
     pows = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [bytes(b) for b in pdf["frame"]]
-            if frame_w == 8 and frame_h == 8 and all(len(b) == fs for b in blobs):
+            blobs = [bytes(b) for b in pdf[blob_col]]
+            frame_nos = [
+                list(range(0, max(len(b) // fs, 1), every_n)) for b in blobs
+            ]
+            counts = [len(f) for f in frame_nos]
+            if sum(counts) == 0:
+                continue
+            flat_nos = [i for nos in frame_nos for i in nos]
+            flat_frames = [
+                b[i * fs : (i + 1) * fs]
+                for b, nos in zip(blobs, frame_nos)
+                for i in nos
+            ]
+            if frame_w == 8 and frame_h == 8 and all(len(f) == fs for f in flat_frames):
                 # vectorized fast path: an 8x8 frame IS the pooled grid,
                 # so the whole batch hashes in a handful of numpy ops —
                 # bit-identical to _raw_ahash64 (same integer compare,
                 # gray*64 > total_gray, cell counts all 1)
-                px = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, 64, 3)
+                px = np.frombuffer(b"".join(flat_frames), dtype=np.uint8).reshape(-1, 64, 3)
                 gray = px.sum(axis=2, dtype=np.int64)
                 total = gray.sum(axis=1, keepdims=True)
                 bits = (gray * 64 > total).astype(np.uint64)
@@ -610,11 +628,15 @@ def frame_phash(
                 hashes = pd.array(hv, dtype="Int64")
             else:
                 hashes = pd.array(
-                    [_raw_ahash64(b, frame_w, frame_h) for b in blobs], dtype="Int64"
+                    [_raw_ahash64(f, frame_w, frame_h) for f in flat_frames],
+                    dtype="Int64",
                 )
-            yield pdf[keep_cols].assign(fhash=hashes)
+            out = pdf[keep_cols].loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            out["frame_no"] = flat_nos
+            out["fhash"] = hashes
+            yield out
 
-    return frames.mapInPandas(compute, schema=out_schema)
+    return df.mapInPandas(compute, schema=out_schema)
 
 
 _SYNTH_SCENE_DUR = (2, 4, 3)  # frames per scene for members 0/1/2

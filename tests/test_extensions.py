@@ -1097,3 +1097,28 @@ def test_frame_phash_fast_path_matches_scalar():
     hv = (bits * pows).sum(axis=1, dtype=np.uint64).view(np.int64)
     for f, fast in zip(frames, hv):
         assert int(fast) == _raw_ahash64(f, 8, 8), f[:6]
+
+
+def test_frame_phash_fusion_matches_composition(spark):
+    """frame_phash (fused sample+hash) must equal frame_sample composed
+    with the scalar hash row-for-row — same frame_no grid, same
+    tail-slice semantics, including short and empty blobs."""
+    from flink_playground_spark.functions.multimodal import (
+        _raw_ahash64,
+        _splitmix64,
+        frame_phash,
+        frame_sample,
+    )
+
+    rows = []
+    for i, n_bytes in enumerate([192 * 7, 192 * 3 + 50, 100, 192, 0, 192 * 12]):
+        rows.append((i, bytes(_splitmix64(i * 100000 + j) & 0xFF for j in range(n_bytes))))
+    df = spark.createDataFrame(rows, "id int, blob binary")
+    fused = {
+        (r["id"], r["frame_no"]): r["fhash"]
+        for r in frame_phash(df, every_n=2).collect()
+    }
+    composed = {}
+    for r in frame_sample(df, every_n=2, frame_size=192).collect():
+        composed[(r["id"], r["frame_no"])] = _raw_ahash64(bytes(r["frame"]), 8, 8)
+    assert fused == composed, (len(fused), len(composed))
