@@ -608,15 +608,17 @@ def hamming_band_pairs(
     """Generic Hamming near-dup kernel over 64-bit fingerprints: (doc, sh)
     in, (id_a, id_b, hamming) pairs with hamming <= max_hamming out.
 
-    4x16-bit pigeonhole banding (a COMPLETE candidate generator for
-    max_hamming <= 3: two hashes within distance 3 must agree on at
-    least one 16-bit chunk), loud bucket-cap guard, exact bit_count
-    verification on the survivors. Fingerprint-agnostic: SimHash text
-    dedup and perceptual-hash image dedup both feed it. One shuffle for
-    the band self-join; a fingerprint is 8 bytes/doc so the banded
-    relation is 4 tiny rows per doc regardless of payload size."""
-    if max_hamming > 3:
-        raise ValueError("4x16 banding is only complete for max_hamming <= 3")
+    4x16-bit pigeonhole banding, loud bucket-cap guard, exact bit_count
+    verification on the survivors. COMPLETE for max_hamming <= 3 (two
+    hashes within distance 3 must agree on at least one 16-bit chunk);
+    for larger distances the verification stays exact but candidates
+    whose differing bits spread across all four chunks are missed —
+    the same approximate-recall contract the SimHash path has always
+    had (its callers pass <= 3 when they need completeness).
+    Fingerprint-agnostic: SimHash text dedup and perceptual-hash image
+    dedup both feed it. One shuffle for the band self-join; a
+    fingerprint is 8 bytes/doc so the banded relation is 4 tiny rows
+    per doc regardless of payload size."""
     banded = simhash_chunks(fp)
     if max_bucket is not None:
         over = lsh_bucket_overflow(banded, max_bucket).select("band", "bucket")
