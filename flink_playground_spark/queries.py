@@ -5190,6 +5190,52 @@ def phash_image_neardup(spark, sf_dir):
     )
 
 
+@register_extra(
+    "streaming_phash_neardup",
+    None,
+    tags=("ext-multimodal", "ext-dedup", "T6"),
+    bench=False,
+    py_oracle=_phash_neardup_py_oracle,
+)
+def streaming_phash_neardup(spark, sf_dir):
+    """phash_image_neardup maintained INCREMENTALLY — the streaming
+    variant the multimodal dedup family was missing (text already has
+    streaming near-dup, decontamination and substring ledgers): the
+    image corpus arrives in three deterministic waves, each wave is
+    hashed (one Arrow pass), banded, joined against ONLY the band-state
+    buckets it touches, and verified exactly; state and emitted pairs
+    are append-only delta ledgers (per-wave write IO ∝ wave rows, replay
+    skipped per batch). Every pair is emitted in the wave where its
+    later member arrives, so the drained set equals the batch answer —
+    value-checked against the SAME bit-exact Python reference as the
+    batch query (streaming/phash_index.py)."""
+    import tempfile
+
+    from flink_playground_spark.functions.multimodal import (
+        perceptual_hash,
+        synth_block_image,
+    )
+    from flink_playground_spark.functions.similarity import _spread
+    from flink_playground_spark.streaming.phash_index import StreamingPhashIndex
+
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_block_image(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="image/ppm")
+
+    index = StreamingPhashIndex(tempfile.mkdtemp(prefix="fps_phidx_"))
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).mapInPandas(synth, schema=out_schema)
+        fp = perceptual_hash(wave, kind="ahash").select(
+            F.col("doc_id").alias("doc"), F.col("phash").alias("sh")
+        ).filter(F.col("sh").isNotNull())
+        index.ingest(fp, batch_id=w)
+    return index.pairs(spark)
+
+
 def _audio_neardup_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import audio_fingerprint_neardup_ref
 
