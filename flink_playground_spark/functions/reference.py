@@ -959,11 +959,15 @@ def ahash64_ref(blob: bytes) -> int | None:
         return None
     sums = [0] * 64
     counts = [0] * 64
+    # cell index ((j+1)*8 - 1) // n is the exact inverse of the
+    # operator's floor boundaries [i*n//8, (i+1)*n//8) — the SAME grid
+    # partition for any n, computed by a different (closed-form) route,
+    # so parity holds on non-multiple-of-grid dims too (r11, ADVICE)
     for y in range(h):
-        gi = y * 8 // h
+        gi = ((y + 1) * 8 - 1) // h
         base = off + 3 * y * w
         for x in range(w):
-            gj = x * 8 // w
+            gj = ((x + 1) * 8 - 1) // w
             p = base + 3 * x
             sums[gi * 8 + gj] += blob[p] + blob[p + 1] + blob[p + 2]
             counts[gi * 8 + gj] += 3  # count in channel-samples; the
@@ -1036,8 +1040,11 @@ def audiohash64_ref(blob: bytes) -> int | None:
         return None
     sums = [0] * 64
     counts = [0] * 64
+    # ((i+1)*64 - 1) // n inverts the operator's floor boundaries
+    # [b*n//64, (b+1)*n//64) — same window partition for ANY n, not
+    # just multiples of 64 (r11, ADVICE)
     for i, s in enumerate(raw):
-        b = i * 64 // n
+        b = ((i + 1) * 64 - 1) // n
         sums[b] += s * s
         counts[b] += 1
     total_sum = sum(sums)
@@ -1086,10 +1093,12 @@ def raw_ahash64_ref(frame: bytes, w: int = 8, h: int = 8) -> int | None:
         return None
     sums = [0] * 64
     counts = [0] * 64
+    # same closed-form cell index as ahash64_ref: inverts the
+    # operator's floor boundaries for any w/h (r11, ADVICE)
     for y in range(h):
-        gi = y * 8 // h
+        gi = ((y + 1) * 8 - 1) // h
         for x in range(w):
-            gj = x * 8 // w
+            gj = ((x + 1) * 8 - 1) // w
             p = 3 * (y * w + x)
             sums[gi * 8 + gj] += frame[p] + frame[p + 1] + frame[p + 2]
             counts[gi * 8 + gj] += 3

@@ -951,6 +951,62 @@ def test_synth_block_corpus_planted_distances(spark):
         assert ((h0 & mask) ^ (h2 & mask)).bit_count() == cls % 4, cls
 
 
+def test_hash_reference_parity_on_non_grid_multiple_dims():
+    """Operator and reference hash kernels agree on inputs whose dims are
+    NOT multiples of the pooling grid (r11, ADVICE): the operator uses
+    explicit floor cell boundaries [i*n//k, (i+1)*n//k); the reference
+    inverts them with the closed form ((j+1)*k - 1)//n. The synth
+    corpora only exercise grid-multiple dims (32/16/24 images, 64*seg
+    audio), so this is the pin that keeps the bit-exactness claim true
+    if corpus dims ever change."""
+    import io
+    import random
+    import wave as wave_mod
+
+    from flink_playground_spark.functions.multimodal import (
+        _ahash64,
+        _audiohash64,
+        _raw_ahash64,
+    )
+    from flink_playground_spark.functions.reference import (
+        ahash64_ref,
+        audiohash64_ref,
+        raw_ahash64_ref,
+    )
+
+    rng = random.Random(7)
+
+    def ppm(w, h):
+        px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        return f"P6\n{w} {h}\n255\n".encode() + px
+
+    for w, h in [(12, 17), (9, 8), (13, 29), (100, 3), (32, 32)]:
+        blob = ppm(w, h)
+        assert _ahash64(blob) == ahash64_ref(blob), (w, h)
+
+    for w, h in [(10, 12), (11, 9), (8, 8)]:
+        frame = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        assert _raw_ahash64(frame, w, h) == raw_ahash64_ref(frame, w, h), (w, h)
+
+    def wav(n, chans):
+        buf = io.BytesIO()
+        pcm = bytearray()
+        for _ in range(n):
+            v = rng.randrange(-20000, 20000)
+            for _ in range(chans):
+                pcm += v.to_bytes(2, "little", signed=True)
+        with wave_mod.open(buf, "wb") as f:
+            f.setnchannels(chans)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(bytes(pcm))
+        return buf.getvalue()
+
+    for n, ch in [(100, 1), (65, 1), (997, 2), (64, 1)]:
+        blob = wav(n, ch)
+        assert _audiohash64(blob) == audiohash64_ref(blob), (n, ch)
+
+
 def test_audio_fingerprint_resample_robust_golden(spark):
     """A track re-rendered at a doubled sample rate (the same loudness
     envelope, twice the samples) fingerprints within Hamming 3 of the
