@@ -1,13 +1,18 @@
-"""Incremental perceptual-hash image near-dup index.
+"""Incremental Hamming-fingerprint near-dup index (image phash, audio
+fingerprints — any 64-bit modality).
 
-The batch query (queries.phash_image_neardup) answers "which image
-pairs in this corpus sit within Hamming 3". This index answers the
-pipeline question: *as image batches arrive, which of them duplicate
-anything seen so far* — the streaming counterpart the text families
-already have (streaming/neardup.py for MinHash, substring_dedup.py for
-exact substrings). Every qualifying pair is emitted exactly once, in
-the wave where its later member arrives, so the drained pair set equals
-the batch answer — which is exactly how the oracle checks it.
+The batch queries (queries.phash_image_neardup /
+audio_fingerprint_neardup) answer "which pairs in this corpus sit
+within Hamming 3". This index answers the pipeline question: *as media
+batches arrive, which of them duplicate anything seen so far* — the
+streaming counterpart the text families already have
+(streaming/neardup.py for MinHash, substring_dedup.py for exact
+substrings). The index never sees pixels or PCM: callers hash upstream
+(multimodal.perceptual_hash, multimodal.audio_fingerprint) and feed
+(doc, sh) 64-bit fingerprints, so ONE index implementation serves every
+Hamming-fingerprint modality. Every qualifying pair is emitted exactly
+once, in the wave where its later member arrives, so the drained pair
+set equals the batch answer — which is exactly how the oracle checks it.
 
 Incrementality is real, not nominal:
 
@@ -17,22 +22,29 @@ Incrementality is real, not nominal:
   touches (a semi-join on (band, bucket) prunes the scan); candidates
   are verified with an exact bit_count. Work ∝ wave docs x touched-
   bucket occupancy, independent of corpus age.
-- Per-wave state IO: both the band state and the emitted-pair log are
-  ``AppendDeltaState`` ledgers (streaming/txn_state.py) — a wave
-  commits one immutable delta dir whose bytes are ∝ the wave's rows,
-  never rewriting prior state, with the writers map skipping
-  re-delivered (writer, batch) pairs so an at-least-once foreachBatch
-  redelivery cannot double-emit.
+- Per-wave state IO: the band state, the emitted-pair log AND the
+  bucket-overflow set are all ``AppendDeltaState`` ledgers
+  (streaming/txn_state.py) — a wave commits immutable delta dirs whose
+  bytes are ∝ the wave's rows, never rewriting prior state. Replay is
+  checked against the band ledger (the LAST one committed) BEFORE any
+  write, and each ledger also skips per (writer, batch) — an
+  at-least-once foreachBatch redelivery, including one that crashed
+  between ledger commits, converges to the same state without
+  double-emitting (the overflow rewrite used to be a non-atomic
+  overwrite outside this protocol; r11 folded it in).
 - State size: 4 x (band, bucket, doc, 8-byte hash) rows per doc —
-  ~48B/doc regardless of image payload size. Pixels never enter state.
+  ~48B/doc regardless of media payload size.
 
 Bucket-cap contract (same as streaming/neardup.py): buckets whose
 ACCUMULATED distinct-doc count crosses ``max_bucket`` are appended to
-an overflow ledger (``<work>/bucket_overflow``) and excluded from every
-later candidate join — drained == batch whenever no bucket crosses the
-cap mid-stream (the tested regime); on a corpus that does overflow,
-pairs emitted before the crossing are never retracted and the ledger
-names every such bucket so the divergence is auditable.
+the overflow ledger and excluded from every later candidate join —
+drained == batch whenever no bucket crosses the cap mid-stream (the
+tested regime); on a corpus that does overflow (e.g. N identical
+all-black images hashing to one value), pairs emitted before the
+crossing are never retracted and the ledger names every such bucket so
+the divergence is auditable. The overflow set lives and is pruned
+entirely executor-side — no driver materialization, so a degenerate
+corpus cannot blow up the driver.
 """
 
 from __future__ import annotations
@@ -53,10 +65,12 @@ _PAIR_COLS = ("id_a", "id_b", "hamming")
 
 
 class StreamingPhashIndex:
-    """Keyed on 64-bit perceptual hashes: feed ``ingest`` one wave of
-    (doc, sh) fingerprints at a time (image -> hash happens upstream,
-    e.g. multimodal.perceptual_hash), read ``pairs`` for every near-dup
-    pair emitted so far."""
+    """Keyed on 64-bit fingerprints: feed ``ingest`` one wave of
+    (doc, sh) rows at a time (media -> hash happens upstream), read
+    ``pairs`` for every near-dup pair emitted so far. Modality-agnostic
+    — the same index instance serves image perceptual hashes and audio
+    energy-envelope fingerprints (``StreamingHammingIndex`` is the
+    honest alias)."""
 
     def __init__(
         self,
@@ -69,14 +83,20 @@ class StreamingPhashIndex:
         self.max_bucket = max_bucket
         self._bands = AppendDeltaState(f"{workdir}/bands", keys=["band", "bucket", "doc"])
         self._pairs = AppendDeltaState(f"{workdir}/pairs", keys=["id_a", "id_b"])
-        self._overflow_dir = f"{workdir}/bucket_overflow"
+        self._overflow = AppendDeltaState(
+            f"{workdir}/bucket_overflow", keys=["band", "bucket"]
+        )
 
     # -- internals ---------------------------------------------------------
 
-    def _overflow(self, spark: SparkSession) -> DataFrame | None:
-        if not glob.glob(f"{self._overflow_dir}/*.parquet"):
+    def _overflow_set(self, spark: SparkSession) -> DataFrame | None:
+        """Committed overflow (band, bucket) rows, deduplicated (a bucket
+        is appended once — when it crosses the cap — but a crash-redo
+        could legally append it twice; the distinct absorbs that)."""
+        out = self._overflow.read(spark)
+        if out is None:
             return None
-        return spark.read.parquet(self._overflow_dir)
+        return out.select("band", "bucket").distinct()
 
     def _verify(self, cand: DataFrame) -> DataFrame:
         ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -93,9 +113,19 @@ class StreamingPhashIndex:
     def ingest(self, fp: DataFrame, batch_id: int) -> None:
         """Fold one wave of (doc, sh) fingerprints: emit every pair the
         wave completes (new x new within the wave, new x state across
-        waves), then append the wave's bands. Replay-safe: a re-delivered
-        batch_id is skipped before any write."""
+        waves), then append the wave's bands.
+
+        Precondition (the exactly-once pair contract): each doc id
+        arrives in EXACTLY ONE wave. Re-ingesting a doc under a NEW
+        batch_id (an updated image, overlapping deliveries) is outside
+        the contract — it would pair the doc against its own stored
+        bands; ``pairs`` folds such duplicates by (id_a, id_b) so reads
+        stay deterministic, but drained == batch is only guaranteed
+        under one-wave-per-doc. Redelivery of the SAME batch_id is fully
+        safe: the replay probe below runs before any write."""
         spark = fp.sparkSession
+        if self._bands.committed("bands", batch_id):
+            return  # replay of a committed wave: skipped before ANY write
         banded = simhash_chunks(fp.select("doc", "sh")).localCheckpoint(eager=True)
         touched = banded.select("band", "bucket").distinct()
         prior = self._bands.read(spark)
@@ -113,20 +143,33 @@ class StreamingPhashIndex:
                 .filter(F.col("n") > self.max_bucket)
                 .select("band", "bucket")
             )
-            known_over = self._overflow(spark)
+            known_over = self._overflow_set(spark)
             if known_over is not None:
-                over = over.unionByName(known_over.select("band", "bucket")).distinct()
-            # the overflow set is BOUNDED BY DESIGN (it is the loud
-            # exception list, not data) — materialize it on the driver
-            # before overwriting the ledger, so the rewrite never reads
-            # the files it is replacing
-            over_rows = over.collect()
-            if over_rows:
-                over = spark.createDataFrame(over_rows, over.schema)
-                over.write.mode("overwrite").parquet(self._overflow_dir)
-                banded = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+                over = over.join(known_over, ["band", "bucket"], "left_anti")
+            # the overflow set is BOUNDED BY DESIGN (the loud exception
+            # list, not data): checkpointing it costs one tiny job and
+            # lets the healthy path — nothing overflowed, nothing known —
+            # skip the ledger append and both exclusion joins outright
+            new_over = over.localCheckpoint(eager=True)
+            if not new_over.isEmpty():
+                # newly-overflowed buckets become one immutable delta —
+                # atomic manifest commit, replay-skipped, never rewriting
+                # (or even reading) the previously recorded set; the
+                # exclusion joins read committed executor-side state, so
+                # overflow rows never pass through the driver
+                self._overflow.append(
+                    new_over.withColumn("since_batch", F.lit(batch_id)),
+                    writer_id="overflow",
+                    batch_id=batch_id,
+                    agg_cols=[F.min("since_batch").alias("since_batch")],
+                )
+                full_over = self._overflow_set(spark)
+            else:
+                full_over = known_over
+            if full_over is not None:
+                banded = banded.join(F.broadcast(full_over), ["band", "bucket"], "left_anti")
                 if prior is not None:
-                    prior = prior.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+                    prior = prior.join(F.broadcast(full_over), ["band", "bucket"], "left_anti")
 
         a, b = banded.alias("a"), banded.alias("b")
         new_new = a.join(
@@ -156,25 +199,50 @@ class StreamingPhashIndex:
             )
             pairs = pairs.unionByName(self._verify(new_old))
         # the two sources are disjoint (state never contains this wave's
-        # docs), so one distinct per source suffices; appends are
-        # replay-skipped per (writer, batch)
-        self._pairs.append(pairs, writer_id="pairs", batch_id=batch_id)
-        self._bands.append(banded, writer_id="bands", batch_id=batch_id)
+        # docs under the one-wave-per-doc precondition), so one distinct
+        # per source suffices; appends are replay-skipped per
+        # (writer, batch), and the bands append is the wave's COMMIT
+        # POINT — the replay probe above keys on it, so a crash anywhere
+        # earlier redoes the wave deterministically (already-committed
+        # overflow/pair deltas skip themselves)
+        self._pairs.append(
+            pairs,
+            writer_id="pairs",
+            batch_id=batch_id,
+            agg_cols=[F.min("hamming").alias("hamming")],
+        )
+        self._bands.append(
+            banded,
+            writer_id="bands",
+            batch_id=batch_id,
+            agg_cols=[F.min("sh").alias("sh")],
+        )
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         """Every near-dup pair emitted so far (drained == the batch
-        answer under the bucket-cap contract above)."""
+        answer under the bucket-cap contract above). Folded by the
+        declared (id_a, id_b) keys, so even a precondition-violating
+        re-ingest reads deterministically — one row per pair."""
         out = self._pairs.read(spark)
         if out is None:
             return spark.createDataFrame([], "id_a long, id_b long, hamming int")
-        return out.select(*_PAIR_COLS)
+        return (
+            out.groupBy("id_a", "id_b")
+            .agg(F.min("hamming").alias("hamming"))
+            .select(*_PAIR_COLS)
+        )
 
     def overflow_buckets(self, spark: SparkSession) -> DataFrame:
         """The loud ledger: (band, bucket) excluded from candidate joins."""
-        out = self._overflow(spark)
+        out = self._overflow_set(spark)
         if out is None:
             return spark.createDataFrame([], "band int, bucket long")
         return out
+
+
+# the index is fingerprint-agnostic; the historical name says "phash"
+# because images shipped first — audio callers use this alias
+StreamingHammingIndex = StreamingPhashIndex
 
 
 def state_bytes(workdir: str) -> int:

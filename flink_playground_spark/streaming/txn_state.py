@@ -460,6 +460,14 @@ class AppendDeltaState:
             json.dump(manifest, fh)
         os.replace(tmp, f"{self.path}/manifest.json")  # the commit point
 
+    def committed(self, writer_id: str, batch_id: int) -> bool:
+        """True when this (writer, batch) pair is already committed —
+        the replay probe a MULTI-ledger fold runs BEFORE its first
+        write, so a redelivered wave skips the whole ingest (every
+        side effect, not just this ledger's append)."""
+        last = self._manifest()["writers"].get(writer_id)
+        return last is not None and batch_id <= last
+
     def append(
         self,
         partials: DataFrame,

@@ -92,3 +92,64 @@ def test_bucket_overflow_excluded_and_ledgered(spark):
     # a later arrival in the same buckets stays excluded
     idx.ingest(_fp(spark, [(99, 0x1234)]), batch_id=1)
     assert idx.pairs(spark).count() == 0
+
+
+def _overflow_bytes(work):
+    import glob
+    import os
+
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(f"{work}/bucket_overflow/d*/**/*.parquet", recursive=True)
+    )
+
+
+def test_adversarial_hot_hash_overflows_loudly_without_driver_blowup(spark):
+    """The adversarial corpus the r10 verdict flagged: N all-black images
+    all hash to the same value, so one hot fingerprint floods every band
+    bucket. The cap must trigger loudly (overflow ledger names the
+    buckets), candidate joins must stay empty, and NOTHING about the
+    overflow set may pass through the driver — it is committed as an
+    append-only delta ledger (atomic manifest, replay-skipped), not a
+    collect + overwrite."""
+    from flink_playground_spark.functions.multimodal import perceptual_hash
+
+    work = tempfile.mkdtemp(prefix="fps_phidx_adv_")
+    idx = StreamingPhashIndex(work, max_bucket=8)
+    black = b"P6\n16 16\n255\n" + bytes(3 * 16 * 16)
+    rows = [(i, black) for i in range(12)]
+    fp = (
+        perceptual_hash(
+            spark.createDataFrame(rows, "doc long, blob binary"), kind="ahash"
+        )
+        .selectExpr("doc", "phash as sh")
+        .where("phash is not null")
+    )
+    idx.ingest(fp, batch_id=0)
+    assert idx.pairs(spark).count() == 0
+    over = {(r["band"], r["bucket"]) for r in idx.overflow_buckets(spark).collect()}
+    assert len(over) == 4, over  # all-black aHash = 0 -> bucket 0 in all 4 bands
+    # the ledger is immutable deltas + manifest, never an overwrite: a
+    # redelivered wave leaves the committed bytes untouched
+    before = _overflow_bytes(work)
+    idx.ingest(fp, batch_id=0)
+    assert _overflow_bytes(work) == before
+    # a later black image stays excluded; an unrelated pair still works
+    idx.ingest(_fp(spark, [(100, 0), (200, 0x0F0F), (201, 0x0F0F)]), batch_id=1)
+    assert {
+        (r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()
+    } == {(200, 201)}
+    assert len({(r["band"], r["bucket"]) for r in idx.overflow_buckets(spark).collect()}) == 4
+
+
+def test_reingest_under_new_batch_reads_deterministically(spark):
+    """The one-wave-per-doc precondition is documented, not enforced; if
+    a caller violates it (same doc under a NEW batch_id), pairs() must
+    still read deterministically — folded by (id_a, id_b), one row per
+    pair, never duplicate rows."""
+    work = tempfile.mkdtemp(prefix="fps_phidx_re_")
+    idx = StreamingPhashIndex(work)
+    idx.ingest(_fp(spark, [(1, 0x0F0F), (2, 0x0F0F)]), batch_id=0)
+    idx.ingest(_fp(spark, [(1, 0x0F0F)]), batch_id=1)  # violation
+    rows = idx.pairs(spark).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
