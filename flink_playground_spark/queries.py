@@ -5356,6 +5356,99 @@ def video_scene_neardup(spark, sf_dir):
     return verify_pairs(idx, cand, threshold=0.8)
 
 
+@register_extra(
+    "streaming_audiohash_neardup",
+    None,
+    tags=("ext-multimodal", "ext-dedup", "T6"),
+    bench=False,
+    py_oracle=_audio_neardup_py_oracle,
+)
+def streaming_audiohash_neardup(spark, sf_dir):
+    """audio_fingerprint_neardup maintained INCREMENTALLY — the audio
+    member of the streaming multimodal dedup family (VERDICT r10 Next
+    #2): tracks arrive in three deterministic waves, each wave is
+    fingerprinted (one Arrow pass over the real WAV decode), banded,
+    and joined against only the band-state buckets it touches. The
+    index is the SAME StreamingPhashIndex the image path uses — it
+    never sees media, only (doc, 64-bit fingerprint) rows, so one
+    implementation serves every Hamming-fingerprint modality
+    (StreamingHammingIndex is the honest alias). Drained == batch,
+    value-checked against the same bit-exact Python reference as the
+    batch audio query."""
+    import tempfile
+
+    from flink_playground_spark.functions.multimodal import (
+        audio_fingerprint,
+        synth_envelope_wav,
+    )
+    from flink_playground_spark.functions.similarity import _spread
+    from flink_playground_spark.streaming.phash_index import StreamingHammingIndex
+
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_envelope_wav(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="audio/wav")
+
+    index = StreamingHammingIndex(tempfile.mkdtemp(prefix="fps_ahidx_"))
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).mapInPandas(synth, schema=out_schema)
+        fp = audio_fingerprint(wave).select(
+            F.col("doc_id").alias("doc"), F.col("afp").alias("sh")
+        ).filter(F.col("sh").isNotNull())
+        index.ingest(fp, batch_id=w)
+    return index.pairs(spark)
+
+
+@register_extra(
+    "streaming_video_neardup",
+    None,
+    tags=("ext-multimodal", "ext-dedup", "T6"),
+    bench=False,
+    py_oracle=_video_neardup_py_oracle,
+)
+def streaming_video_neardup(spark, sf_dir):
+    """video_scene_neardup maintained INCREMENTALLY — the last modality
+    the streaming dedup family was missing (VERDICT r10 Next #2): video
+    waves are frame-sampled + perceptual-hashed in one fused Arrow pass
+    (multimodal.frame_phash), collapse to distinct frame-hash sets, and
+    fold into a StreamingFrameSetIndex — per-doc frame-hash-set state
+    with prefix-filtered candidates in a streaming-stable value order
+    and exact incremental set-Jaccard against only the touched state
+    rows (streaming/frameset_index.py). The wave split puts re-timed
+    copies of each title in DIFFERENT waves, so every planted pair
+    crosses state. Drained == batch, value-checked against the same
+    bit-exact Python reference as the batch video query."""
+    import tempfile
+
+    from flink_playground_spark.functions.multimodal import (
+        frame_phash,
+        synth_scene_video,
+    )
+    from flink_playground_spark.functions.similarity import _spread
+    from flink_playground_spark.streaming.frameset_index import StreamingFrameSetIndex
+
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_scene_video(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="video/raw-rgb8")
+
+    index = StreamingFrameSetIndex(tempfile.mkdtemp(prefix="fps_fsidx_"), threshold=0.8)
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).mapInPandas(synth, schema=out_schema)
+        fh = frame_phash(wave, every_n=2).filter(F.col("fhash").isNotNull())
+        grams = fh.select(
+            F.col("doc_id").alias("doc"), F.col("fhash").alias("shingle")
+        ).distinct()
+        index.ingest(grams, batch_id=w)
+    return index.pairs(spark)
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 

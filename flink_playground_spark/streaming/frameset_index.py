@@ -1,0 +1,186 @@
+"""Incremental frame-hash-set near-dup index: the streaming video
+counterpart of StreamingPhashIndex.
+
+The batch query (queries.video_scene_neardup) compares videos by EXACT
+Jaccard over their distinct sampled-frame perceptual-hash sets, pruned
+with the PPJoin prefix filter. This index maintains that answer as
+video waves arrive: which new titles near-duplicate anything seen so
+far. Like every streaming index here, it never sees frames — callers
+hash upstream (multimodal.frame_phash) and feed (doc, shingle) rows,
+one row per distinct frame hash, so state is ~16 longs per title
+regardless of payload size.
+
+Candidate generation is PREFIX FILTERING in a *streaming-stable* total
+order: the batch operator orders shingles rarest-first (document
+frequency), but document frequency drifts as the corpus grows — a
+prefix computed in wave 3 under wave-3 frequencies would not be
+comparable with state written under wave-1 frequencies. Prefixes here
+use ascending shingle VALUE instead: any fixed global total order makes
+the prefix theorem hold (two sets with Jaccard >= t share an element
+inside both prefixes — Chaudhuri ICDE'06; the proof never uses *which*
+order), and hash-value order never changes after the fact, so a
+prefix flag written at ingest time stays valid forever. The PPJoin
+positional bound (Xiao WWW'08 §3.2) survives for the same reason —
+ranks are positions in the same global order on both sides. The cost
+of value order vs rarest-first is that a globally-common shingle can
+sit inside prefixes (more candidates, never less recall); verification
+stays exact either way, so drained == batch.
+
+Per wave: the wave's sets rank + prefix-flag (one window over wave
+rows), candidates come from prefix⋈prefix joins against ONLY the state
+rows whose shingles the wave's prefixes touch (semi-join prune), and
+exact Jaccard verification (dedupe.verify_pairs) reads full sets just
+for the candidate docs. State and emitted pairs are ``AppendDeltaState``
+ledgers — per-wave write IO ∝ wave rows, atomic manifest commits,
+replay probed before any write (same crash protocol as the phash
+index). Precondition, also shared: each doc's FULL signature arrives in
+exactly one wave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_playground_spark.functions.dedupe import verify_pairs
+from flink_playground_spark.streaming.txn_state import AppendDeltaState
+
+_GRAM_COLS = ("doc", "n_sh", "shingle", "rk")
+
+
+class StreamingFrameSetIndex:
+    """Feed ``ingest`` one wave of (doc, shingle) distinct frame-hash
+    rows at a time; read ``pairs`` for every (id_a, id_b, jaccard) with
+    exact set-Jaccard >= threshold emitted so far."""
+
+    def __init__(self, workdir: str, threshold: float = 0.8):
+        self.workdir = workdir
+        self.threshold = threshold
+        self._grams = AppendDeltaState(f"{workdir}/grams", keys=["doc", "shingle"])
+        self._pairs = AppendDeltaState(f"{workdir}/pairs", keys=["id_a", "id_b"])
+
+    # -- internals ---------------------------------------------------------
+
+    def _prefix(self, grams: DataFrame) -> DataFrame:
+        """Prefix rows under the streaming-stable value order: the first
+        floor((1-t)*n_sh)+1 shingles of each doc by ascending value."""
+        return grams.filter(
+            F.col("rk") <= F.floor((1.0 - self.threshold) * F.col("n_sh")) + F.lit(1)
+        )
+
+    def _cand_join(self, a: DataFrame, b: DataFrame, cross_state: bool) -> DataFrame:
+        """Prefix⋈prefix candidates with the size and PPJoin positional
+        filters (both order-agnostic — see module docstring)."""
+        t = self.threshold
+        cond = (
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= t * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
+            )
+            & (
+                F.lit(1)
+                + F.least(F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk"))
+                >= (t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
+            )
+        )
+        if cross_state:
+            # state never holds this wave's docs (one-wave-per-doc), so
+            # the pair orientation is free — canonicalize to (min, max)
+            cond = cond & (F.col("a.doc") != F.col("b.doc"))
+            sel = [
+                F.least("a.doc", "b.doc").alias("id_a"),
+                F.greatest("a.doc", "b.doc").alias("id_b"),
+            ]
+        else:
+            cond = cond & (F.col("a.doc") < F.col("b.doc"))
+            sel = [F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")]
+        return a.alias("a").join(b.alias("b"), cond).select(*sel).distinct()
+
+    # -- API ----------------------------------------------------------------
+
+    def ingest(self, grams: DataFrame, batch_id: int) -> None:
+        """Fold one wave of (doc, shingle) rows: emit every pair the wave
+        completes, then append the wave's rows. Precondition: a doc's
+        full distinct-shingle set arrives in EXACTLY ONE wave (the same
+        one-wave-per-doc contract as StreamingPhashIndex.ingest, with
+        the same consequences when violated). Redelivery of the same
+        batch_id is probed against the grams ledger (the wave's commit
+        point) before any write."""
+        spark = grams.sparkSession
+        if self._grams.committed("grams", batch_id):
+            return
+        from pyspark.sql import Window
+
+        g = grams.select("doc", "shingle").distinct()
+        counts = g.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        wave = (
+            g.join(counts, "doc")
+            .withColumn(
+                "rk", F.row_number().over(Window.partitionBy("doc").orderBy("shingle"))
+            )
+            .select(*_GRAM_COLS)
+            .localCheckpoint(eager=True)
+        )
+        wave_prefix = self._prefix(wave)
+        cand = self._cand_join(wave_prefix, wave_prefix, cross_state=False)
+        idx = wave
+        state = self._grams.read(spark)
+        if state is not None:
+            # only state rows in shingles the wave's prefixes touch can
+            # seed a candidate; only candidate docs' full sets are read
+            # for verification — both prunes keep per-wave work ∝ wave
+            # size x true-duplicate density, not corpus age
+            touched = wave_prefix.select("shingle").distinct()
+            state_prefix = self._prefix(state).join(
+                F.broadcast(touched), "shingle", "left_semi"
+            )
+            cand = cand.unionByName(
+                self._cand_join(wave_prefix, state_prefix, cross_state=True)
+            ).distinct()
+            cand_docs = (
+                cand.select(F.col("id_a").alias("doc"))
+                .unionByName(cand.select(F.col("id_b").alias("doc")))
+                .distinct()
+            )
+            idx = wave.unionByName(
+                state.join(cand_docs, "doc", "left_semi")
+            )
+        pairs = verify_pairs(idx.select("doc", "n_sh", "shingle"), cand, self.threshold)
+        self._pairs.append(
+            pairs,
+            writer_id="pairs",
+            batch_id=batch_id,
+            agg_cols=[F.min("jaccard").alias("jaccard")],
+        )
+        self._grams.append(
+            wave,
+            writer_id="grams",
+            batch_id=batch_id,
+            agg_cols=[F.min("n_sh").alias("n_sh"), F.min("rk").alias("rk")],
+        )
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """Every near-dup pair emitted so far (drained == the batch
+        answer under the one-wave-per-doc precondition), folded by the
+        declared keys so reads are deterministic."""
+        out = self._pairs.read(spark)
+        if out is None:
+            return spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        return (
+            out.groupBy("id_a", "id_b")
+            .agg(F.min("jaccard").alias("jaccard"))
+            .select("id_a", "id_b", "jaccard")
+        )
+
+
+def state_bytes(workdir: str) -> int:
+    """Total bytes of committed gram-state deltas (test hook for the
+    per-wave write-IO contract)."""
+    import glob
+    import os
+
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(f"{workdir}/grams/d*/**/*.parquet", recursive=True)
+    )

@@ -372,6 +372,53 @@ def test_substring_ledger_compaction_and_replay_skip(spark, tmp_path):
     assert len(snap) > 0
 
 
+def test_append_delta_steady_state_fan_in_bounded_long_stream(spark, tmp_path):
+    """Steady-state contract under LONG streams (r11, VERDICT #6): after
+    every append across >= 3 x compact_every waves, the live-delta count
+    stays <= compact_every — so read fan-in (and with it ``firsts()``
+    cost) is bounded by the compaction knob, not by how many waves ever
+    committed. Covers both AppendDeltaState users: the substring gram
+    ledger and the phash band ledger."""
+    import time
+
+    from flink_playground_spark.streaming.phash_index import StreamingPhashIndex
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    base = "abcdefghij klmnopqrst uvwxyz0123 4567890abc defghijklm "
+    led = StreamingSubstringLedger(str(tmp_path / "led"), min_len=30, compact_every=3)
+    mid_t = None
+    for w in range(10):
+        docs = spark.createDataFrame(
+            [(w * 3 + i, base * 2 + f"tail{w}_{i}") for i in range(3)],
+            "doc_id bigint, text string",
+        )
+        assert led.ingest(docs, writer_id="w", batch_id=w)
+        assert len(led.state._manifest()["deltas"]) <= 3, w
+        if w == 3:
+            t0 = time.perf_counter()
+            led.firsts(spark).count()
+            mid_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = led.firsts(spark).count()
+    late_t = time.perf_counter() - t0
+    assert n > 0
+    # flat within noise: fan-in is pinned above, so the late read must
+    # not scale with wave count (generous 4x bound absorbs jitter)
+    assert late_t < max(mid_t, 0.2) * 4, (mid_t, late_t)
+
+    idx = StreamingPhashIndex(str(tmp_path / "ph"))
+    for ledger in (idx._bands, idx._pairs, idx._overflow):
+        ledger.compact_every = 3
+    for w in range(10):
+        rows = [(w * 4 + i, (w * 4 + i) * 0x9E3779B97F4A7C15 % (1 << 62)) for i in range(4)]
+        idx.ingest(
+            spark.createDataFrame(rows, "doc long, sh long"), batch_id=w
+        )
+        assert len(idx._bands._manifest()["deltas"]) <= 3, w
+        assert len(idx._pairs._manifest()["deltas"]) <= 3, w
+    assert idx.pairs(spark).count() >= 0
+
+
 def test_substring_planted_total_collision_still_exact(spark):
     """The collision-safety argument, pinned executable: with the hash
     forced to lit(0) EVERY gram collides into one hash — the prune
