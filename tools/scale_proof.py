@@ -87,10 +87,18 @@ def _time(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     # the ALGORITHM's data growth, so both sides get the same warmup.
     ALL[name].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     best = float("inf")
-    for _ in range(runs):
+    done = 0
+    # SELF-ADJUDICATING (round 11): sub-2s walls carry scheduler jitter
+    # comparable to their signal — min-of-2 was committing numbers (ngram
+    # 0.56, exact-substring 0.36) that PERF.md then had to correct via an
+    # out-of-band idle min-of-3. Bake that protocol in: a third timed run
+    # whenever the best so far is under 2s, so the committed number IS
+    # the adjudicated number. Still run IDLE (no other Spark JVM).
+    while done < runs or (best < 2.0 and done < 3):
         t0 = time.perf_counter()
         ALL[name].spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
+        done += 1
     return round(best, 3)
 
 
