@@ -352,6 +352,7 @@ def _lsh_rep_pairs(
     threshold: float,
     verify: bool,
     max_bucket: int | None,
+    checkpoint_pairs: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared kernel: collapse exact classes, band REPRESENTATIVES only,
     verify candidates. Returns (members, idx, rep_pairs) where rep_pairs
@@ -374,15 +375,31 @@ def _lsh_rep_pairs(
     where executor churn matters, swap for reliable checkpoint() to an
     HDFS/object-store dir. ``members`` stays a plain
     persist — corpus-sized, referenced by plans that already truncate
-    it to an InMemoryRelation, and checkpointing it measured SLOWER."""
+    it to an InMemoryRelation, and checkpointing it measured SLOWER.
+
+    The BANDED relation is also checkpointed (round 11): the bucket-cap
+    guard inside ``lsh_band_candidates`` references it from a broadcast
+    branch that exchange reuse cannot serve — without truncation the
+    whole signature pipeline (the 128-min aggregation) re-executed once
+    per guard evaluation, ~1s of the dedup_clusters wall at sf0.1. The
+    relation is (doc, band, bucket) — ``bands`` x ~16 B per rep, far
+    smaller than idx.
+
+    ``checkpoint_pairs=False`` skips the rep_pairs checkpoint for
+    callers that consume the pairs EXACTLY ONCE (minhash_dup_clusters:
+    connected_components' own edge checkpoint is the materialization) —
+    one fewer action; multi-branch consumers keep the default."""
     members = exact_dup_members(df, id_col, text_col).persist()
     rep_ids = members.filter(F.col("doc") == F.col("rep")).select(F.col("rep").alias(id_col))
     reps_df = df.join(rep_ids, id_col, "left_semi")
     idx = shingle_index(reps_df, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures(reps_df, id_col, text_col, k, n, index=idx)
-    cand = lsh_band_candidates(_band_signatures(sigs, bands, k // bands), max_bucket)
+    banded = _band_signatures(sigs, bands, k // bands).localCheckpoint(eager=True)
+    cand = lsh_band_candidates(banded, max_bucket)
     rep_pairs = verify_pairs(idx, cand, threshold) if verify else cand
-    return members, idx, rep_pairs.localCheckpoint(eager=True)
+    if checkpoint_pairs:
+        rep_pairs = rep_pairs.localCheckpoint(eager=True)
+    return members, idx, rep_pairs
 
 
 def expand_rep_pairs(
@@ -514,8 +531,11 @@ def minhash_dup_clusters(
     is two equi-joins plus one aggregate, outside the loop."""
     from flink_playground_spark.operators.graph import connected_components
 
+    # checkpoint_pairs=False: CC consumes the pairs exactly once and its
+    # own edge checkpoint is the materialization — one fewer action
     members, idx, rep_pairs = _lsh_rep_pairs(
-        df, id_col, text_col, k, bands, n, threshold, True, max_bucket
+        df, id_col, text_col, k, bands, n, threshold, True, max_bucket,
+        checkpoint_pairs=False,
     )
     from pyspark.sql import Window
 
