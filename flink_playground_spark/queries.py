@@ -256,7 +256,7 @@ def join_multiway(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "unnest_outer_items",
     """
 SELECT o.o_orderkey, l.l_partkey AS item
@@ -264,6 +264,7 @@ FROM orders o LEFT OUTER JOIN lineitem l
   ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
 """,
     tags=("J7", "J8"),
+    bench=False,
 )
 def unnest_outer_items(spark, sf_dir):
     """LEFT OUTER JOIN UNNEST(array) ON TRUE (CrossJoinJob.java:66-73):
@@ -1285,7 +1286,7 @@ def sessionize_events(spark, sf_dir):
     return gaps.unionAll(native)
 
 
-@register(
+@register_extra(
     "pivot_linestatus",
     """
 SELECT l_returnflag,
@@ -1294,6 +1295,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
     tags=("superset-agg",),
+    bench=False,
 )
 def pivot_linestatus(spark, sf_dir):
     """PIVOT: one column per linestatus value (explicit value list keeps
@@ -1438,7 +1440,7 @@ def streaming_stream_stream_join(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "range_join_events",
     """
 WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
@@ -1450,6 +1452,7 @@ FROM c JOIN e ON c.user_id = e.user_id
   AND e.err_ts > c.click_ts AND e.err_ts <= c.click_ts + INTERVAL '30 minutes'
 """,
     tags=("superset-join",),
+    bench=False,
 )
 def range_join_events(spark, sf_dir):
     """Interval/range join (errors within 30min after a click, per user).
@@ -1524,7 +1527,7 @@ def banded_interval_join(spark, sf_dir):
     return out.select("click_id", "err_id", "user_id", "click_ts", "err_ts")
 
 
-@register(
+@register_extra(
     "pandas_udf_bucket",
     """
 SELECT CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bucket, count(*) AS cnt,
@@ -1532,6 +1535,7 @@ SELECT CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bucket, count(*) AS cnt,
 FROM events GROUP BY 1
 """,
     tags=("U2", "udf"),
+    bench=False,
 )
 def pandas_udf_bucket(spark, sf_dir):
     """UDF surface (SURVEY §2.8 U2): an Arrow-vectorized pandas UDF,
@@ -1758,7 +1762,7 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
 """
 
 
-@register("cosine_topk", _COSINE_TOPK_SQL, tags=("ext-sim",), bench=True)
+@register_extra("cosine_topk", _COSINE_TOPK_SQL, tags=("ext-sim",), bench=True)
 def cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 neighbors for 8 query vectors —
     the ANN baseline. Broadcast queries; double math is bit-identical to
@@ -3399,7 +3403,7 @@ def content_chunking_full(spark, sf_dir):
     return content_chunks(docs, "doc_id", "text")
 
 
-@register_extra(
+@register(
     "chunk_dedup",
     """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -3420,6 +3424,7 @@ FROM ctext WHERE n_tokens >= 4
 GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 """,
     tags=("ext-sampling", "ext-dedup"),
+    bench=True,
 )
 def chunk_dedup(spark, sf_dir):
     """Chunk-level dedup — the payoff of content-defined chunking:
@@ -4221,7 +4226,7 @@ FROM t d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
-@register_extra(
+@register(
     "exact_substring_dedup",
     _EXACT_SUBSTRING_SQL,
     tags=("ext-text", "ext-dedup"),
@@ -4342,7 +4347,7 @@ FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN bg USING (doc_id)
 """
 
 
-@register_extra("quality_signals", _QUALITY_SIGNALS_SQL, tags=("ext-text",), bench=True)
+@register("quality_signals", _QUALITY_SIGNALS_SQL, tags=("ext-text",), bench=True)
 def quality_signals(spark, sf_dir):
     """Gopher-family repetition/diversity signals (type-token ratio,
     top-token fraction, duplicate-bigram fraction — Rae et al. 2021 App.
@@ -4589,7 +4594,7 @@ FROM assigned GROUP BY split, lang
 )
 
 
-@register_extra("leakage_safe_split", _LEAKAGE_SPLIT_SQL, tags=("ext-dedup", "ext-sampling"), bench=False)
+@register("leakage_safe_split", _LEAKAGE_SPLIT_SQL, tags=("ext-dedup", "ext-sampling"), bench=False)
 def leakage_safe_split(spark, sf_dir):
     """Group-aware train/test split: near-duplicate CLUSTERS, not
     documents, are the unit of assignment, so two near-identical
@@ -4636,7 +4641,7 @@ FROM tr JOIN ev USING (shingle) GROUP BY 1
 """
 
 
-@register_extra("decontaminate_overlap", _DECONTAM_SQL, tags=("ext-dedup", "ext-text"), bench=True)
+@register("decontaminate_overlap", _DECONTAM_SQL, tags=("ext-dedup", "ext-text"), bench=True)
 def decontaminate_overlap(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 37 != 0)
     sharing any word 3-gram with the held-out eval slice (doc_id % 37 ==

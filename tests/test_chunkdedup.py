@@ -5,8 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_playground_spark.queries import EXTRA_REGISTRY
+from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
 from flink_playground_spark.streaming.chunkdedup import streaming_chunk_dedup
+
+# rotation-safe lookup: driver-gate rotation moves entries between the
+# registries without changing what these tests pin
+ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY}
 from flink_playground_spark.streaming.neardup import replay_documents_stream
 
 
@@ -20,7 +24,7 @@ def test_streaming_chunk_dedup_equals_batch(spark, sf_dir, tmp_path):
     got = streaming_chunk_dedup(
         stream, work_dir=str(tmp_path / "state"), batch_seconds=secs
     ).toPandas()
-    want = EXTRA_REGISTRY["chunk_dedup"].spark_fn(spark, sf_dir).toPandas()
+    want = ALL_QUERIES["chunk_dedup"].spark_fn(spark, sf_dir).toPandas()
     cols = ["chunk_fp", "n_tokens", "n_occurrences", "n_docs", "canonical_doc"]
     assert _rows(got[cols]) == _rows(want[cols])
     assert len(secs) == 3
@@ -56,7 +60,7 @@ def test_streaming_chunk_dedup_state_reattach(spark, sf_dir, tmp_path):
 
     streaming_chunk_dedup(one_wave_stream(half_a), work_dir=work)
     got = streaming_chunk_dedup(one_wave_stream(half_b), work_dir=work).toPandas()
-    want = EXTRA_REGISTRY["chunk_dedup"].spark_fn(spark, sf_dir).toPandas()
+    want = ALL_QUERIES["chunk_dedup"].spark_fn(spark, sf_dir).toPandas()
     cols = ["chunk_fp", "n_tokens", "n_occurrences", "n_docs", "canonical_doc"]
     assert _rows(got[cols]) == _rows(want[cols])
 

@@ -159,7 +159,7 @@ def test_brute_force_topk_no_full_corpus_window(spark, sf_dir):
     """Two-level top-k: the global per-query rank must run AFTER the
     salted local prune — the plan's second window sees at most k·n_salt
     rows per query, so no partition holds a query's full corpus scores."""
-    df = REGISTRY["cosine_topk"].spark_fn(spark, sf_dir)
+    df = _q("cosine_topk").spark_fn(spark, sf_dir)
     plan = explain_str(df, "physical")
     # two Window nodes: salted local rank, then global re-rank
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2

@@ -43,9 +43,13 @@ def test_salted_join_rejects_right_and_full_outer(spark, sf_dir):
 
 def test_pandas_udf_registered_sql_callable(spark, sf_dir):
     """U2: after registration the UDF is callable from the SQL front end."""
-    from flink_playground_spark.queries import REGISTRY
+    from flink_playground_spark.queries import EXTRA_REGISTRY, REGISTRY
 
-    REGISTRY["pandas_udf_bucket"].spark_fn(spark, sf_dir).collect()  # registers
+    # rotation-safe lookup: driver-gate rotation moves entries between
+    # the registries without changing what this test pins
+    {**REGISTRY, **EXTRA_REGISTRY}["pandas_udf_bucket"].spark_fn(
+        spark, sf_dir
+    ).collect()  # registers
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
     out = spark.sql("SELECT value_bucket(value) AS b FROM events_v LIMIT 5").collect()
     assert all(r.b % 10 == 0 for r in out)
