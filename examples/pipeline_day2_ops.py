@@ -96,9 +96,56 @@ def main() -> None:
     total2 = st.read(spark).agg(F.sum("n")).first()[0]
     print(f"rescaled 8->32 buckets; replay skipped={not still_skipped}; n={total2}")
     assert still_skipped is False and total2 == total
+
+    # 6. streaming-index day-2 metrics: the dedup ledgers expose the
+    # same operational surface the PQ index's metrics log does — live
+    # delta count (read fan-in, bounded by compact_every), committed
+    # bytes/rows, per-writer replay ledger, overflow. All file-level:
+    # a dashboard polls them without a Spark session.
+    from flink_playground_spark.functions.multimodal import (
+        perceptual_hash,
+        synth_block_image,
+    )
+    from flink_playground_spark.streaming.phash_index import StreamingPhashIndex
+    from flink_playground_spark.streaming.substring_dedup import StreamingSubstringLedger
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+
+    led = StreamingSubstringLedger(f"{work}/substr_ledger", compact_every=2)
+    led.ingest(docs.filter(F.col("doc_id") % 2 == 0), writer_id="ingestq", batch_id=0)
+    led.ingest(docs.filter(F.col("doc_id") % 2 == 1), writer_id="ingestq", batch_id=1)
+    led.ingest(docs.filter(F.col("doc_id") % 2 == 1), writer_id="ingestq", batch_id=1)  # replay
+    lm = led.ops_metrics()
+    print(f"substring ledger ops: {lm}")
+    assert lm["grams"]["rows"] > 0 and lm["grams"]["writers"] == {"ingestq": 1}
+    assert lm["grams"]["live_deltas"] <= led.state.compact_every
+
+    idx = StreamingPhashIndex(f"{work}/phash_index")
+    small = docs.select("doc_id").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_block_image(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs)
+
+    for wave in range(3):
+        blobs = small.filter(F.col("doc_id") % 3 == wave).mapInPandas(
+            synth, schema="doc_id bigint, blob binary"
+        )
+        fp = perceptual_hash(blobs, kind="ahash").selectExpr(
+            "doc_id AS doc", "phash AS sh"
+        ).where("phash IS NOT NULL")
+        idx.ingest(fp, batch_id=wave)
+    pm = idx.ops_metrics()
+    n_pairs = idx.pairs(spark).count()
+    print(f"phash index ops: {pm}")
+    print(f"phash pairs so far: {n_pairs}")
+    assert pm["bands"]["rows"] > 0 and n_pairs > 0
+    assert pm["overflow"]["rows"] == 0  # healthy corpus: nothing traded
+
     print(
         "day-2 loop complete: observe -> compact -> snapshot -> "
-        "exactly-once agg -> rescale"
+        "exactly-once agg -> rescale -> index ops metrics"
     )
 
 

@@ -174,6 +174,12 @@ class StreamingFrameSetIndex:
         )
 
 
+    def ops_metrics(self) -> dict:
+        """Day-2 snapshot of both ledgers (file-level, no Spark session)
+        — same surface as StreamingPhashIndex.ops_metrics."""
+        return {"grams": self._grams.metrics(), "pairs": self._pairs.metrics()}
+
+
 def state_bytes(workdir: str) -> int:
     """Total bytes of committed gram-state deltas (test hook for the
     per-wave write-IO contract)."""

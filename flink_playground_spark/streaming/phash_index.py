@@ -239,6 +239,19 @@ class StreamingPhashIndex:
             return spark.createDataFrame([], "band int, bucket long")
         return out
 
+    def ops_metrics(self) -> dict:
+        """Day-2 snapshot of all three ledgers (file-level, no Spark
+        session — the same surface the PQ index's metrics log exposes):
+        per-ledger live-delta count / bytes / rows / replay ledger. An
+        operator alerts on ``overflow.rows > 0`` (recall deliberately
+        traded in named buckets) and on ``bands.live_deltas`` nearing
+        ``compact_every`` (read fan-in ceiling)."""
+        return {
+            "bands": self._bands.metrics(),
+            "pairs": self._pairs.metrics(),
+            "overflow": self._overflow.metrics(),
+        }
+
 
 # the index is fingerprint-agnostic; the historical name says "phash"
 # because images shipped first — audio callers use this alias

@@ -119,6 +119,11 @@ class StreamingSubstringLedger:
             partials, writer_id=writer_id, batch_id=batch_id, agg_cols=self._agg()
         )
 
+    def ops_metrics(self) -> dict:
+        """Day-2 snapshot of the gram ledger (file-level, no Spark
+        session) — same surface as StreamingPhashIndex.ops_metrics."""
+        return {"grams": self.state.metrics()}
+
     def firsts(self, spark: SparkSession) -> DataFrame | None:
         """Current HASH-level ledger folded to ``(__gh, __f struct,
         __n)``, or None before the first ingest. ``__f``/``__n`` are

@@ -532,6 +532,35 @@ class AppendDeltaState:
         self.vacuum()
         return True
 
+    def metrics(self) -> dict:
+        """Day-2 operational snapshot, file-level (no Spark session):
+        live-delta count (the read fan-in compaction bounds), committed
+        bytes and file count across live deltas, total row count (from
+        parquet footers via pyarrow — no scan), the manifest seq, and
+        the per-writer replay ledger. The numbers every dashboard needs
+        to alert on ledger growth before it becomes a problem."""
+        import pyarrow.dataset as ds
+
+        manifest = self._manifest()
+        live = [f"{self.path}/d{s}" for s in manifest["deltas"]]
+        files = [
+            p
+            for d in live
+            if os.path.isdir(d)
+            for p in (os.path.join(d, f) for f in os.listdir(d))
+            if p.endswith(".parquet")
+        ]
+        rows = sum(ds.dataset(f, format="parquet").count_rows() for f in files)
+        return {
+            "live_deltas": len(manifest["deltas"]),
+            "compact_every": self.compact_every,
+            "seq": manifest["seq"],
+            "files": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "rows": rows,
+            "writers": dict(manifest["writers"]),
+        }
+
     def vacuum(self) -> int:
         """Delete delta dirs the manifest no longer references (shadowed
         by compaction, or orphans of crashed appends)."""

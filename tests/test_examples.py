@@ -38,6 +38,23 @@ def test_materialized_views_pipeline_runs():
     assert "materialized-view loop complete" in proc.stdout
 
 
+def test_day2_ops_pipeline_runs():
+    """Day-2 capstone incl. the streaming-index ops metrics (r11): the
+    script carries its own asserts (non-empty ledgers, bounded fan-in,
+    replay skipped, zero overflow on the healthy corpus); a green exit
+    plus the metrics lines is the verification."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "pipeline_day2_ops.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "substring ledger ops: {'grams':" in proc.stdout
+    assert "phash index ops: {'bands':" in proc.stdout
+    assert "day-2 loop complete" in proc.stdout
+
+
 def test_model_guided_curation_pipeline_runs():
     """Round-4 capstone: global passage dedup -> LM scoring -> in-engine
     classifier gate (quantile cut) -> PQ semantic index. A green exit
