@@ -179,6 +179,20 @@ class StreamingFrameSetIndex:
         — same surface as StreamingPhashIndex.ops_metrics."""
         return {"grams": self._grams.metrics(), "pairs": self._pairs.metrics()}
 
+    def forget(self, spark: SparkSession, docs) -> dict:
+        """Retention / takedown: remove a doc cohort's gram rows and
+        every pair referencing it — same contract and caveats as
+        StreamingPhashIndex.forget (rows here are raw per-doc facts, so
+        deletion is surgical; the replay ledger still skips the
+        original waves)."""
+        ids = sorted(set(docs))
+        return {
+            "grams_removed": self._grams.prune(spark, F.col("doc").isin(ids)),
+            "pairs_removed": self._pairs.prune(
+                spark, F.col("id_a").isin(ids) | F.col("id_b").isin(ids)
+            ),
+        }
+
 
 def state_bytes(workdir: str) -> int:
     """Total bytes of committed gram-state deltas (test hook for the

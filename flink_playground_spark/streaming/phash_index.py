@@ -239,6 +239,31 @@ class StreamingPhashIndex:
             return spark.createDataFrame([], "band int, bucket long")
         return out
 
+    def forget(self, spark: SparkSession, docs) -> dict:
+        """Retention / takedown: transactionally remove a doc cohort
+        from the index — its band-state rows and every emitted pair that
+        references it. ``docs`` is an iterable of doc ids (the bounded
+        delete list an operator hands a retention job, not a DataFrame —
+        deletes are an explicit, audited act).
+
+        Exactness: band rows and pair rows are RAW facts per doc (never
+        folded across docs), so deletion is surgical — remaining docs'
+        state and pairs are byte-identical to an index that never saw
+        the cohort, EXCEPT that (a) the replay ledger still skips the
+        original waves (deletes must not resurrect data) and (b)
+        overflow buckets the cohort helped cross stay excluded (the cap
+        records that the bucket WAS degenerate; un-crossing it would
+        silently re-admit candidates recall already skipped — operators
+        re-ingest survivors into a fresh index to reclaim such buckets).
+        Cost ∝ live state (the pass doubles as a compaction)."""
+        ids = sorted(set(docs))
+        return {
+            "bands_removed": self._bands.prune(spark, F.col("doc").isin(ids)),
+            "pairs_removed": self._pairs.prune(
+                spark, F.col("id_a").isin(ids) | F.col("id_b").isin(ids)
+            ),
+        }
+
     def ops_metrics(self) -> dict:
         """Day-2 snapshot of all three ledgers (file-level, no Spark
         session — the same surface the PQ index's metrics log exposes):

@@ -532,6 +532,48 @@ class AppendDeltaState:
         self.vacuum()
         return True
 
+    def prune(self, spark: SparkSession, predicate: F.Column) -> int:
+        """Transactionally DELETE ledger rows matching ``predicate`` —
+        retention for append-only state (aged-out cohorts, takedown doc
+        ids). Returns rows removed.
+
+        Correctness contract: callers must only prune ledgers whose rows
+        are RAW facts per key (the phash band/pair ledgers, frameset
+        grams), not folded aggregates a deleted row contributed to —
+        deleting a partial from a MIN/SUM fold (the substring gram
+        ledger) cannot un-count its contribution; such ledgers need a
+        rebuild instead, and their owners do not expose prune.
+
+        Mechanics mirror TransactionalKeyState.prune: one full-state
+        scan, survivors land in ONE fresh delta (so the pass doubles as
+        a compaction), the atomic manifest replace is the commit point,
+        shadowed deltas are vacuumed, and the ``writers`` replay ledger
+        is untouched — a replayed wave whose rows were since pruned is
+        STILL skipped (retention must not resurrect data through the
+        at-least-once path). Cost ∝ live state, a rare maintenance pass."""
+        with _writer_lock(self.path):
+            manifest = self._manifest()
+            if not manifest["deltas"]:
+                return 0
+            cur = spark.read.parquet(
+                *[f"{self.path}/d{s}" for s in manifest["deltas"]]
+            )
+            # NULL predicate rows are KEPT (a delete must be affirmative)
+            pred = F.coalesce(predicate.cast("boolean"), F.lit(False))
+            agg = cur.select(
+                F.count(F.lit(1)).alias("total"), F.sum(pred.cast("long")).alias("hits")
+            ).first()
+            removed = int(agg["hits"] or 0)
+            if removed == 0:
+                return 0
+            seq = manifest["seq"] + 1
+            cur.filter(~pred).write.mode("overwrite").parquet(f"{self.path}/d{seq}")
+            manifest["deltas"] = [seq]
+            manifest["seq"] = seq
+            self._commit(manifest)
+            self.vacuum()
+            return removed
+
     def metrics(self) -> dict:
         """Day-2 operational snapshot, file-level (no Spark session):
         live-delta count (the read fan-in compaction bounds), committed

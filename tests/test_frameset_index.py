@@ -65,6 +65,26 @@ def test_per_wave_write_io_tracks_wave_rows(spark):
     assert delta < after_big / 2, (delta, after_big)
 
 
+def test_forget_removes_cohort_and_metrics_report(spark):
+    """Retention on the video index: forgetting a title drops its gram
+    rows and the pairs referencing it; ops_metrics reflects the shrink;
+    the replayed original wave stays skipped."""
+    base = list(range(1, 11))
+    idx = StreamingFrameSetIndex(tempfile.mkdtemp(prefix="fps_fsidx_fg_"))
+    idx.ingest(_grams(spark, [(1, base), (2, base)]), batch_id=0)
+    idx.ingest(_grams(spark, [(3, base)]), batch_id=1)
+    assert {
+        (r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()
+    } == {(1, 2), (1, 3), (2, 3)}
+    stats = idx.forget(spark, [2])
+    assert stats == {"grams_removed": 10, "pairs_removed": 2}, stats
+    assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == {(1, 3)}
+    m = idx.ops_metrics()
+    assert m["grams"]["rows"] == 20 and m["pairs"]["rows"] == 1
+    idx.ingest(_grams(spark, [(1, base), (2, base)]), batch_id=0)  # replay
+    assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == {(1, 3)}
+
+
 def test_common_shingle_across_waves_still_found(spark):
     """The streaming-stable VALUE-order prefix must stay complete when
     the discriminating shingle is globally common (the case rarest-first

@@ -142,6 +142,35 @@ def test_adversarial_hot_hash_overflows_loudly_without_driver_blowup(spark):
     assert len({(r["band"], r["bucket"]) for r in idx.overflow_buckets(spark).collect()}) == 4
 
 
+def test_forget_removes_cohort_without_resurrection(spark):
+    """Retention/takedown: forgetting a doc removes its band state and
+    every pair referencing it; a later near-identical arrival pairs only
+    with the survivors; the replay ledger still skips the forgotten
+    doc's original wave (deletes must not resurrect data)."""
+    work = tempfile.mkdtemp(prefix="fps_phidx_fg_")
+    idx = StreamingPhashIndex(work)
+    idx.ingest(_fp(spark, [(1, 0x0F0F), (2, 0x0F0F)]), batch_id=0)
+    idx.ingest(_fp(spark, [(3, 0x0F0F)]), batch_id=1)
+    assert {
+        (r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()
+    } == {(1, 2), (1, 3), (2, 3)}
+    stats = idx.forget(spark, [2])
+    assert stats == {"bands_removed": 4, "pairs_removed": 2}, stats
+    assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == {(1, 3)}
+    # a new near-identical doc pairs with survivors only
+    idx.ingest(_fp(spark, [(4, 0x0F0F)]), batch_id=2)
+    assert {
+        (r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()
+    } == {(1, 3), (1, 4), (3, 4)}
+    # replaying doc 2's original wave is STILL skipped
+    idx.ingest(_fp(spark, [(1, 0x0F0F), (2, 0x0F0F)]), batch_id=0)
+    assert {
+        (r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()
+    } == {(1, 3), (1, 4), (3, 4)}
+    # forgetting a doc no state row mentions is a clean no-op
+    assert idx.forget(spark, [999]) == {"bands_removed": 0, "pairs_removed": 0}
+
+
 def test_reingest_under_new_batch_reads_deterministically(spark):
     """The one-wave-per-doc precondition is documented, not enforced; if
     a caller violates it (same doc under a NEW batch_id), pairs() must
