@@ -136,6 +136,17 @@ def main() -> None:
     for name in PROBES:
         t_small = _time(spark, name, small)
         t_big = _time(spark, name, big)
+        confirmed = False
+        if t_big / t_small > 0.5 * factor:
+            # CONFIRM pass (round 11, same philosophy as bench.py's
+            # regression confirm): a probe landing super-0.5 gets both
+            # sides re-timed before the number is committed — a host
+            # burst inflating one side's min-of-N must not be recorded
+            # as an algorithmic scaling claim. Only what persists
+            # through the confirm is committed.
+            t_small = min(t_small, _time(spark, name, small, runs=1))
+            t_big = min(t_big, _time(spark, name, big, runs=2))
+            confirmed = True
         ratio = round(t_big / t_small, 2)
         rows[name] = {
             "sf0.1_s": t_small,
@@ -143,6 +154,8 @@ def main() -> None:
             "ratio": ratio,
             "scaling": round(ratio / factor, 2),
         }
+        if confirmed:
+            rows[name]["confirm_pass"] = True
         print(f"{name:28s} {t_small:8.2f}s {t_big:8.2f}s  x{ratio:<6} scaling {ratio / factor:.2f}")
 
     cc = {"sf0.1": _cc_rounds(spark, small), "sf1": _cc_rounds(spark, big)}
