@@ -537,22 +537,34 @@ def minhash_dup_clusters(
         df, id_col, text_col, k, bands, n, threshold, True, max_bucket,
         checkpoint_pairs=False,
     )
+    comp = connected_components(rep_pairs, "id_a", "id_b", max_iter=max_iter).select(
+        F.col("node").alias("rep"), F.col("comp")
+    )
+    return attach_cluster_members(members, idx, comp)
+
+
+def attach_cluster_members(
+    members: DataFrame, idx: DataFrame, comp: DataFrame
+) -> DataFrame:
+    """Expand a representative-level (rep, comp) cluster mapping to the
+    member-level ``(doc_id, cluster_id, cluster_size, is_canonical)``
+    contract — the shared tail of the batch and streaming cluster
+    pipelines (comp from connected_components or from the incremental
+    streaming/cc_index.py mapping; identical output either way).
+
+    Per-class and per-cluster counts are WINDOWS, not groupBy+self-join:
+    each self-join re-embedded the full members lineage (persisted, but
+    persist does not truncate the analyzed plan) in another branch —
+    the r9 plan carried members' fingerprint exchange 8 times (19
+    exchanges total). Single-referencing mem_ok/expanded keeps one
+    lineage per relation; a count-over-partition is one exchange+sort
+    with the same skew bound the groupBy had (class/cluster size).
+    A doc participates iff its class has >=2 members (within-class
+    pairs at Jaccard 1.0) or its rep near-dups another class."""
     from pyspark.sql import Window
 
     have_sh = idx.select(F.col("doc").alias("rep")).distinct()
     mem_ok = members.join(have_sh, "rep", "left_semi")
-    comp = connected_components(rep_pairs, "id_a", "id_b", max_iter=max_iter).select(
-        F.col("node").alias("rep"), F.col("comp")
-    )
-    # per-class and per-cluster counts as WINDOWS, not groupBy+self-join:
-    # each self-join re-embedded the full members lineage (persisted, but
-    # persist does not truncate the analyzed plan) in another branch —
-    # the r9 plan carried members' fingerprint exchange 8 times (19
-    # exchanges total). Single-referencing mem_ok/expanded keeps one
-    # lineage per relation; a count-over-partition is one exchange+sort
-    # with the same skew bound the groupBy had (class/cluster size).
-    # A doc participates iff its class has >=2 members (within-class
-    # pairs at Jaccard 1.0) or its rep near-dups another class.
     expanded = (
         mem_ok.withColumn(
             "__csz", F.count(F.lit(1)).over(Window.partitionBy("rep"))

@@ -3470,6 +3470,46 @@ FROM cc JOIN sz USING (cluster_id)
 )
 
 
+@register_extra(
+    "streaming_dedup_clusters",
+    _DEDUP_CLUSTERS_SQL,
+    tags=("ext-dedup", "T6"),
+    bench=False,
+)
+def streaming_dedup_clusters(spark, sf_dir):
+    """dedup_clusters maintained INCREMENTALLY — the missing last step
+    of the streaming dedup story: the near-dup indexes emit PAIRS per
+    wave, but acting on duplicates needs CLUSTERS, and cluster
+    assignment was batch-only. Here the verified rep-level pair set
+    arrives in three deterministic waves (split by pair hash) and folds
+    through StreamingDupClusters (streaming/cc_index.py): each wave
+    solves connected components over only its edges plus the stored
+    members of the components it touches, appending (node, min-label)
+    rows to an order-free MIN ledger — per-wave work ∝ wave size x
+    touched-component mass, never corpus age. The drained mapping feeds
+    the SAME member-attach tail as the batch query
+    (dedupe.attach_cluster_members), so the output — and the recursive-
+    CTE DuckDB oracle — are identical to batch dedup_clusters."""
+    import tempfile
+
+    from flink_playground_spark.functions.dedupe import (
+        _lsh_rep_pairs,
+        attach_cluster_members,
+    )
+    from flink_playground_spark.streaming.cc_index import StreamingDupClusters
+
+    docs = _t(spark, sf_dir, "documents")
+    members, idx, rep_pairs = _lsh_rep_pairs(
+        docs, "doc_id", "text", 128, 32, 3, 0.8, True, 10_000
+    )
+    index = StreamingDupClusters(tempfile.mkdtemp(prefix="fps_ccidx_"))
+    for w in range(3):
+        wave = rep_pairs.filter(F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3)) == w)
+        index.ingest(wave, batch_id=w, src="id_a", dst="id_b")
+    comp = index.mapping(spark).select(F.col("node").alias("rep"), F.col("comp"))
+    return attach_cluster_members(members, idx, comp)
+
+
 @register_extra("dedup_clusters", _DEDUP_CLUSTERS_SQL, tags=("ext-dedup",), bench=True)
 def dedup_clusters(spark, sf_dir):
     """Pairs -> clusters: the last step of the MinHash dedup pipeline.

@@ -1,0 +1,131 @@
+"""Incremental connected components: streaming duplicate-cluster
+maintenance over edge waves.
+
+The streaming near-dup indexes (minhash, phash, frameset) emit PAIRS
+incrementally, but turning pairs into CLUSTERS — the step a dedup
+pipeline actually acts on — was batch-only (operators/graph.py over the
+full edge set). This index maintains the cluster mapping as edge waves
+arrive: per wave it solves connected components over ONLY the wave's
+edges plus the stored members of the components those edges touch, so
+per-wave work tracks wave size x touched-component mass, never corpus
+age. A wave that merges two old clusters relabels exactly their
+members; everything else is untouched.
+
+Why a min-fold ledger is exactly right: the component label is the
+minimum reachable node id, and adding edges can only GROW components —
+a node's label is monotonically non-increasing over the stream. That
+makes per-node MIN an order-free fold (``AppendDeltaState``'s
+contract): each wave appends (node, comp) rows for the nodes it
+touched, and the current mapping is ``min(comp) per node`` over all
+live deltas — no rewrite of prior state, per-wave write IO ∝ touched
+nodes, replay skipped per (writer, batch), compaction bounding read
+fan-in. The same monotonicity argument is why label-propagation CC
+converges at all; here it doubles as the storage contract.
+
+Correctness per wave: let T be the set of stored components containing
+any endpoint of the wave's edges. The solve runs over (wave edges) ∪
+(star edges node→comp for every stored member of T). Any two nodes
+connected in the accumulated graph are connected in this sub-graph
+union the untouched components (which the wave cannot affect), so the
+new labels are the true component minima; nodes outside T keep their
+stored rows. Drained mapping == batch ``connected_components`` over
+the union of all waves' edges — the parity the tests and the
+``streaming_dedup_clusters`` oracle query pin.
+
+At 100 TB: the per-wave solve reuses operators/graph.py (partition-local
+union-find contraction + O(log n) pointer-doubling loop), so even a
+wave that touches a giant component stays distributed; state IO is the
+append-only ledger shape every table format implements natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_playground_spark.operators.graph import connected_components
+from flink_playground_spark.streaming.txn_state import AppendDeltaState
+
+
+class StreamingDupClusters:
+    """Feed ``ingest`` one wave of (u, v) near-dup edges at a time; read
+    ``mapping`` for the current (node, comp) cluster assignment, comp =
+    min node id of the component (the canonical-survivor rule every
+    batch cluster operator here uses)."""
+
+    def __init__(self, workdir: str, compact_every: int = 8):
+        self.workdir = workdir
+        self._state = AppendDeltaState(
+            f"{workdir}/mapping", keys=["node"], compact_every=compact_every
+        )
+
+    @staticmethod
+    def _agg() -> list:
+        # labels only decrease as components merge — MIN is the exact,
+        # order-free fold (see module docstring)
+        return [F.min("comp").alias("comp")]
+
+    def mapping(self, spark: SparkSession) -> DataFrame:
+        """Current (node, comp) assignment for every node ever seen in
+        an edge (isolated docs are their own cluster by convention and
+        never enter the graph — same contract as connected_components)."""
+        out = self._state.read(spark)
+        if out is None:
+            return spark.createDataFrame([], "node long, comp long")
+        return out.groupBy("node").agg(*self._agg())
+
+    def ingest(self, edges: DataFrame, batch_id: int, src: str = "u", dst: str = "v") -> None:
+        """Fold one wave of undirected edges. Replay of a committed
+        batch_id is probed before any write; edges may arrive in any
+        wave order (the min-fold absorbs any interleaving — pinned by
+        an out-of-order test)."""
+        spark = edges.sparkSession
+        if self._state.committed("cc", batch_id):
+            return
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        graph = e
+        state = self._state.read(spark)
+        if state is not None:
+            cur = state.groupBy("node").agg(*self._agg())
+            # components the wave touches: comps of any endpoint node...
+            wave_nodes = e.select(F.col("u").alias("node")).unionByName(
+                e.select(F.col("v").alias("node"))
+            ).distinct()
+            touched = (
+                cur.join(F.broadcast(wave_nodes), "node", "left_semi")
+                .select("comp")
+                .distinct()
+            )
+            # ...and ALL stored members of those comps ride in as star
+            # edges, so a wave edge bridging two old clusters relabels
+            # both completely (work ∝ touched-component mass)
+            members = cur.join(F.broadcast(touched), "comp", "left_semi")
+            star = members.filter(F.col("node") != F.col("comp")).select(
+                F.col("node").alias("u"), F.col("comp").alias("v")
+            )
+            graph = e.unionByName(star)
+        new_map = connected_components(graph, "u", "v").select("node", "comp")
+        self._state.append(
+            new_map, writer_id="cc", batch_id=batch_id, agg_cols=self._agg()
+        )
+
+    def ops_metrics(self) -> dict:
+        """Day-2 snapshot (file-level, no Spark session) — same surface
+        as the other streaming indexes."""
+        return {"mapping": self._state.metrics()}
+
+
+def state_bytes(workdir: str) -> int:
+    """Committed mapping-ledger bytes (test hook for per-wave write IO)."""
+    import glob
+    import os
+
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(f"{workdir}/mapping/d*/**/*.parquet", recursive=True)
+    )
