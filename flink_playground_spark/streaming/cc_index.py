@@ -74,11 +74,21 @@ class StreamingDupClusters:
             return spark.createDataFrame([], "node long, comp long")
         return out.groupBy("node").agg(*self._agg())
 
+    def committed(self, batch_id: int) -> bool:
+        """True when ``batch_id`` is already folded into the mapping —
+        the composed pipeline's whole-wave replay probe."""
+        return self._state.committed("cc", batch_id)
+
     def ingest(self, edges: DataFrame, batch_id: int, src: str = "u", dst: str = "v") -> None:
         """Fold one wave of undirected edges. Replay of a committed
-        batch_id is probed before any write; edges may arrive in any
-        wave order (the min-fold absorbs any interleaving — pinned by
-        an out-of-order test)."""
+        batch_id is probed before any write. Batch ids must be
+        MONOTONICALLY NON-DECREASING (the foreachBatch contract — see
+        AppendDeltaState.committed): the replay probe keeps only a
+        high-water mark, so a genuinely NEW batch delivered with an id
+        below it would be skipped as a replay. Within that contract the
+        CONTENT of waves may be permuted freely — the min-fold absorbs
+        any interleaving of edges across re-sequenced waves (pinned by
+        the out-of-order test)."""
         spark = edges.sparkSession
         if self._state.committed("cc", batch_id):
             return
@@ -113,6 +123,81 @@ class StreamingDupClusters:
         self._state.append(
             new_map, writer_id="cc", batch_id=batch_id, agg_cols=self._agg()
         )
+
+    def forget(
+        self,
+        spark: SparkSession,
+        docs,
+        surviving_edges: DataFrame | None = None,
+        src: str = "id_a",
+        dst: str = "id_b",
+    ) -> dict:
+        """Takedown CASCADE to clusters (r11 verdict Next #3): excise a
+        doc cohort from the mapping and RELABEL the components it
+        touched from the surviving edges. A plain prune cannot do this:
+        the mapping's rows are min-FOLDED labels, and a forgotten doc's
+        id may BE the label of its surviving co-members — removing the
+        min member raises the component minimum, which an append-only
+        min-fold can never express. So the touched components are
+        recomputed and the ledger is REWRITTEN in one transaction
+        (AppendDeltaState.rewrite — atomic: a crash leaves either the
+        old mapping or the new one, never label-less survivors).
+
+        ``surviving_edges``: the pair set with the cohort's pairs
+        already removed — exactly what the pair indexes' ``forget``
+        leaves behind (the composed pipeline passes ``index.pairs()``).
+        Any edge still referencing a forgotten doc is dropped here too,
+        so passing the pre-forget pair set is merely wasteful, not
+        wrong. Edges of UNTOUCHED components are pruned by a semi-join
+        against the touched members before the CC solve — work ∝
+        touched-component mass, like ingest. Survivors isolated by the
+        excision (no surviving edge) leave the mapping entirely — the
+        'isolated docs never enter the graph' convention.
+
+        Replay stays safe: ``rewrite`` never touches the writers map,
+        so the cohort's ORIGINAL waves remain skipped (a delete must
+        not resurrect data through the at-least-once path)."""
+        ids = sorted(set(docs))
+        cur = self.mapping(spark)
+        if not ids:
+            return {"forgotten": 0, "touched_members": 0}
+        victims = cur.filter(F.col("node").isin(ids))
+        touched = victims.select("comp").distinct()
+        members = (
+            cur.join(F.broadcast(touched), "comp", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_members = members.count()
+        if n_members == 0:
+            return {"forgotten": 0, "touched_members": 0}  # no-op stays a no-op
+        member_nodes = members.select("node")
+        edges = None
+        if surviving_edges is not None:
+            edges = (
+                surviving_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                .filter(
+                    F.col("u").isNotNull()
+                    & F.col("v").isNotNull()
+                    & ~F.col("u").isin(ids)
+                    & ~F.col("v").isin(ids)
+                )
+                # an edge touching a member has BOTH endpoints among the
+                # members (otherwise its components would already have
+                # merged at ingest) — one semi-join prunes the rest
+                .join(F.broadcast(member_nodes.withColumnRenamed("node", "u")), "u", "left_semi")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if edges.isEmpty():
+                edges = None
+        new_map = (
+            connected_components(edges, "u", "v").select("node", "comp")
+            if edges is not None
+            else None
+        )
+        self._state.rewrite(spark, drop_keys=member_nodes, add=new_map)
+        n_victims = members.filter(F.col("node").isin(ids)).count()
+        return {"forgotten": n_victims, "touched_members": n_members - n_victims}
 
     def ops_metrics(self) -> dict:
         """Day-2 snapshot (file-level, no Spark session) — same surface

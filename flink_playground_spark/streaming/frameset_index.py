@@ -33,8 +33,10 @@ exact Jaccard verification (dedupe.verify_pairs) reads full sets just
 for the candidate docs. State and emitted pairs are ``AppendDeltaState``
 ledgers — per-wave write IO ∝ wave rows, atomic manifest commits,
 replay probed before any write (same crash protocol as the phash
-index). Precondition, also shared: each doc's FULL signature arrives in
-exactly one wave.
+index). Precondition, also shared AND ENFORCED (r12): each doc's FULL
+signature arrives in exactly one wave — a violating wave raises
+``OneWavePerDocViolation`` or quarantines the doc per ``on_conflict``,
+never silently folds two conflicting ``(n_sh, rk)`` generations.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_playground_spark.functions.dedupe import verify_pairs
+from flink_playground_spark.streaming.phash_index import OneWavePerDocViolation
 from flink_playground_spark.streaming.txn_state import AppendDeltaState
 
 _GRAM_COLS = ("doc", "n_sh", "shingle", "rk")
@@ -53,11 +56,20 @@ class StreamingFrameSetIndex:
     rows at a time; read ``pairs`` for every (id_a, id_b, jaccard) with
     exact set-Jaccard >= threshold emitted so far."""
 
-    def __init__(self, workdir: str, threshold: float = 0.8):
+    def __init__(self, workdir: str, threshold: float = 0.8, on_conflict: str = "error"):
+        """``on_conflict``: the one-wave-per-doc guard's reaction —
+        ``"error"`` raises ``OneWavePerDocViolation`` (default),
+        ``"quarantine"`` routes the conflicting doc's rows whole to a
+        quarantine ledger surfaced in ``ops_metrics`` (same contract as
+        StreamingPhashIndex)."""
+        if on_conflict not in ("error", "quarantine"):
+            raise ValueError(f"on_conflict must be error|quarantine, got {on_conflict}")
         self.workdir = workdir
         self.threshold = threshold
+        self.on_conflict = on_conflict
         self._grams = AppendDeltaState(f"{workdir}/grams", keys=["doc", "shingle"])
         self._pairs = AppendDeltaState(f"{workdir}/pairs", keys=["id_a", "id_b"])
+        self._quarantine = AppendDeltaState(f"{workdir}/quarantine", keys=["doc"])
 
     # -- internals ---------------------------------------------------------
 
@@ -97,14 +109,51 @@ class StreamingFrameSetIndex:
             sel = [F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")]
         return a.alias("a").join(b.alias("b"), cond).select(*sel).distinct()
 
+    def _guard_one_wave_per_doc(self, wave: DataFrame, batch_id: int) -> DataFrame:
+        """Enforce the one-wave-per-doc precondition loudly: anti-probe
+        the wave's doc ids against the committed gram state (grams here
+        ARE per-doc raw facts, and they are the wave's commit point, so
+        — unlike the phash index — no separate docs ledger is needed: a
+        wave's own rows can only appear after its commit, at which point
+        the whole ingest is replay-skipped). Zero-shingle docs store no
+        rows and carry no signature, so they are invisible to the guard
+        by construction — and harmless, they can never seed a pair."""
+        spark = wave.sparkSession
+        state = self._grams.read(spark)
+        if state is None:
+            return wave
+        bad = (
+            state.join(F.broadcast(wave.select("doc").distinct()), "doc", "left_semi")
+            .select("doc")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if bad.isEmpty():
+            return wave
+        if self.on_conflict == "error":
+            sample = [r["doc"] for r in bad.limit(5).collect()]
+            raise OneWavePerDocViolation(
+                f"wave {batch_id} re-delivers already-committed doc ids "
+                f"(sample: {sample}) — one-wave-per-doc violated; re-ingest "
+                "updated docs into a fresh index or construct the index "
+                "with on_conflict='quarantine'"
+            )
+        self._quarantine.append(
+            bad.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="quarantine",
+            batch_id=batch_id,
+            agg_cols=[F.min("since_batch").alias("since_batch")],
+        )
+        return wave.join(F.broadcast(bad), "doc", "left_anti")
+
     # -- API ----------------------------------------------------------------
 
     def ingest(self, grams: DataFrame, batch_id: int) -> None:
         """Fold one wave of (doc, shingle) rows: emit every pair the wave
-        completes, then append the wave's rows. Precondition: a doc's
-        full distinct-shingle set arrives in EXACTLY ONE wave (the same
-        one-wave-per-doc contract as StreamingPhashIndex.ingest, with
-        the same consequences when violated). Redelivery of the same
+        completes, then append the wave's rows. Precondition, ENFORCED:
+        a doc's full distinct-shingle set arrives in EXACTLY ONE wave —
+        the guard raises or quarantines per ``on_conflict`` (same
+        contract as StreamingPhashIndex.ingest). Redelivery of the same
         batch_id is probed against the grams ledger (the wave's commit
         point) before any write."""
         spark = grams.sparkSession
@@ -122,6 +171,10 @@ class StreamingFrameSetIndex:
             .select(*_GRAM_COLS)
             .localCheckpoint(eager=True)
         )
+        # guard AFTER the checkpoint (caller lineage runs once); n_sh/rk
+        # are per-doc, so dropping a quarantined doc's rows leaves the
+        # survivors' prefixes untouched
+        wave = self._guard_one_wave_per_doc(wave, batch_id)
         wave_prefix = self._prefix(wave)
         cand = self._cand_join(wave_prefix, wave_prefix, cross_state=False)
         idx = wave
@@ -148,10 +201,15 @@ class StreamingFrameSetIndex:
             )
         pairs = verify_pairs(idx.select("doc", "n_sh", "shingle"), cand, self.threshold)
         self._pairs.append(
-            pairs,
+            # since_batch: the pipeline's per-wave recovery tag (each
+            # pair is emitted in exactly one wave — min-fold stable)
+            pairs.withColumn("since_batch", F.lit(batch_id)),
             writer_id="pairs",
             batch_id=batch_id,
-            agg_cols=[F.min("jaccard").alias("jaccard")],
+            agg_cols=[
+                F.min("jaccard").alias("jaccard"),
+                F.min("since_batch").alias("since_batch"),
+            ],
         )
         self._grams.append(
             wave,
@@ -174,24 +232,51 @@ class StreamingFrameSetIndex:
         )
 
 
+    def committed(self, batch_id: int) -> bool:
+        """True when ``batch_id`` is fully ingested (grams ledger = the
+        wave's commit point) — the composed pipeline's crash probe."""
+        return self._grams.committed("grams", batch_id)
+
+    def pairs_for_batch(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """Exactly the pairs wave ``batch_id`` emitted (crash-recovery
+        read for the composed pipeline — see StreamingPhashIndex)."""
+        out = self._pairs.read(spark)
+        if out is None:
+            return spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        return (
+            out.filter(F.col("since_batch") == batch_id)
+            .groupBy("id_a", "id_b")
+            .agg(F.min("jaccard").alias("jaccard"))
+            .select("id_a", "id_b", "jaccard")
+        )
+
     def ops_metrics(self) -> dict:
-        """Day-2 snapshot of both ledgers (file-level, no Spark session)
-        — same surface as StreamingPhashIndex.ops_metrics."""
-        return {"grams": self._grams.metrics(), "pairs": self._pairs.metrics()}
+        """Day-2 snapshot of the ledgers (file-level, no Spark session)
+        — same surface as StreamingPhashIndex.ops_metrics; alert on
+        ``quarantine.rows > 0`` (one-wave-per-doc violations routed
+        aside, never folded)."""
+        return {
+            "grams": self._grams.metrics(),
+            "pairs": self._pairs.metrics(),
+            "quarantine": self._quarantine.metrics(),
+        }
 
     def forget(self, spark: SparkSession, docs) -> dict:
         """Retention / takedown: remove a doc cohort's gram rows and
         every pair referencing it — same contract and caveats as
         StreamingPhashIndex.forget (rows here are raw per-doc facts, so
         deletion is surgical; the replay ledger still skips the
-        original waves)."""
+        original waves; the quarantine entry goes too, so a later
+        re-introduction of a fully-excised doc is legal fresh data)."""
         ids = sorted(set(docs))
-        return {
+        out = {
             "grams_removed": self._grams.prune(spark, F.col("doc").isin(ids)),
             "pairs_removed": self._pairs.prune(
                 spark, F.col("id_a").isin(ids) | F.col("id_b").isin(ids)
             ),
         }
+        self._quarantine.prune(spark, F.col("doc").isin(ids))
+        return out
 
 
 def state_bytes(workdir: str) -> int:

@@ -464,7 +464,16 @@ class AppendDeltaState:
         """True when this (writer, batch) pair is already committed —
         the replay probe a MULTI-ledger fold runs BEFORE its first
         write, so a redelivered wave skips the whole ingest (every
-        side effect, not just this ledger's append)."""
+        side effect, not just this ledger's append).
+
+        Batch-id contract: ids must be MONOTONICALLY NON-DECREASING per
+        writer — exactly what Structured Streaming's foreachBatch
+        delivers (a restart re-delivers the last uncommitted batch, it
+        never jumps backwards with NEW data). The probe stores only the
+        per-writer high-water mark, so a genuinely out-of-order NEW
+        batch (batch 0 first delivered after batch 2 committed) would
+        be indistinguishable from a replay and skipped; callers outside
+        foreachBatch must sequence their own batch ids."""
         last = self._manifest()["writers"].get(writer_id)
         return last is not None and batch_id <= last
 
@@ -568,6 +577,54 @@ class AppendDeltaState:
                 return 0
             seq = manifest["seq"] + 1
             cur.filter(~pred).write.mode("overwrite").parquet(f"{self.path}/d{seq}")
+            manifest["deltas"] = [seq]
+            manifest["seq"] = seq
+            self._commit(manifest)
+            self.vacuum()
+            return removed
+
+    def rewrite(
+        self,
+        spark: SparkSession,
+        drop_keys: DataFrame | None = None,
+        add: DataFrame | None = None,
+    ) -> int:
+        """Transactionally REPLACE ledger rows in one commit: drop every
+        row whose key tuple appears in ``drop_keys`` (a DataFrame with
+        exactly ``self.keys`` columns) and append ``add``'s rows, as a
+        SINGLE atomic manifest replace. Returns rows dropped.
+
+        This is the primitive a takedown CASCADE needs and two separate
+        prune+append transactions cannot provide: a crash between them
+        would leave surviving members with NO labels (prune landed) or
+        stale ones (append landed first). Here survivors ∪ additions
+        land in one fresh delta and the manifest points at it or at the
+        old state — never in between. The pass reads live state once
+        and doubles as a compaction; the ``writers`` replay ledger is
+        untouched (retention must not resurrect data through the
+        at-least-once path). Same raw-facts caveat as ``prune``: only
+        legal on ledgers whose dropped rows are not folded into
+        aggregates that must be un-counted."""
+        with _writer_lock(self.path):
+            manifest = self._manifest()
+            cur = (
+                spark.read.parquet(*[f"{self.path}/d{s}" for s in manifest["deltas"]])
+                if manifest["deltas"]
+                else None
+            )
+            kept = cur
+            removed = 0
+            if cur is not None and drop_keys is not None:
+                kept = cur.join(drop_keys.select(*self.keys), self.keys, "left_anti")
+                removed = cur.count() - kept.count()
+            out = kept
+            if add is not None:
+                add = add.select(*(kept.columns if kept is not None else add.columns))
+                out = add if kept is None else kept.unionByName(add)
+            if out is None:
+                return 0
+            seq = manifest["seq"] + 1
+            out.write.mode("overwrite").parquet(f"{self.path}/d{seq}")
             manifest["deltas"] = [seq]
             manifest["seq"] = seq
             self._commit(manifest)

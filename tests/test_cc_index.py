@@ -78,3 +78,54 @@ def test_per_wave_write_io_tracks_touched_mass(spark):
     delta = state_bytes(work) - after_big
     assert delta > 0
     assert delta < after_big / 2, (delta, after_big)
+
+
+def test_forget_relabels_touched_component_and_drops_canonical_label(spark):
+    """Takedown cascade: forgetting the CANONICAL (min-id) doc of a
+    cluster must relabel the survivors to the new minimum — a plain
+    min-fold append can never raise a label, so this exercises the
+    atomic rewrite path. No forgotten id may appear anywhere in the
+    mapping, as node OR as comp; untouched components are untouched."""
+    work = tempfile.mkdtemp(prefix="fps_ccidx_fg_")
+    idx = StreamingDupClusters(work)
+    idx.ingest(_edges(spark, [(1, 2), (2, 3)]), batch_id=0)   # {1,2,3} -> 1
+    idx.ingest(_edges(spark, [(10, 11)]), batch_id=1)         # {10,11} -> 10
+    assert _map(spark, idx) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # pair ledger AFTER the cohort's pairs are pruned: doc 1's edges gone
+    surviving = spark.createDataFrame([(2, 3), (10, 11)], "id_a long, id_b long")
+    stats = idx.forget(spark, [1], surviving_edges=surviving)
+    assert stats == {"forgotten": 1, "touched_members": 2}, stats
+    got = _map(spark, idx)
+    assert got == {2: 2, 3: 2, 10: 10, 11: 10}, got
+    assert 1 not in got and 1 not in got.values()
+
+
+def test_forget_splits_component_when_bridge_doc_removed(spark):
+    """Forgetting a doc that BRIDGED two sub-clusters splits the
+    component: survivors relabel to their own minima, and a survivor
+    isolated by the excision leaves the mapping (isolated docs never
+    enter the graph)."""
+    idx = StreamingDupClusters(tempfile.mkdtemp(prefix="fps_ccidx_fg2_"))
+    # 5-2-7 and 5-9: doc 5 bridges {2,7} with {9}; removing 5 isolates 9
+    idx.ingest(_edges(spark, [(5, 2), (5, 7), (5, 9), (2, 7)]), batch_id=0)
+    assert _map(spark, idx) == {2: 2, 5: 2, 7: 2, 9: 2}
+    surviving = spark.createDataFrame([(2, 7)], "id_a long, id_b long")
+    stats = idx.forget(spark, [5], surviving_edges=surviving)
+    assert stats == {"forgotten": 1, "touched_members": 3}, stats
+    got = _map(spark, idx)
+    assert got == {2: 2, 7: 2}, got  # 9 isolated -> out of the mapping
+
+
+def test_forget_unknown_docs_is_a_clean_noop(spark):
+    """Forgetting ids no mapping row mentions changes nothing and
+    reports zeros — and replay protection is intact afterwards."""
+    work = tempfile.mkdtemp(prefix="fps_ccidx_fg3_")
+    idx = StreamingDupClusters(work)
+    idx.ingest(_edges(spark, [(1, 2)]), batch_id=0)
+    before = state_bytes(work)
+    stats = idx.forget(spark, [999], surviving_edges=None)
+    assert stats == {"forgotten": 0, "touched_members": 0}, stats
+    assert state_bytes(work) == before
+    assert _map(spark, idx) == {1: 1, 2: 1}
+    idx.ingest(_edges(spark, [(1, 2)]), batch_id=0)  # replay still skipped
+    assert _map(spark, idx) == {1: 1, 2: 1}

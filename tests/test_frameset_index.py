@@ -100,3 +100,41 @@ def test_common_shingle_across_waves_still_found(spark):
     idx.ingest(_grams(spark, [(2, base)]), batch_id=1)  # exact copy, later wave
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in idx.pairs(spark).collect()}
     assert pairs == {(1, 2): 1.0}, pairs
+
+
+def test_one_wave_per_doc_violation_raises_loudly(spark):
+    """The one-wave-per-doc precondition is ENFORCED: a doc whose
+    shingles arrive in a second wave — which would write two
+    conflicting (n_sh, rk) ledger generations and min-fold them into a
+    quietly wrong Jaccard — raises OneWavePerDocViolation, and nothing
+    from the refused wave commits."""
+    import pytest
+
+    from flink_playground_spark.streaming.phash_index import OneWavePerDocViolation
+
+    idx = StreamingFrameSetIndex(tempfile.mkdtemp(prefix="fps_fsidx_v_"))
+    full = list(range(1, 11))
+    idx.ingest(_grams(spark, [(1, full[:5])]), batch_id=0)  # first half
+    with pytest.raises(OneWavePerDocViolation, match=r"\[1\]"):
+        idx.ingest(_grams(spark, [(1, full[5:]), (2, full)]), batch_id=1)
+    assert idx.pairs(spark).count() == 0
+    assert not idx.committed(1)
+
+
+def test_one_wave_per_doc_quarantine_routes_and_survivors_proceed(spark):
+    """on_conflict='quarantine': the split-delivery doc is routed to the
+    quarantine ledger (ops_metrics surfaces it) and the clean docs of
+    the wave still pair correctly. Before the guard this sequence
+    min-folded doc 1's two (n_sh, rk) generations — J(1,2) would have
+    been computed against a corrupted signature."""
+    idx = StreamingFrameSetIndex(
+        tempfile.mkdtemp(prefix="fps_fsidx_vq_"), on_conflict="quarantine"
+    )
+    full = list(range(1, 11))
+    idx.ingest(_grams(spark, [(1, full[:5]), (3, full)]), batch_id=0)
+    idx.ingest(_grams(spark, [(1, full[5:]), (2, full)]), batch_id=1)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in idx.pairs(spark).collect()}
+    # doc 2 pairs with the CLEAN doc 3 only; doc 1's fragments never fold
+    assert pairs == {(2, 3): 1.0}, pairs
+    m = idx.ops_metrics()
+    assert m["quarantine"]["rows"] == 1
