@@ -13,7 +13,14 @@ loop this example runs end to end:
    time-travel back to v1;
 4. EXACTLY-ONCE AGG — maintain a running per-user aggregate over change
    batches through the transactional state (``streaming/txn_state.py``),
-   surviving a replayed batch without double counting.
+   surviving a replayed batch without double counting;
+5. RESCALE — rewrite the state under more buckets in one transaction;
+6. INDEX OPS — poll every streaming dedup ledger's day-2 metrics in
+   one call per pipeline: the substring ledger, the composed near-dup
+   pipeline (Hamming index + incremental clusters), and the video
+   frameset index;
+7. TAKEDOWN — forget a canonical doc through BOTH pipeline stages and
+   verify the cascade relabeled its cluster.
 
 Run: ``python examples/pipeline_day2_ops.py``
 """
@@ -120,7 +127,16 @@ def main() -> None:
     assert lm["grams"]["rows"] > 0 and lm["grams"]["writers"] == {"ingestq": 1}
     assert lm["grams"]["live_deltas"] <= led.state.compact_every
 
-    idx = StreamingPhashIndex(f"{work}/phash_index")
+    # the image path runs as the full COMPOSED pipeline: doc waves ->
+    # Hamming index -> wave pairs -> incremental clusters, one fold per
+    # wave; ops_metrics covers every ledger of both stages in one call
+    from flink_playground_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+    )
+
+    pipe = StreamingNearDupPipeline(
+        f"{work}/neardup_pipe", StreamingPhashIndex(f"{work}/neardup_pipe/idx")
+    )
     small = docs.select("doc_id").filter(F.col("doc_id") < 120)
 
     def synth(batches):
@@ -135,17 +151,46 @@ def main() -> None:
         fp = perceptual_hash(blobs, kind="ahash").selectExpr(
             "doc_id AS doc", "phash AS sh"
         ).where("phash IS NOT NULL")
-        idx.ingest(fp, batch_id=wave)
-    pm = idx.ops_metrics()
-    n_pairs = idx.pairs(spark).count()
-    print(f"phash index ops: {pm}")
-    print(f"phash pairs so far: {n_pairs}")
-    assert pm["bands"]["rows"] > 0 and n_pairs > 0
-    assert pm["overflow"]["rows"] == 0  # healthy corpus: nothing traded
+        pipe.ingest(fp, batch_id=wave)
+    pm = pipe.ops_metrics()
+    n_pairs = pipe.pairs(spark).count()
+    n_clusters = pipe.mapping(spark).select("comp").distinct().count()
+    print(f"neardup pipeline ops (index + clusters): {pm}")
+    print(f"pairs so far: {n_pairs}; duplicate clusters: {n_clusters}")
+    assert pm["index"]["bands"]["rows"] > 0 and n_pairs > 0 and n_clusters > 0
+    assert pm["index"]["overflow"]["rows"] == 0  # healthy corpus: nothing traded
+    assert pm["index"]["overflow_rows_skipped"] == 0
+    assert pm["index"]["quarantine"]["rows"] == 0  # no one-wave-per-doc violations
+    assert pm["clusters"]["mapping"]["rows"] > 0
+
+    # the video modality's index exposes the identical surface
+    from flink_playground_spark.streaming.frameset_index import StreamingFrameSetIndex
+
+    fs = StreamingFrameSetIndex(f"{work}/frameset_index", threshold=0.8)
+    shingles = [(1, list(range(10))), (2, list(range(10))), (3, [99, 98, 97])]
+    for wave, (doc, sh) in enumerate(shingles):
+        fs.ingest(
+            spark.createDataFrame([(doc, s) for s in sh], "doc long, shingle long"),
+            batch_id=wave,
+        )
+    fm = fs.ops_metrics()
+    print(f"frameset index ops: {fm}")
+    assert fm["grams"]["rows"] > 0 and fm["quarantine"]["rows"] == 0
+
+    # 7. takedown CASCADE: forget one canonical doc through BOTH stages
+    # — its bands/pairs leave the index, its cluster survivors relabel
+    # to the new minimum, and no forgotten id survives even as a label
+    victim = pipe.mapping(spark).agg(F.min("comp")).first()[0]
+    fstats = pipe.forget(spark, [victim])
+    print(f"takedown of doc {victim}: {fstats}")
+    left = pipe.mapping(spark)
+    assert left.filter(
+        (F.col("node") == victim) | (F.col("comp") == victim)
+    ).count() == 0
 
     print(
         "day-2 loop complete: observe -> compact -> snapshot -> "
-        "exactly-once agg -> rescale -> index ops metrics"
+        "exactly-once agg -> rescale -> pipeline + index ops metrics -> takedown"
     )
 
 

@@ -938,7 +938,16 @@ def ann_recall_report_ref(sf_dir: str, k: int = 5, probe_below: int = 8) -> pd.D
 
 def ahash64_ref(blob: bytes) -> int | None:
     """Reference aHash: parse the P6 header by hand, pool gray sums with
-    plain loops, cross-multiplied integer mean comparison."""
+    plain loops, cross-multiplied integer mean comparison.
+
+    SPEC (r12, ADVICE): the 8x8 pooling grid partitions pixels by the
+    FLOOR boundaries cell i = [i*n//8, (i+1)*n//8) on each axis — this
+    is the intended specification of the hash for ALL dims, including
+    non-multiples of 8, not merely a mirror of the current operator. A
+    future operator that pools differently on ragged dims is WRONG and
+    must be fixed operator-side; re-aligning this reference to it would
+    silently re-absorb the change (the same floor-boundary spec governs
+    audiohash64_ref and raw_ahash64_ref)."""
     if blob[:2] != b"P6":
         return None
     vals, i = [], 2
@@ -1108,6 +1117,45 @@ def raw_ahash64_ref(frame: bytes, w: int = 8, h: int = 8) -> int | None:
         if sums[b] * total_cnt > total_sum * counts[b]:
             hv |= 1 << b
     return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def streaming_neardup_pipeline_ref(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) — the drained
+    end-to-end pipeline answer: batch near-dup pairs (the same brute-
+    force Hamming scan as ``phash_image_neardup_ref``) clustered by an
+    independent pure-Python union-find with the min-id canonical rule.
+    The streaming composition must drain to exactly this — waves, crash
+    points and ledger folds are implementation, not semantics."""
+    pairs = phash_image_neardup_ref(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # attach larger root under smaller: root stays min
+    comp = {n: find(n) for n in parent}
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    rows = [(n, c, sizes[c], n == c) for n, c in sorted(comp.items())]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "cluster_id", "cluster_size", "is_canonical"]
+    ).astype(
+        {"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64",
+         "is_canonical": "bool"}
+    )
 
 
 def video_scene_neardup_ref(

@@ -395,6 +395,19 @@ _KMEANS_MEMO_CAP = 8
 # sibling memo for pq_train books (same key discipline + cap; values
 # are {(sub, code): codeword} dicts)
 _PQ_TRAIN_MEMO: dict = {}
+# sibling memo for the COMPOSED IVFADC index build (ivfpq_topk): the
+# residual relation embeds the collected-centroid LocalRelation, so
+# pq_train's own memo key is None there by design — every call repaid
+# the residual scan, both residual-Lloyd rounds and the encode pass
+# (the r11 board's top fixed-overhead entry). The build is
+# deterministic from (files, params) like every other entry in this
+# catalog, so the index memo stores the driver-side book plus the
+# eagerly-checkpointed code relation, keyed additionally by
+# applicationId (a checkpointed DataFrame dies with its session).
+# Serving — the per-query work — is never memoized. Evicted entries
+# just drop the reference; ContextCleaner releases the checkpoint
+# blocks with the RDD.
+_IVFPQ_INDEX_MEMO: dict = {}
 
 
 def _derive_resid_seeds(cents: DataFrame, corpus_seed: list, n_codes: int):
@@ -1145,49 +1158,76 @@ def ivfpq_topk(
     unique by construction (each corpus vector lives in exactly ONE
     cell), so no dedup stage is needed — unlike LSH's bucket union."""
     sub_len = dim // m
-    cents, corpus_seed = kmeans_centroids(
-        corpus, id_col, vec_col, n_centroids, kmeans_iters, _return_seed_rows=True
-    )
-    cvecs = cents.select("centroid_id", F.col(vec_col).alias("cvec"))
-
-    # residuals, elementwise double: (double)x[d] - centroid[d]
-    cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-    resid = (
-        cells.join(F.broadcast(cvecs), "centroid_id")
-        .select(
-            "vid",
-            "centroid_id",
-            F.zip_with(
-                F.col("vec"), F.col("cvec"), lambda x, c: x.cast("double") - c
-            ).alias("resid"),
+    base_key = _kmeans_memo_key(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+    memo_key = (
+        (
+            base_key,
+            int(dim), int(m), int(n_codes), int(iters),
+            corpus.sparkSession.sparkContext.applicationId,
         )
-        .persist()
+        if base_key is not None
+        else None
     )
-    # PQ seeds = the n_codes lowest-vid RESIDUAL rows. kmeans already
-    # collected the n_centroids lowest-vid corpus vectors (seed rows),
-    # and the centroid table is a driver-local relation — so when those
-    # suffice, the residual seeds are derived DRIVER-SIDE with the same
-    # IEEE folds (_ivf_assign_py) and pq_train skips its seed-collect
-    # job entirely; the Lloyd round-1 scan then materializes the resid
-    # cache instead. Any corner (too few survivors, a dropped or
-    # non-finite row) falls back to the Spark collect — bits are
-    # identical either way.
-    pq_seeds = _derive_resid_seeds(cents, corpus_seed, n_codes) if corpus_seed else None
-    book, book_dict = pq_train(
-        resid,
-        "vid",
-        "resid",
-        dim,
-        m,
-        n_codes,
-        iters,
-        _return_book_dict=True,
-        _seed_pairs=pq_seeds,
-    )
-    codes = pq_encode_rows(
-        resid, book_dict, "vid", "resid", dim, m, carry_cols=("centroid_id",)
-    ).localCheckpoint(eager=True)
-    resid.unpersist()
+    memo_hit = _IVFPQ_INDEX_MEMO.get(memo_key) if memo_key is not None else None
+    if memo_hit is not None:
+        # index-catalog hit: the deterministic build (centroids, book,
+        # checkpointed code relation) is reused bit-for-bit; only the
+        # serving scan below runs
+        book_dict, codes = memo_hit
+        cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iters)
+        book = corpus.sparkSession.createDataFrame(
+            [(s, c, cw) for (s, c), cw in sorted(book_dict.items())],
+            "sub int, code int, codeword array<double>",
+        )
+    else:
+        cents, corpus_seed = kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, kmeans_iters, _return_seed_rows=True
+        )
+        cvecs0 = cents.select("centroid_id", F.col(vec_col).alias("cvec"))
+
+        # residuals, elementwise double: (double)x[d] - centroid[d]
+        cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        resid = (
+            cells.join(F.broadcast(cvecs0), "centroid_id")
+            .select(
+                "vid",
+                "centroid_id",
+                F.zip_with(
+                    F.col("vec"), F.col("cvec"), lambda x, c: x.cast("double") - c
+                ).alias("resid"),
+            )
+            .persist()
+        )
+        # PQ seeds = the n_codes lowest-vid RESIDUAL rows. kmeans already
+        # collected the n_centroids lowest-vid corpus vectors (seed rows),
+        # and the centroid table is a driver-local relation — so when those
+        # suffice, the residual seeds are derived DRIVER-SIDE with the same
+        # IEEE folds (_ivf_assign_py) and pq_train skips its seed-collect
+        # job entirely; the Lloyd round-1 scan then materializes the resid
+        # cache instead. Any corner (too few survivors, a dropped or
+        # non-finite row) falls back to the Spark collect — bits are
+        # identical either way.
+        pq_seeds = _derive_resid_seeds(cents, corpus_seed, n_codes) if corpus_seed else None
+        book, book_dict = pq_train(
+            resid,
+            "vid",
+            "resid",
+            dim,
+            m,
+            n_codes,
+            iters,
+            _return_book_dict=True,
+            _seed_pairs=pq_seeds,
+        )
+        codes = pq_encode_rows(
+            resid, book_dict, "vid", "resid", dim, m, carry_cols=("centroid_id",)
+        ).localCheckpoint(eager=True)
+        resid.unpersist()
+        if memo_key is not None:
+            while len(_IVFPQ_INDEX_MEMO) >= _KMEANS_MEMO_CAP:
+                _IVFPQ_INDEX_MEMO.pop(next(iter(_IVFPQ_INDEX_MEMO)))
+            _IVFPQ_INDEX_MEMO[memo_key] = (dict(book_dict), codes)
+    cvecs = cents.select("centroid_id", F.col(vec_col).alias("cvec"))
 
     # probe-side bounded tables. The .limit declares the centroid bound
     # for the plan guard, as in ivf_topk.

@@ -129,7 +129,7 @@ def flagship_dedup_join(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "dedup_latest_events",
     """
 SELECT event_id, ts, user_id, event_type, value FROM (
@@ -138,6 +138,7 @@ SELECT event_id, ts, user_id, event_type, value FROM (
   FROM events) t WHERE rn = 1
 """,
     tags=("W1",),
+    bench=False,
 )
 def dedup_latest_events(spark, sf_dir):
     """Keep-latest dedup (ROW_NUMBER pattern, WithDeduplicateJoinJob.java:89-97)."""
@@ -147,7 +148,7 @@ def dedup_latest_events(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "pk_upsert_latest",
     """
 SELECT user_id, event_type AS current_type, value AS current_value FROM (
@@ -156,6 +157,7 @@ SELECT user_id, event_type AS current_type, value AS current_value FROM (
   FROM events) t WHERE rn = 1
 """,
     tags=("W2",),
+    bench=False,
 )
 def pk_upsert_latest(spark, sf_dir):
     """PK-upsert view (WithStateTtlJob.java:73-77): arrival order = event_id."""
@@ -209,7 +211,7 @@ def proj_filter_arith(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "join_left_outer",
     """
 SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
@@ -284,7 +286,7 @@ def unnest_outer_items(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "temporal_join_current",
     """
 WITH snap AS (
@@ -296,6 +298,7 @@ SELECT o.o_orderkey, o.o_custkey, s.event_type AS cur_event_type, s.value AS cur
 FROM orders o JOIN snap s ON o.o_custkey = s.user_id
 """,
     tags=("J1", "J2", "J3", "U1", "U2"),
+    bench=False,
 )
 def temporal_join_current(spark, sf_dir):
     """Processing-time temporal join (LATERAL TABLE(ttf), DataStreamJob.java:98-104):
@@ -357,7 +360,7 @@ def as_of_join_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "topk_orders_per_customer",
     """
 SELECT o_custkey, o_orderkey, o_orderdate, rownum FROM (
@@ -2737,7 +2740,7 @@ def q4_priority_late_ship(spark, sf_dir):
     return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
-@register_extra(
+@register(
     "q8_market_share",
     """
 WITH v AS (
@@ -2760,6 +2763,7 @@ SELECT o_year,
 FROM v GROUP BY 1
 """,
     tags=("superset-tpch",),
+    bench=True,
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8-shaped: NATION_6's share of STANDARD-part volume sold to
@@ -3237,7 +3241,7 @@ def q20_promotion_suppliers(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q21_waiting_supplier",
     """
 SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
@@ -3255,6 +3259,7 @@ WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
 GROUP BY 1
 """,
     tags=("superset-tpch",),
+    bench=True,
 )
 def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21-shaped: the sole-late-supplier-on-a-multi-supplier-
@@ -3510,7 +3515,7 @@ def streaming_dedup_clusters(spark, sf_dir):
     return attach_cluster_members(members, idx, comp)
 
 
-@register_extra("dedup_clusters", _DEDUP_CLUSTERS_SQL, tags=("ext-dedup",), bench=True)
+@register("dedup_clusters", _DEDUP_CLUSTERS_SQL, tags=("ext-dedup",), bench=True)
 def dedup_clusters(spark, sf_dir):
     """Pairs -> clusters: the last step of the MinHash dedup pipeline.
     Near-duplicate PAIRS (MinHash+LSH banding, exactly verified at
@@ -4784,7 +4789,7 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 """
 
 
-@register_extra("grouping_sets_pricing", _GROUPING_SETS_SQL, tags=("G1",), bench=False)
+@register("grouping_sets_pricing", _GROUPING_SETS_SQL, tags=("G1",), bench=False)
 def grouping_sets_pricing(spark, sf_dir):
     """Arbitrary GROUPING SETS — the general form of which rollup/cube
     (rollup_cube_pricing) are the two fixed lattices: here the flag×status
@@ -5494,6 +5499,77 @@ def streaming_video_neardup(spark, sf_dir):
     return index.pairs(spark)
 
 
+def _neardup_pipeline_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import (
+        streaming_neardup_pipeline_ref,
+    )
+
+    return streaming_neardup_pipeline_ref(sf_dir)
+
+
+@register_extra(
+    "streaming_neardup_pipeline",
+    None,
+    tags=("ext-multimodal", "ext-dedup", "T6"),
+    bench=False,
+    py_oracle=_neardup_pipeline_py_oracle,
+)
+def streaming_neardup_pipeline(spark, sf_dir):
+    """The END-TO-END incremental dedup composition (r11 verdict Next
+    #1): raw doc waves → fingerprint index → this wave's new pairs →
+    incremental duplicate clusters, fused in ONE per-wave fold
+    (streaming/dedup_pipeline.py) — not the r11 shape that replayed
+    batch-verified pairs in synthetic waves. Each wave is hashed (one
+    Arrow pass), banded against only the touched band state, its
+    verified pairs recovered from the pair ledger's since_batch tag,
+    and folded into the cluster mapping, all inside what foreachBatch
+    would run; the wave split (doc_id % 3) puts copies of each planted
+    class in DIFFERENT waves so every pair AND every cluster merge
+    crosses state. The drained mapping (+ size/canonical attach — two
+    windows over the mapping, no joins) is value-checked bit-exactly
+    against an independent brute-force-pairs + union-find Python
+    reference (reference.py streaming_neardup_pipeline_ref)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from flink_playground_spark.functions.multimodal import (
+        perceptual_hash,
+        synth_block_image,
+    )
+    from flink_playground_spark.functions.similarity import _spread
+    from flink_playground_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+    )
+    from flink_playground_spark.streaming.phash_index import StreamingHammingIndex
+
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_block_image(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="image/ppm")
+
+    work = tempfile.mkdtemp(prefix="fps_pipe_")
+    pipe = StreamingNearDupPipeline(work, StreamingHammingIndex(f"{work}/idx"))
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).mapInPandas(synth, schema=out_schema)
+        fp = perceptual_hash(wave, kind="ahash").select(
+            F.col("doc_id").alias("doc"), F.col("phash").alias("sh")
+        ).filter(F.col("sh").isNotNull())
+        pipe.ingest(fp, batch_id=w)
+    return (
+        pipe.mapping(spark)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 
@@ -5567,7 +5643,7 @@ def streaming_window_topn(spark, sf_dir):
     return op.topn(spark, 3)
 
 
-@register_extra(
+@register(
     "window_dedup_last_per_hour",
     """
 SELECT window_start, user_id, event_id, ts, event_type FROM (
@@ -5579,6 +5655,7 @@ SELECT window_start, user_id, event_id, ts, event_type FROM (
   FROM events) t WHERE rn = 1
 """,
     tags=("T1", "W1"),
+    bench=True,
 )
 def window_dedup_last_per_hour(spark, sf_dir):
     """Flink SQL's Window Deduplication (the window-TVF counterpart of

@@ -137,13 +137,21 @@ def main() -> None:
         t_small = _time(spark, name, small)
         t_big = _time(spark, name, big)
         confirmed = False
+        pre = None
         if t_big / t_small > 0.5 * factor:
             # CONFIRM pass (round 11, same philosophy as bench.py's
             # regression confirm): a probe landing super-0.5 gets both
             # sides re-timed before the number is committed — a host
             # burst inflating one side's min-of-N must not be recorded
             # as an algorithmic scaling claim. Only what persists
-            # through the confirm is committed.
+            # through the confirm is committed. The PRE-confirm numbers
+            # are recorded alongside (round 12, ADVICE): min-folding the
+            # confirm could only ever lower a bad-looking ratio while
+            # good-looking ones were never re-rolled — keeping both
+            # timings in the artifact makes the adjudication auditable
+            # instead of optimistically one-sided.
+            pre = {"sf0.1_s": t_small, "sf1_s": t_big,
+                   "ratio": round(t_big / t_small, 2)}
             t_small = min(t_small, _time(spark, name, small, runs=1))
             t_big = min(t_big, _time(spark, name, big, runs=2))
             confirmed = True
@@ -156,6 +164,7 @@ def main() -> None:
         }
         if confirmed:
             rows[name]["confirm_pass"] = True
+            rows[name]["pre_confirm"] = pre
         print(f"{name:28s} {t_small:8.2f}s {t_big:8.2f}s  x{ratio:<6} scaling {ratio / factor:.2f}")
 
     cc = {"sf0.1": _cc_rounds(spark, small), "sf1": _cc_rounds(spark, big)}
