@@ -39,10 +39,12 @@ def test_materialized_views_pipeline_runs():
 
 
 def test_day2_ops_pipeline_runs():
-    """Day-2 capstone incl. the streaming-index ops metrics (r11): the
-    script carries its own asserts (non-empty ledgers, bounded fan-in,
-    replay skipped, zero overflow on the healthy corpus); a green exit
-    plus the metrics lines is the verification."""
+    """Day-2 capstone incl. the streaming-index ops metrics (r11) and,
+    r12, the composed near-dup pipeline + takedown cascade: the script
+    carries its own asserts (non-empty ledgers, bounded fan-in, replay
+    skipped, zero overflow/quarantine on the healthy corpus, forgotten
+    id absent after the cascade); a green exit plus the metrics lines
+    is the verification."""
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / "pipeline_day2_ops.py")],
         capture_output=True,
@@ -51,7 +53,9 @@ def test_day2_ops_pipeline_runs():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "substring ledger ops: {'grams':" in proc.stdout
-    assert "phash index ops: {'bands':" in proc.stdout
+    assert "neardup pipeline ops (index + clusters): {'index': {'bands':" in proc.stdout
+    assert "frameset index ops: {'grams':" in proc.stdout
+    assert "takedown of doc" in proc.stdout
     assert "day-2 loop complete" in proc.stdout
 
 

@@ -234,3 +234,45 @@ def test_one_wave_per_doc_quarantine_mode_never_folds(spark):
     assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == {
         (1, 2), (3, 4),
     }
+
+
+def test_crash_at_commit_point_replays_guard_deterministically(spark):
+    """Crash protocol x guard interaction: a wave dies AT the bands
+    append (its commit point) AFTER the quarantine, pairs and docs
+    ledgers committed. Redelivery must (a) not mistake the wave's own
+    docs-ledger remnant for a conflict (since_batch == batch_id), (b)
+    re-quarantine the genuine violator without double-appending, and
+    (c) converge to the same state as an un-crashed run."""
+    import pytest
+
+    work = tempfile.mkdtemp(prefix="fps_phidx_cr_")
+    idx = StreamingPhashIndex(work, on_conflict="quarantine")
+    idx.ingest(_fp(spark, [(1, 0x0F0F), (2, 0x0F0F)]), batch_id=0)
+    wave1 = [(1, 0x00FF), (3, 0x00FF), (4, 0x00FF)]  # doc 1 violates
+
+    orig = idx._bands.append
+
+    def dies_at_commit(*a, **k):
+        raise RuntimeError("simulated crash at the wave's commit point")
+
+    idx._bands.append = dies_at_commit
+    with pytest.raises(RuntimeError, match="commit point"):
+        idx.ingest(_fp(spark, wave1), batch_id=1)
+    idx._bands.append = orig
+    assert not idx.committed(1)  # bands never landed: the wave replays
+
+    idx.ingest(_fp(spark, wave1), batch_id=1)  # redelivery
+    assert idx.committed(1)
+    # docs 3 and 4 (their docs-ledger rows were crash remnants, NOT
+    # conflicts) paired; doc 1 stayed quarantined, exactly once
+    assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == {
+        (1, 2), (3, 4),
+    }
+    assert idx.ops_metrics()["quarantine"]["rows"] == 1
+    # and the next wave still guards correctly against 3's committed
+    # state (quarantine mode: routed aside, not raised)
+    idx.ingest(_fp(spark, [(3, 0x00FF)]), batch_id=2)
+    assert idx.ops_metrics()["quarantine"]["rows"] == 2
+    assert {(r["id_a"], r["id_b"]) for r in idx.pairs(spark).collect()} == {
+        (1, 2), (3, 4),
+    }

@@ -73,6 +73,11 @@ PROBES = [
     "phash_image_neardup",
     "audio_fingerprint_neardup",
     "video_scene_neardup",
+    # round 12: the COMPOSED incremental pipeline (doc waves -> index ->
+    # pairs -> clusters) — per-wave cost must track wave size through
+    # BOTH ledgers, and the one-wave-per-doc guard's docs-ledger probe
+    # must not add a super-linear term
+    "streaming_neardup_pipeline",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
