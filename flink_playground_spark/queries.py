@@ -5570,6 +5570,55 @@ def streaming_neardup_pipeline(spark, sf_dir):
     )
 
 
+@register_extra(
+    "streaming_text_neardup_pipeline",
+    _DEDUP_CLUSTERS_SQL,
+    tags=("ext-text", "ext-dedup", "T6"),
+    bench=False,
+)
+def streaming_text_neardup_pipeline(spark, sf_dir):
+    """The end-to-end incremental dedup composition for TEXT — raw doc
+    waves → StreamingMinHashIndex (shingle/sign/band against touched
+    state buckets only, exact shingle-Jaccard verification) →
+    incremental clusters, fused per wave through the SAME
+    StreamingNearDupPipeline fold as the image query
+    (streaming/dedup_pipeline.py): the pipeline surface
+    (ingest/committed/pairs_for_batch/forget) is a contract all three
+    index families implement, not a per-modality special case. The
+    wave split (doc_id % 3) puts near-dup classes across waves, so
+    pairs and cluster merges cross state. Unlike the image pipeline's
+    py-oracle, this one closes against the FULL recursive-CTE DuckDB
+    oracle — the exact-n-gram-Jaccard pair set clustered by CC, the
+    same SQL batch dedup_clusters is green against (the index verifies
+    candidates exactly, so banding recall is the only approximation,
+    identical to the batch operator's)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from flink_playground_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+    )
+    from flink_playground_spark.streaming.minhash_index import StreamingMinHashIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="fps_txtpipe_")
+    pipe = StreamingNearDupPipeline(
+        work, StreamingMinHashIndex(f"{work}/idx", k=128, bands=32, n=3, threshold=0.8)
+    )
+    for w in range(3):
+        pipe.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
+    return (
+        pipe.mapping(spark)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 
