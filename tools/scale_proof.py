@@ -78,6 +78,9 @@ PROBES = [
     # BOTH ledgers, and the one-wave-per-doc guard's docs-ledger probe
     # must not add a super-linear term
     "streaming_neardup_pipeline",
+    # r12 addendum: the text member (MinHash index, no rep collapse) —
+    # shingle-ledger state and the doc-level banding must stay sublinear
+    "streaming_text_neardup_pipeline",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
