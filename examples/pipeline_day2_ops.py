@@ -20,7 +20,13 @@ loop this example runs end to end:
    pipeline (Hamming index + incremental clusters), and the video
    frameset index;
 7. TAKEDOWN — forget a canonical doc through BOTH pipeline stages and
-   verify the cascade relabeled its cluster.
+   verify the cascade relabeled its cluster — with the intent ledger
+   proving an interrupted cascade is detectable and resumable;
+8. UPDATE — the changed-doc flow an operator actually runs: detect
+   drifted content via an exact-fingerprint mismatch, fold the changed
+   docs through ``pipe.update`` (one batch id, atomic per-ledger
+   rewrites), and verify the before/after ops metrics and cluster
+   moves.
 
 Run: ``python examples/pipeline_day2_ops.py``
 """
@@ -187,10 +193,68 @@ def main() -> None:
     assert left.filter(
         (F.col("node") == victim) | (F.col("comp") == victim)
     ).count() == 0
+    # the cascade ran under an intent ledger: a crash between its two
+    # stages would leave a PENDING intent for resume_takedowns; healthy
+    # runs close every intent, and the dashboard metric proves it
+    assert pipe.pending_takedowns(spark).count() == 0
+    assert pipe.ops_metrics()["pending_takedowns"] == 0
+
+    # 8. UPDATE — the changed-doc flow. Upstream re-extracted the
+    # corpus and some docs' content DRIFTED. Detect them the way an
+    # operator does — hash today's snapshot and diff against
+    # yesterday's fingerprints (exact mismatch, one join) — then fold
+    # the changed docs through pipe.update: ONE batch id, per-ledger
+    # atomic rewrites, stale pairs retracted, new pairs emitted,
+    # clusters relabeled. Here doc 9 (class {9,10,11}) drifts to the
+    # content of class {15,16,17}.
+    def synth_drifted(batches):
+        for pdf in batches:
+            blobs = [
+                synth_block_image(16 if int(d) == 9 else int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf[["doc_id"]].assign(blob=blobs)
+
+    def fps_of(synth_fn):
+        blobs = small.mapInPandas(synth_fn, schema="doc_id bigint, blob binary")
+        return perceptual_hash(blobs, kind="ahash").selectExpr(
+            "doc_id AS doc", "phash AS sh"
+        ).where("phash IS NOT NULL")
+
+    today = fps_of(synth_drifted)
+    yesterday = fps_of(synth)
+    changed = (
+        today.alias("t")
+        .join(yesterday.alias("y"), "doc")
+        .filter(F.col("t.sh") != F.col("y.sh"))
+        .select("doc", F.col("t.sh").alias("sh"))
+    )
+    changed_ids = sorted(r["doc"] for r in changed.select("doc").collect())
+    print(f"content drift detected (exact fingerprint mismatch): docs {changed_ids}")
+    assert changed_ids == [9]
+
+    before_pairs = {
+        (r["id_a"], r["id_b"]) for r in pipe.pairs(spark).collect() if 9 in (r["id_a"], r["id_b"])
+    }
+    pipe.update(changed, batch_id=3)
+    after = {r["node"]: r["comp"] for r in pipe.mapping(spark).collect()}
+    after_pairs = {
+        (r["id_a"], r["id_b"]) for r in pipe.pairs(spark).collect() if 9 in (r["id_a"], r["id_b"])
+    }
+    print(f"doc 9 pairs before update: {sorted(before_pairs)}; after: {sorted(after_pairs)}")
+    print(f"doc 9 cluster after update: {after.get(9)} (class 15..17 label: {after.get(16)})")
+    # old class pairs retracted, new class joined, labels consistent —
+    # and the metrics stayed clean (no quarantine, nothing pending)
+    assert before_pairs == {(9, 10), (9, 11)} and after_pairs == {(9, 15), (9, 16), (9, 17)}
+    assert after[9] == after[16] == after[15] == after[17] == 9  # min id is the label
+    assert after[10] == after[11] == 10  # the old class relabeled without 9
+    pm2 = pipe.ops_metrics()
+    assert pm2["index"]["quarantine"]["rows"] == 0 and pm2["pending_takedowns"] == 0
 
     print(
         "day-2 loop complete: observe -> compact -> snapshot -> "
-        "exactly-once agg -> rescale -> pipeline + index ops metrics -> takedown"
+        "exactly-once agg -> rescale -> pipeline + index ops metrics -> "
+        "takedown (intent-closed) -> changed-doc update"
     )
 
 

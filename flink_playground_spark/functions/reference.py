@@ -1126,7 +1126,13 @@ def streaming_neardup_pipeline_ref(sf_dir: str) -> pd.DataFrame:
     independent pure-Python union-find with the min-id canonical rule.
     The streaming composition must drain to exactly this — waves, crash
     points and ledger folds are implementation, not semantics."""
-    pairs = phash_image_neardup_ref(sf_dir)
+    return _unionfind_clusters(phash_image_neardup_ref(sf_dir))
+
+
+def _unionfind_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """(id_a, id_b) pairs → (doc_id, cluster_id, cluster_size,
+    is_canonical) via pure-Python union-find, min-id canonical rule —
+    the independent cluster tail both pipeline refs share."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1156,6 +1162,36 @@ def streaming_neardup_pipeline_ref(sf_dir: str) -> pd.DataFrame:
         {"doc_id": "int64", "cluster_id": "int64", "cluster_size": "int64",
          "is_canonical": "bool"}
     )
+
+
+def streaming_update_pipeline_ref(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) — the drained
+    answer of the Hamming pipeline AFTER the update wave (queries.py
+    streaming_update_pipeline): docs with doc_id % 11 == 7 carry the
+    image of doc_id - 1, everything else its own. Brute-force Hamming
+    pairs over the POST-update fingerprints + the shared union-find
+    tail — updates are implementation, the drained state is pure batch
+    semantics over the final corpus. Input generator
+    (synth_block_image) shared by design; the hash and the clustering
+    are independent reimplementations."""
+    from flink_playground_spark.functions.multimodal import synth_block_image
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fps = []
+    for d in sorted(int(x) for x in docs["doc_id"]):
+        src = d - 1 if d % 11 == 7 and d >= 1 else d
+        sh = ahash64_ref(synth_block_image(src))
+        if sh is not None:
+            fps.append((d, sh))
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(len(fps)):
+        ida, sa = fps[i]
+        for j in range(i + 1, len(fps)):
+            idb, sb = fps[j]
+            if ((sa & mask) ^ (sb & mask)).bit_count() <= max_hamming:
+                out.append((ida, idb))
+    return _unionfind_clusters(pd.DataFrame(out, columns=["id_a", "id_b"]))
 
 
 def video_scene_neardup_ref(

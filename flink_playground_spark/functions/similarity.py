@@ -1170,6 +1170,20 @@ def ivfpq_topk(
     )
     memo_hit = _IVFPQ_INDEX_MEMO.get(memo_key) if memo_key is not None else None
     if memo_hit is not None:
+        # VALIDITY PROBE (r12 ADVICE): the memoized code relation is a
+        # localCheckpoint — its blocks are NON-recomputable, so on a
+        # real cluster an executor loss between builds would make every
+        # later memo-hit serving scan fail where the unmemoized path
+        # would simply rebuild. Probe with one cheap take(1) and fall
+        # back to a full rebuild (evicting the dead entry) on ANY
+        # error — the memo is an optimization and must never be able
+        # to fail a query the cold path would have answered.
+        try:
+            memo_hit[1].take(1)
+        except Exception:
+            _IVFPQ_INDEX_MEMO.pop(memo_key, None)
+            memo_hit = None
+    if memo_hit is not None:
         # index-catalog hit: the deterministic build (centroids, book,
         # checkpointed code relation) is reused bit-for-bit; only the
         # serving scan below runs

@@ -795,7 +795,7 @@ def skewed_join_salted(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "streaming_tumble_count",
     """
 SELECT event_type,
@@ -805,6 +805,7 @@ SELECT event_type,
 FROM events GROUP BY 1, 2, 3
 """,
     tags=("T1", "T2", "G1"),
+    bench=False,
 )
 def streaming_tumble_count(spark, sf_dir):
     """WindowsProctimeAggJob.java:65-81 on the real streaming engine:
@@ -818,7 +819,7 @@ def streaming_tumble_count(spark, sf_dir):
     return out
 
 
-@register(
+@register_extra(
     "streaming_dedup_latest",
     """
 SELECT event_id, ts, user_id, event_type, value FROM (
@@ -827,6 +828,7 @@ SELECT event_id, ts, user_id, event_type, value FROM (
   FROM events) t WHERE rn = 1
 """,
     tags=("W1", "T6"),
+    bench=False,
 )
 def streaming_dedup_latest(spark, sf_dir):
     """Streaming keep-latest dedup (the Flink Deduplicate operator,
@@ -952,7 +954,7 @@ SELECT '+U', 2, c_custkey, c_name, event_id, ts, event_type, value FROM chg
 """
 
 
-@register_extra(
+@register(
     "streaming_outer_join_changelog",
     _OUTER_JOIN_CHANGELOG_ORACLE,
     tags=("T6", "J4", "W2"),
@@ -1329,7 +1331,7 @@ def order_limit_topn(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "streaming_session_window",
     """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -1348,6 +1350,7 @@ SELECT user_id, MIN(ts) AS session_start,
 FROM sess GROUP BY user_id, sid
 """,
     tags=("T10", "T6"),
+    bench=False,
 )
 def streaming_session_window(spark, sf_dir):
     """Session windows on the streaming engine: per-key gap-merged session
@@ -1369,13 +1372,14 @@ def streaming_session_window(spark, sf_dir):
     return run_to_memory(agg, "complete")
 
 
-@register(
+@register_extra(
     "streaming_stream_static_join",
     """
 SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """,
     tags=("J4", "T5"),
+    bench=False,
 )
 def streaming_stream_static_join(spark, sf_dir):
     """Stream-static join: the events stream enriched against the static
@@ -1637,7 +1641,7 @@ def text_analysis(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "exact_dedup_docs",
     r"""
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
@@ -1645,6 +1649,7 @@ SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
 FROM documents GROUP BY 1
 """,
     tags=("ext-dedup",),
+    bench=False,
 )
 def exact_dedup_docs(spark, sf_dir):
     """Exact dedup: one canonical doc per fingerprint group (hash groupBy,
@@ -1676,7 +1681,7 @@ FROM inter WHERE ROUND(i / (n_a + n_b - i), 6) >= {{thr}}
 """
 
 
-@register(
+@register_extra(
     "ngram_jaccard_neardup",
     _NGRAM_PAIRS_SQL.format(thr=0.12),
     tags=("ext-dedup",),
@@ -2957,7 +2962,7 @@ def q12_priority_by_linestatus(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "q13_customer_distribution",
     """
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
@@ -2968,6 +2973,7 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
 GROUP BY 1
 """,
     tags=("superset-tpch",),
+    bench=True,
 )
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13-shaped: distribution of per-customer order counts
@@ -3354,7 +3360,7 @@ def q22_dormant_customers(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "tfidf_top_terms",
     """
 WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
@@ -3658,7 +3664,7 @@ def streaming_broadcast_rules(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "streaming_retractable_agg",
     """
 WITH wa AS (SELECT event_type, value FROM (
@@ -3743,7 +3749,7 @@ def streaming_retractable_minmax(spark, sf_dir):
     return view.read(spark)
 
 
-@register_extra(
+@register(
     "value_drift_psi",
     """
 WITH e AS (SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
@@ -5608,6 +5614,163 @@ def streaming_text_neardup_pipeline(spark, sf_dir):
     )
     for w in range(3):
         pipe.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
+    return (
+        pipe.mapping(spark)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# The post-UPDATE corpus: docs with doc_id % 11 == 7 carry the text of
+# doc_id - 1 (their content changed upstream); everything else its own.
+# The oracle is the SAME recursive-CTE cluster SQL, evaluated over that
+# corpus — updates are implementation, the drained answer is pure batch
+# semantics. The replace targets the single `FROM documents` inside the
+# pair CTE (asserted at import below).
+_TEXT_UPDATE_CLUSTERS_SQL = _DEDUP_CLUSTERS_SQL.replace(
+    "FROM documents",
+    "FROM (SELECT d.doc_id, CASE WHEN d.doc_id % 11 = 7 AND s.text IS NOT NULL"
+    " THEN s.text ELSE d.text END AS text"
+    " FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 1) documents",
+)
+assert _DEDUP_CLUSTERS_SQL.count("FROM documents") == 1
+
+
+@register(
+    "streaming_text_update_pipeline",
+    _TEXT_UPDATE_CLUSTERS_SQL,
+    tags=("ext-text", "ext-dedup", "T6", "W2"),
+    bench=False,
+)
+def streaming_text_update_pipeline(spark, sf_dir):
+    """The composed pipeline's UPDATE path (+U — r12 verdict Next #1),
+    end to end with a FULL DuckDB oracle: three ingest waves build the
+    text index + clusters exactly like streaming_text_neardup_pipeline,
+    then ONE update wave replaces the content of every doc_id % 11 == 7
+    with its predecessor's text (``StreamingNearDupPipeline.update`` —
+    per-ledger atomic rewrites under one batch id: stale pairs
+    retracted, new pairs emitted, clusters relabeled with raises and
+    merges both possible). The drained mapping must equal the batch
+    recursive-CTE cluster answer over the POST-update corpus — updated
+    docs pair by their NEW content only, their old pairs are gone, and
+    docs that joined or left classes are labeled as if the stream had
+    always carried the final text. Reference intent: the PK-upsert /
+    keep-latest changelog semantics of WithStateTtlJob.java:73-77 and
+    WithDeduplicateJoinJob.java:88-104, applied to content-level
+    near-dup state."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from flink_playground_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+    )
+    from flink_playground_spark.streaming.minhash_index import StreamingMinHashIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="fps_updpipe_")
+    pipe = StreamingNearDupPipeline(
+        work, StreamingMinHashIndex(f"{work}/idx", k=128, bands=32, n=3, threshold=0.8)
+    )
+    for w in range(3):
+        pipe.ingest(docs.filter(F.col("doc_id") % 3 == w), batch_id=w)
+    src = docs.select(F.col("doc_id").alias("sid"), F.col("text").alias("stext"))
+    upd = (
+        docs.filter(F.col("doc_id") % 11 == 7)
+        .join(src, F.col("sid") == F.col("doc_id") - 1, "left")
+        .select("doc_id", F.coalesce("stext", "text").alias("text"))
+    )
+    pipe.update(upd, batch_id=3)
+    return (
+        pipe.mapping(spark)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def _update_pipeline_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import (
+        streaming_update_pipeline_ref,
+    )
+
+    return streaming_update_pipeline_ref(sf_dir)
+
+
+@register_extra(
+    "streaming_update_pipeline",
+    None,
+    tags=("ext-multimodal", "ext-dedup", "T6", "W2"),
+    bench=False,
+    py_oracle=_update_pipeline_py_oracle,
+)
+def streaming_update_pipeline(spark, sf_dir):
+    """The update path on the HAMMING modality — same wave plan as
+    streaming_neardup_pipeline (images synthesized per wave, hashed in
+    one Arrow pass, folded through the composed pipeline) plus ONE
+    update wave: every doc_id % 11 == 7 now carries the IMAGE of
+    doc_id - 1, re-hashed and folded via ``pipe.update`` (atomic
+    excision + re-ingest + cluster relabel under one batch id). The
+    drained mapping is value-checked bit-exactly against an independent
+    brute-force + union-find Python reference over the POST-update
+    corpus (reference.py streaming_update_pipeline_ref) — proving the
+    update verb on a second index family, with the update's cluster
+    raises/merges crossing committed state."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from flink_playground_spark.functions.multimodal import (
+        perceptual_hash,
+        synth_block_image,
+    )
+    from flink_playground_spark.functions.similarity import _spread
+    from flink_playground_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+    )
+    from flink_playground_spark.streaming.phash_index import StreamingHammingIndex
+
+    out_schema = "doc_id bigint, blob binary, media_format string"
+
+    def synth(batches):
+        for pdf in batches:
+            blobs = [synth_block_image(int(d)) for d in pdf["doc_id"]]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="image/ppm")
+
+    def synth_updated(batches):
+        # the changed-content generator: doc_id % 11 == 7 renders its
+        # predecessor's image (the content that changed upstream)
+        for pdf in batches:
+            blobs = [
+                synth_block_image(int(d) - 1 if int(d) % 11 == 7 and int(d) >= 1 else int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pdf[["doc_id"]].assign(blob=blobs, media_format="image/ppm")
+
+    def hash_wave(wave):
+        return (
+            perceptual_hash(wave, kind="ahash")
+            .select(F.col("doc_id").alias("doc"), F.col("phash").alias("sh"))
+            .filter(F.col("sh").isNotNull())
+        )
+
+    work = tempfile.mkdtemp(prefix="fps_updimg_")
+    pipe = StreamingNearDupPipeline(work, StreamingHammingIndex(f"{work}/idx"))
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    for w in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == w).mapInPandas(synth, schema=out_schema)
+        pipe.ingest(hash_wave(wave), batch_id=w)
+    upd_wave = docs.filter(F.col("doc_id") % 11 == 7).mapInPandas(
+        synth_updated, schema=out_schema
+    )
+    pipe.update(hash_wave(upd_wave), batch_id=3)
     return (
         pipe.mapping(spark)
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

@@ -124,6 +124,101 @@ class StreamingDupClusters:
             new_map, writer_id="cc", batch_id=batch_id, agg_cols=self._agg()
         )
 
+    def update(
+        self,
+        spark: SparkSession,
+        upd_docs: DataFrame,
+        surviving_edges: DataFrame,
+        batch_id: int,
+        src: str = "id_a",
+        dst: str = "id_b",
+        new_edges: DataFrame | None = None,
+    ) -> None:
+        """Fold one UPDATE wave — docs whose content CHANGED upstream,
+        so their edges may have been both REMOVED and ADDED. ``ingest``
+        cannot express removal (labels only fall under a min-fold) and
+        ``forget`` cannot express addition, so this is the +U half of
+        the changelog contract (reference intent: the PK upsert of
+        WithStateTtlJob.java:73-77 and the keep-latest dedup of
+        WithDeduplicateJoinJob.java:88-104 — both replace a key's
+        contribution, never merely accumulate it).
+
+        ``upd_docs``: single-column ``node`` DataFrame of the updated
+        doc ids. ``surviving_edges``: the pair set AFTER the index
+        applied the update — stale pairs gone, the wave's new pairs in
+        (exactly what ``index.pairs()`` returns post-update).
+
+        Mechanics: the touched scope is every stored member of every
+        component containing an updated doc OR an endpoint of a
+        surviving edge that references one — then the solve reruns over
+        the surviving edges with either endpoint in scope, and ONE
+        atomic ``rewrite`` (drop scope, add new labels) lands the new
+        mapping with the replay mark in the same commit: a crash
+        anywhere leaves the old mapping or the new one, and a replayed
+        update wave skips instead of double-applying. Work ∝ touched-
+        component mass, like ingest/forget; untouched components are
+        never read into the solve or rewritten.
+
+        Scope completeness: a surviving edge with NO endpoint in scope
+        joins two components containing neither an updated doc nor a
+        new-pair endpoint — such an edge predates the wave, so its
+        components already merged at its own ingest; it cannot need a
+        relabel now. Updated docs isolated by the update (no surviving
+        edge) leave the mapping — the 'isolated docs never enter the
+        graph' convention."""
+        if self._state.committed("cc", batch_id):
+            return
+        edges = (
+            surviving_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        upd = upd_docs.select(F.col(upd_docs.columns[0]).alias("node")).distinct()
+        # seed nodes: updated docs + endpoints of edges referencing them
+        # (their NEW neighbors, possibly in components previously
+        # untouched by any updated doc — an update can MERGE clusters).
+        # When the caller already knows the wave's new pairs
+        # (``new_edges`` — the composed pipeline passes
+        # index.pairs_for_batch), seed from those directly instead of
+        # scanning the full surviving set for updated-doc references:
+        # every pair an update wave emits references a wave doc, so the
+        # two derivations are equivalent and the explicit one is
+        # wave-sized.
+        if new_edges is not None:
+            touching = new_edges.select(
+                F.col(src).alias("u"), F.col(dst).alias("v")
+            ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        else:
+            upd_u = upd.withColumnRenamed("node", "u")
+            upd_v = upd.withColumnRenamed("node", "v")
+            touching = edges.join(F.broadcast(upd_u), "u", "left_semi").unionByName(
+                edges.join(F.broadcast(upd_v), "v", "left_semi")
+            )
+        seeds = (
+            upd.unionByName(touching.select(F.col("u").alias("node")))
+            .unionByName(touching.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = self.mapping(spark)
+        touched_comps = (
+            cur.join(F.broadcast(seeds), "node", "left_semi").select("comp").distinct()
+        )
+        members = cur.join(F.broadcast(touched_comps), "comp", "left_semi").select("node")
+        scope = members.unionByName(seeds).distinct().localCheckpoint(eager=True)
+        keep_u = edges.join(F.broadcast(scope.withColumnRenamed("node", "u")), "u", "left_semi")
+        keep_v = edges.join(F.broadcast(scope.withColumnRenamed("node", "v")), "v", "left_semi")
+        in_scope = keep_u.unionByName(keep_v).distinct().localCheckpoint(eager=True)
+        new_map = (
+            connected_components(in_scope, "u", "v").select("node", "comp")
+            if not in_scope.isEmpty()
+            else None
+        )
+        self._state.rewrite(
+            spark, drop_keys=scope, add=new_map, writer_id="cc", batch_id=batch_id
+        )
+
     def forget(
         self,
         spark: SparkSession,
@@ -181,13 +276,25 @@ class StreamingDupClusters:
                     & ~F.col("u").isin(ids)
                     & ~F.col("v").isin(ids)
                 )
-                # an edge touching a member has BOTH endpoints among the
-                # members (otherwise its components would already have
-                # merged at ingest) — one semi-join prunes the rest
-                .join(F.broadcast(member_nodes.withColumnRenamed("node", "u")), "u", "left_semi")
                 .distinct()
                 .localCheckpoint(eager=True)
             )
+            # in steady state an edge touching a member has BOTH
+            # endpoints among the members (components are edge-closed at
+            # ingest), but in the documented crash window — index
+            # committed a wave's pairs, cluster ledger not yet — the
+            # pair set can reference a not-yet-ingested endpoint. Prune
+            # on the UNION of both endpoints so the relabel solve's
+            # input is well-defined regardless (r12 ADVICE): an edge is
+            # kept iff EITHER endpoint is a touched member, never
+            # asymmetrically by which side happens to be the member.
+            keep_u = edges.join(
+                F.broadcast(member_nodes.withColumnRenamed("node", "u")), "u", "left_semi"
+            )
+            keep_v = edges.join(
+                F.broadcast(member_nodes.withColumnRenamed("node", "v")), "v", "left_semi"
+            )
+            edges = keep_u.unionByName(keep_v).distinct().localCheckpoint(eager=True)
             if edges.isEmpty():
                 edges = None
         new_map = (

@@ -117,7 +117,16 @@ class StreamingFrameSetIndex:
         wave's own rows can only appear after its commit, at which point
         the whole ingest is replay-skipped). Zero-shingle docs store no
         rows and carry no signature, so they are invisible to the guard
-        by construction — and harmless, they can never seed a pair."""
+        by construction — and harmless, they can never seed a pair.
+
+        Enforcement scope: CROSS-wave redelivery only. A doc id whose
+        rows within ONE wave mix two frame-hash generations is
+        undetectable here by construction — the input is already
+        exploded (doc, shingle) set rows, and one set is
+        indistinguishable from the union of two (unlike the phash/
+        minhash indexes, whose per-doc scalar payloads make an
+        intra-wave conflict visible; r12 ADVICE). Callers must emit
+        each doc's frame set atomically into its wave."""
         spark = wave.sparkSession
         state = self._grams.read(spark)
         if state is None:
@@ -217,6 +226,81 @@ class StreamingFrameSetIndex:
             batch_id=batch_id,
             agg_cols=[F.min("n_sh").alias("n_sh"), F.min("rk").alias("rk")],
         )
+
+    def update(self, grams: DataFrame, batch_id: int) -> None:
+        """Fold one wave of CHANGED docs — the one-call changed-doc
+        path (+U) the one-wave-per-doc guard otherwise refuses: each
+        doc's new frame-hash set REPLACES its committed grams, stale
+        pairs are retracted, new pairs are emitted, all under ONE batch
+        id. Upsert semantics: an uncommitted doc id is simply inserted.
+        Same crash protocol as StreamingPhashIndex.update — one atomic
+        replay-marked ``rewrite`` per ledger, pairs first, the grams
+        ledger (the replay probe's key) LAST, so a crash between the
+        two redelivers and converges without ever leaving a doc absent.
+        Cost: pair generation incremental like ``ingest``; ledger
+        rewrites ∝ live state — batch update waves, don't dribble."""
+        spark = grams.sparkSession
+        if self._grams.committed("grams", batch_id):
+            return  # whole update already committed
+        from pyspark.sql import Window
+
+        g = grams.select("doc", "shingle").distinct()
+        counts = g.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        wave = (
+            g.join(counts, "doc")
+            .withColumn(
+                "rk", F.row_number().over(Window.partitionBy("doc").orderBy("shingle"))
+            )
+            .select(*_GRAM_COLS)
+            .localCheckpoint(eager=True)
+        )
+        upd = wave.select("doc").distinct().localCheckpoint(eager=True)
+        wave_prefix = self._prefix(wave)
+        cand = self._cand_join(wave_prefix, wave_prefix, cross_state=False)
+        idx = wave
+        state = self._grams.read(spark)
+        if state is not None:
+            # the updated docs' OLD grams are dead everywhere below:
+            # their new rows pair via the wave side
+            state = state.join(F.broadcast(upd), "doc", "left_anti")
+            touched = wave_prefix.select("shingle").distinct()
+            state_prefix = self._prefix(state).join(
+                F.broadcast(touched), "shingle", "left_semi"
+            )
+            cand = cand.unionByName(
+                self._cand_join(wave_prefix, state_prefix, cross_state=True)
+            ).distinct()
+            cand_docs = (
+                cand.select(F.col("id_a").alias("doc"))
+                .unionByName(cand.select(F.col("id_b").alias("doc")))
+                .distinct()
+            )
+            idx = wave.unionByName(state.join(cand_docs, "doc", "left_semi"))
+        pairs = verify_pairs(idx.select("doc", "n_sh", "shingle"), cand, self.threshold)
+        up_a = upd.withColumnRenamed("doc", "id_a")
+        up_b = upd.withColumnRenamed("doc", "id_b")
+        self._pairs.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(up_a), "id_a", "left_anti").join(
+                F.broadcast(up_b), "id_b", "left_anti"
+            ),
+            add=pairs.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="pairs",
+            batch_id=batch_id,
+        )
+        self._grams.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
+            add=wave,
+            writer_id="grams",
+            batch_id=batch_id,
+        )
+
+    def wave_doc_ids(self, wave: DataFrame) -> DataFrame:
+        """The doc ids a wave carries, as a single-column ``doc``
+        DataFrame — the composed pipeline derives an update wave's
+        excision set through this, schema-agnostically."""
+        return wave.select("doc").distinct()
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         """Every near-dup pair emitted so far (drained == the batch

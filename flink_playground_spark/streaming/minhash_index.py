@@ -59,6 +59,7 @@ from flink_playground_spark.functions.dedupe import (
     verify_pairs,
 )
 from flink_playground_spark.streaming.phash_index import (
+    IntraWaveConflict,
     OneWavePerDocViolation,
     _sum_ledger_col,
 )
@@ -108,6 +109,46 @@ class StreamingMinHashIndex:
         )
 
     # -- internals ---------------------------------------------------------
+
+    def _guard_intra_wave(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        """Enforce one-text-per-doc WITHIN a wave (r12 ADVICE): a doc id
+        delivered twice in ONE batch with two DIFFERENT texts would have
+        both texts' grams silently merged by ``shingle_index`` into one
+        doc — the stored shingle set and every later Jaccard quietly
+        wrong, and invisible to the cross-wave guard (nothing committed
+        yet). Detected on the RAW wave (one extra wave-sized aggregate —
+        the union of grams is indistinguishable after shingling), hashed
+        so full texts never ride the conflict check. Same raise/
+        quarantine contract; a conflicted doc is dropped WHOLE — a
+        conflicted wave cannot say which generation is current, that is
+        what ``update`` waves are for. Exact duplicates of the same
+        (doc, text) row are harmless (distinct grams) and pass."""
+        bad = (
+            docs.groupBy(F.col(self.id_col).alias("doc"))
+            .agg(F.count_distinct(F.xxhash64(self.text_col)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select("doc")
+            .localCheckpoint(eager=True)
+        )
+        if bad.isEmpty():
+            return docs
+        if self.on_conflict == "error":
+            sample = [r["doc"] for r in bad.limit(5).collect()]
+            raise IntraWaveConflict(
+                f"wave {batch_id} carries >1 distinct text for the same "
+                f"doc id (sample: {sample}) — resolve upstream "
+                "(keep-latest per doc) or construct the index with "
+                "on_conflict='quarantine'"
+            )
+        self._quarantine.append(
+            bad.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="quarantine_intra",
+            batch_id=batch_id,
+            agg_cols=[F.min("since_batch").alias("since_batch")],
+        )
+        return docs.join(
+            F.broadcast(bad.withColumnRenamed("doc", self.id_col)), self.id_col, "left_anti"
+        )
 
     def _guard_one_wave_per_doc(self, wave: DataFrame, batch_id: int) -> DataFrame:
         """Anti-probe the wave's doc ids against the committed shingle
@@ -197,37 +238,34 @@ class StreamingMinHashIndex:
             prior = prior.join(F.broadcast(full), ["band", "bucket"], "left_anti")
         return banded, prior
 
-    # -- API ----------------------------------------------------------------
-
-    def ingest(self, docs: DataFrame, batch_id: int) -> None:
-        """Fold one wave of (id_col, text_col) documents: shingle, sign,
-        band, join against touched state buckets, verify exactly, emit
-        this wave's pairs, append the wave's state. One-wave-per-doc is
-        ENFORCED (raise or quarantine per ``on_conflict``); redelivery
-        of the same batch_id is probed against the shingle ledger (the
-        commit point) before any write."""
-        spark = docs.sparkSession
-        if self._shingles.committed("shingles", batch_id):
-            return  # replay of a committed wave: skipped before ANY write
-        # one checkpoint holds the wave's whole token pipeline; every
-        # read below (guard, signatures, verification, append) hits it
+    def _shingle_band(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """One wave's token pipeline: shingle (checkpointed — every read
+        below hits it), sign, band (checkpointed)."""
         wave_sh = shingle_index(
             docs.select(F.col(self.id_col), F.col(self.text_col)),
             self.id_col,
             self.text_col,
             self.n,
         ).localCheckpoint(eager=True)
-        wave_sh = self._guard_one_wave_per_doc(wave_sh, batch_id)
         sigs = minhash_signatures(None, "doc", None, self.k, self.n, index=wave_sh)
         banded = _band_signatures(sigs, self.bands, self.k // self.bands).localCheckpoint(
             eager=True
         )
-        touched = banded.select("band", "bucket").distinct()
-        prior = self._bands.read(spark)
-        if prior is not None:
-            prior = prior.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
-        banded, prior = self._cap_and_count(banded, prior, batch_id)
+        return wave_sh, banded
 
+    def _wave_pairs(
+        self,
+        spark: SparkSession,
+        wave_sh: DataFrame,
+        banded: DataFrame,
+        prior: DataFrame | None,
+        dead_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """The wave's exactly-verified pairs: banded candidates (within-
+        wave + wave×state) verified over the wave's shingles plus the
+        state shingles of candidate docs only. ``dead_docs``: doc ids
+        whose STORED shingles are stale (an update wave's excision set)
+        — their content is represented by ``wave_sh`` alone."""
         a, b = banded.alias("a"), banded.alias("b")
         cand = a.join(
             b,
@@ -254,13 +292,41 @@ class StreamingMinHashIndex:
                 .distinct()
             )
             state_sh = self._shingles.read(spark)
+            if dead_docs is not None:
+                state_sh = state_sh.join(F.broadcast(dead_docs), "doc", "left_anti")
             # verification reads ONLY candidate docs' stored shingles
-            idx = wave_sh.unionByName(
-                state_sh.join(cand_docs, "doc", "left_semi")
-            )
-        pairs = verify_pairs(
+            idx = wave_sh.unionByName(state_sh.join(cand_docs, "doc", "left_semi"))
+        return verify_pairs(
             idx.select("doc", "n_sh", "shingle"), cand.distinct(), self.threshold
         )
+
+    # -- API ----------------------------------------------------------------
+
+    def ingest(self, docs: DataFrame, batch_id: int) -> None:
+        """Fold one wave of (id_col, text_col) documents: shingle, sign,
+        band, join against touched state buckets, verify exactly, emit
+        this wave's pairs, append the wave's state. One-wave-per-doc is
+        ENFORCED both ACROSS waves (probe vs committed shingle state)
+        and WITHIN the wave (two distinct texts for one doc id — r12
+        ADVICE), raise or quarantine per ``on_conflict``; redelivery of
+        the same batch_id is probed against the shingle ledger (the
+        commit point) before any write. The intra-wave check is one
+        extra aggregate over the raw wave (hashed texts)."""
+        spark = docs.sparkSession
+        if self._shingles.committed("shingles", batch_id):
+            return  # replay of a committed wave: skipped before ANY write
+        docs = self._guard_intra_wave(docs, batch_id)
+        wave_sh, banded = self._shingle_band(docs)
+        wave_sh = self._guard_one_wave_per_doc(wave_sh, batch_id)
+        banded = banded.join(
+            F.broadcast(wave_sh.select("doc").distinct()), "doc", "left_semi"
+        )
+        touched = banded.select("band", "bucket").distinct()
+        prior = self._bands.read(spark)
+        if prior is not None:
+            prior = prior.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+        banded, prior = self._cap_and_count(banded, prior, batch_id)
+        pairs = self._wave_pairs(spark, wave_sh, banded, prior)
         self._pairs.append(
             pairs.withColumn("since_batch", F.lit(batch_id)),
             writer_id="pairs",
@@ -282,6 +348,77 @@ class StreamingMinHashIndex:
             batch_id=batch_id,
             agg_cols=[F.min("n_sh").alias("n_sh")],
         )
+
+    def update(self, docs: DataFrame, batch_id: int) -> None:
+        """Fold one wave of CHANGED docs — the one-call changed-doc
+        path (+U) the one-wave-per-doc guard otherwise refuses: each
+        doc's new text REPLACES its committed shingles/bands, stale
+        pairs are retracted, new pairs are emitted, all under ONE batch
+        id. Upsert semantics: an uncommitted doc id is simply inserted.
+        Same crash protocol as StreamingPhashIndex.update — one atomic
+        replay-marked ``rewrite`` per ledger, sequenced pairs → bands →
+        shingles with the commit-point ledger LAST, so a crash between
+        ledgers redelivers and converges without ever leaving a doc
+        absent. A doc updated to a text with NO shingles is excised and
+        stores nothing (it can never pair; same zero-shingle
+        invisibility the guard documents). Intra-wave conflicts
+        (two texts, one doc, one wave) raise or quarantine as in
+        ``ingest``. Cost: pair generation incremental like ``ingest``;
+        ledger rewrites ∝ live state (the shingle ledger is corpus-
+        sized — batch update waves, don't dribble single docs)."""
+        spark = docs.sparkSession
+        if self._shingles.committed("shingles", batch_id):
+            return  # whole update already committed
+        docs = self._guard_intra_wave(docs, batch_id)
+        # excision set from the RAW wave: a doc updated to a zero-
+        # shingle text still gets its old state excised
+        upd = (
+            docs.select(F.col(self.id_col).alias("doc"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        wave_sh, banded = self._shingle_band(docs)
+        touched = banded.select("band", "bucket").distinct()
+        prior = self._bands.read(spark)
+        if prior is not None:
+            # the updated docs' OLD bands are dead: excluded from
+            # candidates (their new rows pair via the wave side)
+            prior = prior.join(F.broadcast(upd), "doc", "left_anti").join(
+                F.broadcast(touched), ["band", "bucket"], "left_semi"
+            )
+        banded, prior = self._cap_and_count(banded, prior, batch_id)
+        pairs = self._wave_pairs(spark, wave_sh, banded, prior, dead_docs=upd)
+        up_a = upd.withColumnRenamed("doc", "id_a")
+        up_b = upd.withColumnRenamed("doc", "id_b")
+        self._pairs.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(up_a), "id_a", "left_anti").join(
+                F.broadcast(up_b), "id_b", "left_anti"
+            ),
+            add=pairs.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="pairs",
+            batch_id=batch_id,
+        )
+        self._bands.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
+            add=banded.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="bands",
+            batch_id=batch_id,
+        )
+        self._shingles.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
+            add=wave_sh,
+            writer_id="shingles",
+            batch_id=batch_id,
+        )
+
+    def wave_doc_ids(self, wave: DataFrame) -> DataFrame:
+        """The doc ids a wave carries, as a single-column ``doc``
+        DataFrame — the composed pipeline derives an update wave's
+        excision set through this, schema-agnostically."""
+        return wave.select(F.col(self.id_col).alias("doc")).distinct()
 
     def committed(self, batch_id: int) -> bool:
         """True when ``batch_id`` is fully ingested (shingle ledger =

@@ -82,6 +82,14 @@ class OneWavePerDocViolation(ValueError):
     and quietly skew every later answer; the guard refuses instead."""
 
 
+class IntraWaveConflict(ValueError):
+    """ONE wave carried conflicting content for the same doc id (two
+    distinct fingerprints / texts) — folding both would quietly merge
+    two generations into one stored identity, so every later distance
+    or Jaccard against that doc would be wrong. Raised (or the doc
+    quarantined whole) BEFORE any state write."""
+
+
 def _sum_ledger_col(state: AppendDeltaState, col: str) -> int:
     """File-level SUM over one column of a (tiny, bounded-by-design)
     ledger — no Spark session, same discipline as ``metrics()``."""
@@ -201,6 +209,142 @@ class StreamingPhashIndex:
         )
         return fp.join(F.broadcast(bad), "doc", "left_anti")
 
+    def _guard_intra_wave(self, banded: DataFrame, batch_id: int) -> DataFrame:
+        """Enforce one-fingerprint-per-doc WITHIN a wave (r12 ADVICE):
+        a doc id delivered twice in ONE batch with two distinct ``sh``
+        values would silently fold two content generations into one
+        stored identity — the cross-wave guard cannot see it (nothing
+        is committed yet). Detected from the already-checkpointed
+        banded rows (they carry ``sh``), so no caller lineage reruns.
+        Same raise/quarantine contract; quarantined docs are dropped
+        WHOLE (all generations) — a conflicted wave cannot say which
+        generation is current, that is what ``update`` waves are for."""
+        bad = (
+            banded.groupBy("doc")
+            .agg(F.count_distinct("sh").alias("n"))
+            .filter(F.col("n") > 1)
+            .select("doc")
+            .localCheckpoint(eager=True)
+        )
+        if bad.isEmpty():
+            return banded
+        if self.on_conflict == "error":
+            sample = [r["doc"] for r in bad.limit(5).collect()]
+            raise IntraWaveConflict(
+                f"wave {batch_id} carries >1 distinct fingerprint for the "
+                f"same doc id (sample: {sample}) — resolve upstream "
+                "(keep-latest per doc) or construct the index with "
+                "on_conflict='quarantine'"
+            )
+        self._quarantine.append(
+            bad.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="quarantine_intra",
+            batch_id=batch_id,
+            agg_cols=[F.min("since_batch").alias("since_batch")],
+        )
+        return banded.join(F.broadcast(bad), "doc", "left_anti")
+
+    def _cap_and_count(
+        self, banded: DataFrame, prior: DataFrame | None, batch_id: int
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """The bucket-cap protocol (module docstring): accumulated
+        distinct-doc occupancy over TOUCHED buckets only, newly-crossed
+        buckets appended to the overflow ledger, the swallowed wave rows
+        SUM-counted, and both sides anti-joined against the full set."""
+        spark = banded.sparkSession
+        if self.max_bucket is None:
+            return banded, prior
+        # accumulated occupancy of the touched buckets only
+        occ_src = banded.select("band", "bucket", "doc")
+        if prior is not None:
+            occ_src = occ_src.unionByName(prior.select("band", "bucket", "doc"))
+        over = (
+            occ_src.groupBy("band", "bucket")
+            .agg(F.count_distinct("doc").alias("n"))
+            .filter(F.col("n") > self.max_bucket)
+            .select("band", "bucket")
+        )
+        known_over = self._overflow_set(spark)
+        if known_over is not None:
+            over = over.join(known_over, ["band", "bucket"], "left_anti")
+        # the overflow set is BOUNDED BY DESIGN (the loud exception
+        # list, not data): checkpointing it costs one tiny job and
+        # lets the healthy path — nothing overflowed, nothing known —
+        # skip the ledger append and both exclusion joins outright
+        new_over = over.localCheckpoint(eager=True)
+        if not new_over.isEmpty():
+            # newly-overflowed buckets become one immutable delta —
+            # atomic manifest commit, replay-skipped, never rewriting
+            # (or even reading) the previously recorded set; the
+            # exclusion joins read committed executor-side state, so
+            # overflow rows never pass through the driver
+            self._overflow.append(
+                new_over.withColumn("since_batch", F.lit(batch_id)),
+                writer_id="overflow",
+                batch_id=batch_id,
+                agg_cols=[F.min("since_batch").alias("since_batch")],
+            )
+            full_over = self._overflow_set(spark)
+        else:
+            full_over = known_over
+        if full_over is None:
+            return banded, prior
+        # quantify the divergence (r11 watch item): count the wave rows
+        # each overflowed bucket swallows AFTER its crossing, so an
+        # operator can judge whether survivors are worth re-ingesting
+        # into a fresh index. SUM-folded ledger, appended only on the
+        # (degenerate) overflow path — the clean path pays nothing.
+        skipped = (
+            banded.join(F.broadcast(full_over), ["band", "bucket"], "left_semi")
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .localCheckpoint(eager=True)
+        )
+        if not skipped.isEmpty():
+            self._ovf_skip.append(
+                skipped,
+                writer_id="ovf_skip",
+                batch_id=batch_id,
+                agg_cols=[F.sum("n_rows").alias("n_rows")],
+            )
+        banded = banded.join(F.broadcast(full_over), ["band", "bucket"], "left_anti")
+        if prior is not None:
+            prior = prior.join(F.broadcast(full_over), ["band", "bucket"], "left_anti")
+        return banded, prior
+
+    def _wave_pairs(self, banded: DataFrame, prior: DataFrame | None) -> DataFrame:
+        """The wave's verified pairs: new×new within the wave, new×state
+        across waves (disjoint sources — state never holds the wave's
+        docs, one distinct per source suffices)."""
+        a, b = banded.alias("a"), banded.alias("b")
+        new_new = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        pairs = self._verify(new_new)
+        if prior is not None:
+            p = prior.alias("p")
+            new_old = a.join(
+                p,
+                (F.col("a.band") == F.col("p.band"))
+                & (F.col("a.bucket") == F.col("p.bucket"))
+                & (F.col("a.doc") != F.col("p.doc")),
+            ).select(
+                F.least("a.doc", "p.doc").alias("id_a"),
+                F.greatest("a.doc", "p.doc").alias("id_b"),
+                F.col("a.sh").alias("sh_a"),
+                F.col("p.sh").alias("sh_b"),
+            )
+            pairs = pairs.unionByName(self._verify(new_old))
+        return pairs
+
     def _verify(self, cand: DataFrame) -> DataFrame:
         ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         return (
@@ -232,105 +376,20 @@ class StreamingPhashIndex:
         # media-hash pass) is computed exactly once; the guard, the docs
         # append and every join below read the 48B/doc checkpoint
         banded = simhash_chunks(fp.select("doc", "sh")).localCheckpoint(eager=True)
+        banded = self._guard_intra_wave(banded, batch_id)
         banded = self._guard_one_wave_per_doc(banded, batch_id)
         wave_docs = banded.select("doc").distinct()
         touched = banded.select("band", "bucket").distinct()
         prior = self._bands.read(spark)
         if prior is not None:
             prior = prior.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
-
-        if self.max_bucket is not None:
-            # accumulated occupancy of the touched buckets only
-            occ_src = banded.select("band", "bucket", "doc")
-            if prior is not None:
-                occ_src = occ_src.unionByName(prior.select("band", "bucket", "doc"))
-            over = (
-                occ_src.groupBy("band", "bucket")
-                .agg(F.count_distinct("doc").alias("n"))
-                .filter(F.col("n") > self.max_bucket)
-                .select("band", "bucket")
-            )
-            known_over = self._overflow_set(spark)
-            if known_over is not None:
-                over = over.join(known_over, ["band", "bucket"], "left_anti")
-            # the overflow set is BOUNDED BY DESIGN (the loud exception
-            # list, not data): checkpointing it costs one tiny job and
-            # lets the healthy path — nothing overflowed, nothing known —
-            # skip the ledger append and both exclusion joins outright
-            new_over = over.localCheckpoint(eager=True)
-            if not new_over.isEmpty():
-                # newly-overflowed buckets become one immutable delta —
-                # atomic manifest commit, replay-skipped, never rewriting
-                # (or even reading) the previously recorded set; the
-                # exclusion joins read committed executor-side state, so
-                # overflow rows never pass through the driver
-                self._overflow.append(
-                    new_over.withColumn("since_batch", F.lit(batch_id)),
-                    writer_id="overflow",
-                    batch_id=batch_id,
-                    agg_cols=[F.min("since_batch").alias("since_batch")],
-                )
-                full_over = self._overflow_set(spark)
-            else:
-                full_over = known_over
-            if full_over is not None:
-                # quantify the divergence (r11 watch item): count the
-                # wave rows each overflowed bucket swallows AFTER its
-                # crossing, so an operator can judge whether survivors
-                # are worth re-ingesting into a fresh index. SUM-folded
-                # ledger, appended only on the (degenerate) overflow path
-                # — the clean path pays nothing.
-                skipped = (
-                    banded.join(F.broadcast(full_over), ["band", "bucket"], "left_semi")
-                    .groupBy("band", "bucket")
-                    .agg(F.count(F.lit(1)).alias("n_rows"))
-                    .localCheckpoint(eager=True)
-                )
-                if not skipped.isEmpty():
-                    self._ovf_skip.append(
-                        skipped,
-                        writer_id="ovf_skip",
-                        batch_id=batch_id,
-                        agg_cols=[F.sum("n_rows").alias("n_rows")],
-                    )
-                banded = banded.join(F.broadcast(full_over), ["band", "bucket"], "left_anti")
-                if prior is not None:
-                    prior = prior.join(F.broadcast(full_over), ["band", "bucket"], "left_anti")
-
-        a, b = banded.alias("a"), banded.alias("b")
-        new_new = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        ).select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        pairs = self._verify(new_new)
-        if prior is not None:
-            p = prior.alias("p")
-            new_old = a.join(
-                p,
-                (F.col("a.band") == F.col("p.band"))
-                & (F.col("a.bucket") == F.col("p.bucket"))
-                & (F.col("a.doc") != F.col("p.doc")),
-            ).select(
-                F.least("a.doc", "p.doc").alias("id_a"),
-                F.greatest("a.doc", "p.doc").alias("id_b"),
-                F.col("a.sh").alias("sh_a"),
-                F.col("p.sh").alias("sh_b"),
-            )
-            pairs = pairs.unionByName(self._verify(new_old))
-        # the two sources are disjoint (state never contains this wave's
-        # docs under the one-wave-per-doc precondition), so one distinct
-        # per source suffices; appends are replay-skipped per
-        # (writer, batch), and the bands append is the wave's COMMIT
-        # POINT — the replay probe above keys on it, so a crash anywhere
-        # earlier redoes the wave deterministically (already-committed
-        # overflow/pair deltas skip themselves)
+        banded, prior = self._cap_and_count(banded, prior, batch_id)
+        pairs = self._wave_pairs(banded, prior)
+        # appends are replay-skipped per (writer, batch), and the bands
+        # append is the wave's COMMIT POINT — the replay probe above
+        # keys on it, so a crash anywhere earlier redoes the wave
+        # deterministically (already-committed overflow/pair deltas
+        # skip themselves)
         self._pairs.append(
             # since_batch tags each pair with the wave that emitted it,
             # so a composed pipeline (dedup_pipeline.py) can recover
@@ -360,6 +419,88 @@ class StreamingPhashIndex:
             batch_id=batch_id,
             agg_cols=[F.min("sh").alias("sh")],
         )
+
+    def update(self, fp: DataFrame, batch_id: int) -> None:
+        """Fold one wave of CHANGED docs — the one-call changed-doc
+        path (+U) the one-wave-per-doc guard otherwise refuses: each
+        doc's new fingerprint REPLACES its committed state, stale pairs
+        are retracted, and new pairs are emitted, all under ONE batch
+        id. Upsert semantics: a doc id not yet committed is simply
+        inserted (so the same wave can mix inserts and updates).
+
+        Reference intent: the PK upsert of WithStateTtlJob.java:73-77
+        and the keep-latest dedup of WithDeduplicateJoinJob.java:88-104
+        — a key's contribution is replaced, never accumulated twice.
+
+        Crash protocol (the reason this is one call and not
+        ``forget`` + ``ingest``, which would leave a crash window where
+        the doc has silently vanished from the index): each ledger
+        mutation is ONE atomic ``AppendDeltaState.rewrite`` that lands
+        the drop, the re-add and the replay mark in the same manifest
+        commit, sequenced pairs → docs → bands with the bands ledger —
+        the replay probe's key — LAST. A crash between ledgers
+        redelivers the wave: the wave's content is recomputed
+        deterministically from the (unchanged-under-update) inputs,
+        already-committed ledgers skip via their replay marks, and the
+        remaining ones catch up. At no committed point is a doc absent:
+        every intermediate state holds either its old generation or its
+        new one.
+
+        Cost: pair generation is incremental exactly like ``ingest``
+        (wave × touched buckets); the ledger rewrites are ∝ live ledger
+        state (one read + one write each, doubling as compaction) —
+        batch update waves, don't dribble single docs. Overflowed
+        buckets stay excluded (the cap records that the bucket WAS
+        degenerate; same rationale as ``forget``)."""
+        spark = fp.sparkSession
+        if self._bands.committed("bands", batch_id):
+            return  # whole update already committed
+        banded = simhash_chunks(fp.select("doc", "sh")).localCheckpoint(eager=True)
+        banded = self._guard_intra_wave(banded, batch_id)
+        # the excision set: every doc the (post-conflict-guard) wave
+        # carries — their old rows are dead everywhere below
+        upd = banded.select("doc").distinct().localCheckpoint(eager=True)
+        touched = banded.select("band", "bucket").distinct()
+        prior = self._bands.read(spark)
+        if prior is not None:
+            # the updated docs' OLD bands are dead: excluded from
+            # candidates (their new rows pair via the wave side)
+            prior = prior.join(F.broadcast(upd), "doc", "left_anti").join(
+                F.broadcast(touched), ["band", "bucket"], "left_semi"
+            )
+        banded, prior = self._cap_and_count(banded, prior, batch_id)
+        pairs = self._wave_pairs(banded, prior)
+        up_a = upd.withColumnRenamed("doc", "id_a")
+        up_b = upd.withColumnRenamed("doc", "id_b")
+        self._pairs.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(up_a), "id_a", "left_anti").join(
+                F.broadcast(up_b), "id_b", "left_anti"
+            ),
+            add=pairs.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="pairs",
+            batch_id=batch_id,
+        )
+        self._docs.rewrite(
+            spark,
+            drop_keys=upd,
+            add=upd.withColumn("since_batch", F.lit(batch_id)),
+            writer_id="docs",
+            batch_id=batch_id,
+        )
+        self._bands.rewrite(
+            spark,
+            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
+            add=banded,
+            writer_id="bands",
+            batch_id=batch_id,
+        )
+
+    def wave_doc_ids(self, wave: DataFrame) -> DataFrame:
+        """The doc ids a wave carries, as a single-column ``doc``
+        DataFrame — the composed pipeline derives an update wave's
+        excision set through this, schema-agnostically."""
+        return wave.select("doc").distinct()
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         """Every near-dup pair emitted so far (drained == the batch

@@ -588,11 +588,19 @@ class AppendDeltaState:
         spark: SparkSession,
         drop_keys: DataFrame | None = None,
         add: DataFrame | None = None,
-    ) -> int:
+        dropper=None,
+        writer_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> int | None:
         """Transactionally REPLACE ledger rows in one commit: drop every
         row whose key tuple appears in ``drop_keys`` (a DataFrame with
-        exactly ``self.keys`` columns) and append ``add``'s rows, as a
-        SINGLE atomic manifest replace. Returns rows dropped.
+        exactly ``self.keys`` columns) — or, for drops a key tuple can't
+        express (e.g. "any pair row referencing a doc in this set"),
+        every row ``dropper`` removes (a callable current→kept, composed
+        of joins/filters, evaluated lazily inside the single rewrite
+        pass) — and append ``add``'s rows, as a SINGLE atomic manifest
+        replace. Returns rows dropped, or None when ``(writer_id,
+        batch_id)`` was already committed (replay skip).
 
         This is the primitive a takedown CASCADE needs and two separate
         prune+append transactions cannot provide: a crash between them
@@ -600,36 +608,68 @@ class AppendDeltaState:
         stale ones (append landed first). Here survivors ∪ additions
         land in one fresh delta and the manifest points at it or at the
         old state — never in between. The pass reads live state once
-        and doubles as a compaction; the ``writers`` replay ledger is
-        untouched (retention must not resurrect data through the
+        and doubles as a compaction. The removed-row count rides the
+        SAME pass as two Observations (before/after the drop), not
+        extra ledger scans. Pass ``writer_id``+``batch_id`` to make the
+        rewrite exactly-once under at-least-once redelivery — the doc
+        UPDATE path needs this: the writer high-water mark lands in the
+        same atomic commit as the data, so a replayed update wave skips
+        instead of double-applying. Without them the writers ledger is
+        untouched (takedowns must not resurrect data through the
         at-least-once path). Same raw-facts caveat as ``prune``: only
         legal on ledgers whose dropped rows are not folded into
-        aggregates that must be un-counted."""
+        aggregates that must be un-counted.
+
+        Cost ∝ live ledger state (one read + one write), like every
+        maintenance pass here — fine for audited takedowns and
+        batched update waves; a per-doc dribble of updates should be
+        batched upstream (the LSM evolution, not wired, is deletion
+        vectors: append tombstones, fold at read, apply at compaction)."""
         with _writer_lock(self.path):
             manifest = self._manifest()
+            if writer_id is not None and batch_id is not None:
+                last = manifest["writers"].get(writer_id)
+                if last is not None and batch_id <= last:
+                    return None  # replay of a committed rewrite: skip
             cur = (
                 spark.read.parquet(*[f"{self.path}/d{s}" for s in manifest["deltas"]])
                 if manifest["deltas"]
                 else None
             )
             kept = cur
-            removed = 0
-            if cur is not None and drop_keys is not None:
-                kept = cur.join(drop_keys.select(*self.keys), self.keys, "left_anti")
-                removed = cur.count() - kept.count()
+            obs_in = obs_out = None
+            if cur is not None and (drop_keys is not None or dropper is not None):
+                from pyspark.sql import Observation
+
+                obs_in, obs_out = Observation(), Observation()
+                base = cur.observe(obs_in, F.count(F.lit(1)).alias("n"))
+                kept = (
+                    dropper(base)
+                    if dropper is not None
+                    else base.join(drop_keys.select(*self.keys), self.keys, "left_anti")
+                )
+                kept = kept.observe(obs_out, F.count(F.lit(1)).alias("n"))
             out = kept
             if add is not None:
                 add = add.select(*(kept.columns if kept is not None else add.columns))
                 out = add if kept is None else kept.unionByName(add)
-            if out is None:
-                return 0
-            seq = manifest["seq"] + 1
-            out.write.mode("overwrite").parquet(f"{self.path}/d{seq}")
-            manifest["deltas"] = [seq]
-            manifest["seq"] = seq
+            if out is not None:
+                seq = manifest["seq"] + 1
+                out.write.mode("overwrite").parquet(f"{self.path}/d{seq}")
+                manifest["deltas"] = [seq]
+                manifest["seq"] = seq
+            if writer_id is not None and batch_id is not None:
+                # even a no-op rewrite must advance the replay mark —
+                # the commit-point probe of a multi-ledger update keys
+                # on it, and "nothing to write" is a committed outcome
+                manifest["writers"][writer_id] = batch_id
+            elif out is None:
+                return 0  # nothing read, nothing written, nothing to mark
             self._commit(manifest)
             self.vacuum()
-            return removed
+            if obs_in is not None:
+                return int(obs_in.get["n"]) - int(obs_out.get["n"])
+            return 0
 
     def metrics(self) -> dict:
         """Day-2 operational snapshot, file-level (no Spark session):

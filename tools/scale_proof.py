@@ -85,8 +85,15 @@ PROBES = [
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
 
+# Per-probe minimum timed runs (r12 verdict Next #3): probes whose
+# committed ratio sat inside their own noise band get re-based to
+# min-of-5 — video_scene_neardup's ~1.8s small side swung 0.41–0.68
+# across same-code regenerations under min-of-2/3.
+_MIN_RUNS = {"video_scene_neardup": 5}
+
 
 def _time(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    runs = max(runs, _MIN_RUNS.get(name, 0))
     # one UNTIMED warm run first (round 10): the small-SF side is warmed
     # for free by every preceding probe while the big side pays
     # first-touch parquet IO + plan compile inside its timed window —
@@ -133,6 +140,20 @@ def _cc_rounds(spark, sf_dir: str) -> dict:
     return out
 
 
+def _round_no() -> int:
+    """The round number already in the repo's artifacts (PROGRESS /
+    CORRECTNESS files) — a deterministic seed for the symmetric-confirm
+    sample, so two regenerations in one round re-roll the SAME probes."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in pathlib.Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1"
@@ -140,24 +161,33 @@ def main() -> None:
     spark = get_spark("scale_proof")
     spark.range(10_000).selectExpr("sum(id)").collect()
 
+    # SYMMETRIC confirm (r12 verdict Next #3): the >0.5-only confirm
+    # re-rolled exclusively BAD-looking probes and min-folded the
+    # result — a one-sided optimistic bias in expectation. Each
+    # regeneration now also re-times a deterministic sample of PASSING
+    # probes (seeded by the round number the artifact already carries,
+    # not wall clock) and records both sides, so favorable outliers get
+    # the same scrutiny unfavorable ones always had.
+    rnd = _round_no()
+    sym_sample = {PROBES[i] for i in range((rnd * 7) % 5, len(PROBES), 5)}
+
     rows = {}
     for name in PROBES:
         t_small = _time(spark, name, small)
         t_big = _time(spark, name, big)
         confirmed = False
         pre = None
-        if t_big / t_small > 0.5 * factor:
+        if t_big / t_small > 0.5 * factor or name in sym_sample:
             # CONFIRM pass (round 11, same philosophy as bench.py's
             # regression confirm): a probe landing super-0.5 gets both
             # sides re-timed before the number is committed — a host
             # burst inflating one side's min-of-N must not be recorded
             # as an algorithmic scaling claim. Only what persists
             # through the confirm is committed. The PRE-confirm numbers
-            # are recorded alongside (round 12, ADVICE): min-folding the
-            # confirm could only ever lower a bad-looking ratio while
-            # good-looking ones were never re-rolled — keeping both
-            # timings in the artifact makes the adjudication auditable
-            # instead of optimistically one-sided.
+            # are recorded alongside (round 12, ADVICE), and since r13
+            # the pass also covers the deterministic PASSING sample
+            # above, so the min-fold is no longer applied only where it
+            # can flatter.
             pre = {"sf0.1_s": t_small, "sf1_s": t_big,
                    "ratio": round(t_big / t_small, 2)}
             t_small = min(t_small, _time(spark, name, small, runs=1))
@@ -172,12 +202,21 @@ def main() -> None:
         }
         if confirmed:
             rows[name]["confirm_pass"] = True
+            rows[name]["confirm_reason"] = (
+                "super-0.5" if pre["ratio"] > 0.5 * factor else "symmetric-sample"
+            )
             rows[name]["pre_confirm"] = pre
         print(f"{name:28s} {t_small:8.2f}s {t_big:8.2f}s  x{ratio:<6} scaling {ratio / factor:.2f}")
 
     cc = {"sf0.1": _cc_rounds(spark, small), "sf1": _cc_rounds(spark, big)}
     print(f"cc sf0.1={cc['sf0.1']}\ncc sf1={cc['sf1']}")
-    out = {"factor": factor, "queries": rows, "cc_rounds": cc}
+    out = {
+        "factor": factor,
+        "round": rnd,
+        "symmetric_confirm_sample": sorted(sym_sample),
+        "queries": rows,
+        "cc_rounds": cc,
+    }
     pathlib.Path("SCALE_PROOF.json").write_text(json.dumps(out, indent=1) + "\n")
     spark.stop()
 
