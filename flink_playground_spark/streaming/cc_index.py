@@ -56,7 +56,10 @@ class StreamingDupClusters:
     def __init__(self, workdir: str, compact_every: int = 8):
         self.workdir = workdir
         self._state = AppendDeltaState(
-            f"{workdir}/mapping", keys=["node"], compact_every=compact_every
+            f"{workdir}/mapping",
+            keys=["node"],
+            compact_every=compact_every,
+            tomb_match=[["node"]],
         )
 
     @staticmethod
@@ -152,12 +155,14 @@ class StreamingDupClusters:
         component containing an updated doc OR an endpoint of a
         surviving edge that references one — then the solve reruns over
         the surviving edges with either endpoint in scope, and ONE
-        atomic ``rewrite`` (drop scope, add new labels) lands the new
-        mapping with the replay mark in the same commit: a crash
-        anywhere leaves the old mapping or the new one, and a replayed
-        update wave skips instead of double-applying. Work ∝ touched-
-        component mass, like ingest/forget; untouched components are
-        never read into the solve or rewritten.
+        atomic deletion-vector ``upsert`` (tombstone scope, add new
+        labels) lands the new mapping with the replay mark in the same
+        commit: a crash anywhere leaves the old mapping or the new one,
+        and a replayed update wave skips instead of double-applying.
+        Work AND write IO ∝ touched-component mass, like ingest;
+        untouched components are never read into the solve, rewritten,
+        or even re-copied (the merge-on-read tombstones settle at the
+        next compaction).
 
         Scope completeness: a surviving edge with NO endpoint in scope
         joins two components containing neither an updated doc nor a
@@ -215,8 +220,12 @@ class StreamingDupClusters:
             if not in_scope.isEmpty()
             else None
         )
-        self._state.rewrite(
-            spark, drop_keys=scope, add=new_map, writer_id="cc", batch_id=batch_id
+        # ONE atomic deletion-vector upsert: scope nodes' old min-fold
+        # rows are tombstoned (so labels can RAISE) and the new labels
+        # land, with the replay mark, in the same manifest commit —
+        # write IO ∝ touched-component mass, never the whole mapping
+        self._state.upsert(
+            scope, new_map, writer_id="cc", batch_id=batch_id, agg_cols=self._agg()
         )
 
     def forget(

@@ -48,9 +48,10 @@ that ``resume_takedowns`` replays idempotently on restart.
 
 Updates compose as the third verb (r12 verdict Next #1): ``update
 (wave, b)`` is the one-call changed-doc path — per-index atomic
-rewrite-based excision + re-ingest under ONE batch id, then a cluster
-relabel that handles both retracted and added edges, with the cluster
-rewrite as the composition's commit point. The +I/+U/-D triple is the
+deletion-vector upserts (excision + re-ingest in one manifest commit
+each, write IO ∝ wave) under ONE batch id, then a cluster relabel that
+handles both retracted and added edges, with the cluster upsert as the
+composition's commit point. The +I/+U/-D triple is the
 changelog contract the reference exercises everywhere
 (WithStateTtlJob.java:73-77 PK upsert; WithDeduplicateJoinJob.java:
 88-104 keep-latest).
@@ -123,15 +124,15 @@ class StreamingNearDupPipeline:
 
         1. whole-wave replay probe on the CLUSTER ledger (the
            composition's commit point, same as ``ingest``);
-        2. ``index.update(wave, b)`` — per-ledger atomic rewrites,
-           replay-marked, commit-point ledger last (see
+        2. ``index.update(wave, b)`` — per-ledger atomic deletion-
+           vector upserts, replay-marked, commit-point ledger last (see
            StreamingPhashIndex.update's crash protocol): stale
            pairs retracted, new pairs emitted under ``since_batch=b``;
         3. the wave's new pairs recovered from the pair ledger (the
            crash-between-ledgers path reads them back exactly like
            ``ingest`` does);
         4. ``clusters.update(...)`` — relabel exactly the components
-           the excision/addition touches, in one atomic rewrite that
+           the excision/addition touches, in one atomic upsert that
            is the composition's commit point. Removed edges can RAISE
            labels (which the ingest min-fold cannot express) and new
            edges can merge previously-untouched clusters — both

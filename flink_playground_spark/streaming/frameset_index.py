@@ -67,8 +67,12 @@ class StreamingFrameSetIndex:
         self.workdir = workdir
         self.threshold = threshold
         self.on_conflict = on_conflict
-        self._grams = AppendDeltaState(f"{workdir}/grams", keys=["doc", "shingle"])
-        self._pairs = AppendDeltaState(f"{workdir}/pairs", keys=["id_a", "id_b"])
+        self._grams = AppendDeltaState(
+            f"{workdir}/grams", keys=["doc", "shingle"], tomb_match=[["doc"]]
+        )
+        self._pairs = AppendDeltaState(
+            f"{workdir}/pairs", keys=["id_a", "id_b"], tomb_match=[["id_a"], ["id_b"]]
+        )
         self._quarantine = AppendDeltaState(f"{workdir}/quarantine", keys=["doc"])
 
     # -- internals ---------------------------------------------------------
@@ -234,11 +238,12 @@ class StreamingFrameSetIndex:
         pairs are retracted, new pairs are emitted, all under ONE batch
         id. Upsert semantics: an uncommitted doc id is simply inserted.
         Same crash protocol as StreamingPhashIndex.update — one atomic
-        replay-marked ``rewrite`` per ledger, pairs first, the grams
-        ledger (the replay probe's key) LAST, so a crash between the
-        two redelivers and converges without ever leaving a doc absent.
-        Cost: pair generation incremental like ``ingest``; ledger
-        rewrites ∝ live state — batch update waves, don't dribble."""
+        replay-marked deletion-vector ``upsert`` per ledger, pairs
+        first, the grams ledger (the replay probe's key) LAST, so a
+        crash between the two redelivers and converges without ever
+        leaving a doc absent. Cost: pair generation incremental like
+        ``ingest``; per-wave ledger write IO ∝ WAVE rows
+        (merge-on-read; tombstones settle at the next compaction)."""
         spark = grams.sparkSession
         if self._grams.committed("grams", batch_id):
             return  # whole update already committed
@@ -277,23 +282,22 @@ class StreamingFrameSetIndex:
             )
             idx = wave.unionByName(state.join(cand_docs, "doc", "left_semi"))
         pairs = verify_pairs(idx.select("doc", "n_sh", "shingle"), cand, self.threshold)
-        up_a = upd.withColumnRenamed("doc", "id_a")
-        up_b = upd.withColumnRenamed("doc", "id_b")
-        self._pairs.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(up_a), "id_a", "left_anti").join(
-                F.broadcast(up_b), "id_b", "left_anti"
-            ),
-            add=pairs.withColumn("since_batch", F.lit(batch_id)),
+        self._pairs.upsert(
+            upd,
+            pairs.withColumn("since_batch", F.lit(batch_id)),
             writer_id="pairs",
             batch_id=batch_id,
+            agg_cols=[
+                F.min("jaccard").alias("jaccard"),
+                F.min("since_batch").alias("since_batch"),
+            ],
         )
-        self._grams.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
-            add=wave,
+        self._grams.upsert(
+            upd,
+            wave,
             writer_id="grams",
             batch_id=batch_id,
+            agg_cols=[F.min("n_sh").alias("n_sh"), F.min("rk").alias("rk")],
         )
 
     def wave_doc_ids(self, wave: DataFrame) -> DataFrame:

@@ -97,9 +97,15 @@ class StreamingMinHashIndex:
         self.threshold = threshold
         self.max_bucket = max_bucket
         self.on_conflict = on_conflict
-        self._bands = AppendDeltaState(f"{workdir}/bands", keys=["band", "bucket", "doc"])
-        self._shingles = AppendDeltaState(f"{workdir}/shingles", keys=["doc", "shingle"])
-        self._pairs = AppendDeltaState(f"{workdir}/pairs", keys=["id_a", "id_b"])
+        self._bands = AppendDeltaState(
+            f"{workdir}/bands", keys=["band", "bucket", "doc"], tomb_match=[["doc"]]
+        )
+        self._shingles = AppendDeltaState(
+            f"{workdir}/shingles", keys=["doc", "shingle"], tomb_match=[["doc"]]
+        )
+        self._pairs = AppendDeltaState(
+            f"{workdir}/pairs", keys=["id_a", "id_b"], tomb_match=[["id_a"], ["id_b"]]
+        )
         self._overflow = AppendDeltaState(
             f"{workdir}/bucket_overflow", keys=["band", "bucket"]
         )
@@ -356,16 +362,18 @@ class StreamingMinHashIndex:
         pairs are retracted, new pairs are emitted, all under ONE batch
         id. Upsert semantics: an uncommitted doc id is simply inserted.
         Same crash protocol as StreamingPhashIndex.update — one atomic
-        replay-marked ``rewrite`` per ledger, sequenced pairs → bands →
-        shingles with the commit-point ledger LAST, so a crash between
-        ledgers redelivers and converges without ever leaving a doc
-        absent. A doc updated to a text with NO shingles is excised and
-        stores nothing (it can never pair; same zero-shingle
-        invisibility the guard documents). Intra-wave conflicts
-        (two texts, one doc, one wave) raise or quarantine as in
-        ``ingest``. Cost: pair generation incremental like ``ingest``;
-        ledger rewrites ∝ live state (the shingle ledger is corpus-
-        sized — batch update waves, don't dribble single docs)."""
+        replay-marked deletion-vector ``upsert`` per ledger, sequenced
+        pairs → bands → shingles with the commit-point ledger LAST, so
+        a crash between ledgers redelivers and converges without ever
+        leaving a doc absent. A doc updated to a text with NO shingles
+        is excised and stores nothing (it can never pair; same
+        zero-shingle invisibility the guard documents). Intra-wave
+        conflicts (two texts, one doc, one wave) raise or quarantine as
+        in ``ingest``. Cost: pair generation incremental like
+        ``ingest``; per-wave ledger write IO ∝ WAVE rows (merge-on-read
+        — crucial here, the shingle ledger is corpus-sized and a
+        rewrite-based excision would pay the whole corpus per wave;
+        tombstones settle at the next compaction instead)."""
         spark = docs.sparkSession
         if self._shingles.committed("shingles", batch_id):
             return  # whole update already committed
@@ -388,30 +396,29 @@ class StreamingMinHashIndex:
             )
         banded, prior = self._cap_and_count(banded, prior, batch_id)
         pairs = self._wave_pairs(spark, wave_sh, banded, prior, dead_docs=upd)
-        up_a = upd.withColumnRenamed("doc", "id_a")
-        up_b = upd.withColumnRenamed("doc", "id_b")
-        self._pairs.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(up_a), "id_a", "left_anti").join(
-                F.broadcast(up_b), "id_b", "left_anti"
-            ),
-            add=pairs.withColumn("since_batch", F.lit(batch_id)),
+        self._pairs.upsert(
+            upd,
+            pairs.withColumn("since_batch", F.lit(batch_id)),
             writer_id="pairs",
             batch_id=batch_id,
+            agg_cols=[
+                F.min("jaccard").alias("jaccard"),
+                F.min("since_batch").alias("since_batch"),
+            ],
         )
-        self._bands.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
-            add=banded.withColumn("since_batch", F.lit(batch_id)),
+        self._bands.upsert(
+            upd,
+            banded.withColumn("since_batch", F.lit(batch_id)),
             writer_id="bands",
             batch_id=batch_id,
+            agg_cols=[F.min("since_batch").alias("since_batch")],
         )
-        self._shingles.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
-            add=wave_sh,
+        self._shingles.upsert(
+            upd,
+            wave_sh,
             writer_id="shingles",
             batch_id=batch_id,
+            agg_cols=[F.min("n_sh").alias("n_sh")],
         )
 
     def wave_doc_ids(self, wave: DataFrame) -> DataFrame:

@@ -132,8 +132,12 @@ class StreamingPhashIndex:
         self.max_hamming = max_hamming
         self.max_bucket = max_bucket
         self.on_conflict = on_conflict
-        self._bands = AppendDeltaState(f"{workdir}/bands", keys=["band", "bucket", "doc"])
-        self._pairs = AppendDeltaState(f"{workdir}/pairs", keys=["id_a", "id_b"])
+        self._bands = AppendDeltaState(
+            f"{workdir}/bands", keys=["band", "bucket", "doc"], tomb_match=[["doc"]]
+        )
+        self._pairs = AppendDeltaState(
+            f"{workdir}/pairs", keys=["id_a", "id_b"], tomb_match=[["id_a"], ["id_b"]]
+        )
         self._overflow = AppendDeltaState(
             f"{workdir}/bucket_overflow", keys=["band", "bucket"]
         )
@@ -142,7 +146,7 @@ class StreamingPhashIndex:
         # bucket overflowed (the all-black corpus) stores zero band
         # rows yet was absolutely seen, and silently re-folding it
         # later is exactly the wrong answer the guard exists to refuse.
-        self._docs = AppendDeltaState(f"{workdir}/docs", keys=["doc"])
+        self._docs = AppendDeltaState(f"{workdir}/docs", keys=["doc"], tomb_match=[["doc"]])
         self._quarantine = AppendDeltaState(f"{workdir}/quarantine", keys=["doc"])
         self._ovf_skip = AppendDeltaState(
             f"{workdir}/overflow_skipped", keys=["band", "bucket"]
@@ -435,10 +439,11 @@ class StreamingPhashIndex:
         Crash protocol (the reason this is one call and not
         ``forget`` + ``ingest``, which would leave a crash window where
         the doc has silently vanished from the index): each ledger
-        mutation is ONE atomic ``AppendDeltaState.rewrite`` that lands
-        the drop, the re-add and the replay mark in the same manifest
-        commit, sequenced pairs → docs → bands with the bands ledger —
-        the replay probe's key — LAST. A crash between ledgers
+        mutation is ONE atomic ``AppendDeltaState.upsert`` — a
+        deletion-vector delta killing the doc's old rows plus the data
+        delta with its new rows plus the replay mark, all in the same
+        manifest commit — sequenced pairs → docs → bands with the bands
+        ledger — the replay probe's key — LAST. A crash between ledgers
         redelivers the wave: the wave's content is recomputed
         deterministically from the (unchanged-under-update) inputs,
         already-committed ledgers skip via their replay marks, and the
@@ -447,11 +452,12 @@ class StreamingPhashIndex:
         new one.
 
         Cost: pair generation is incremental exactly like ``ingest``
-        (wave × touched buckets); the ledger rewrites are ∝ live ledger
-        state (one read + one write each, doubling as compaction) —
-        batch update waves, don't dribble single docs. Overflowed
-        buckets stay excluded (the cap records that the bucket WAS
-        degenerate; same rationale as ``forget``)."""
+        (wave × touched buckets), and per-wave ledger write IO is
+        ∝ WAVE rows (merge-on-read — the tombstones are applied by
+        readers and settled at the next compaction, never a full
+        rewrite in the wave path; pinned by the write-IO test).
+        Overflowed buckets stay excluded (the cap records that the
+        bucket WAS degenerate; same rationale as ``forget``)."""
         spark = fp.sparkSession
         if self._bands.committed("bands", batch_id):
             return  # whole update already committed
@@ -470,30 +476,29 @@ class StreamingPhashIndex:
             )
         banded, prior = self._cap_and_count(banded, prior, batch_id)
         pairs = self._wave_pairs(banded, prior)
-        up_a = upd.withColumnRenamed("doc", "id_a")
-        up_b = upd.withColumnRenamed("doc", "id_b")
-        self._pairs.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(up_a), "id_a", "left_anti").join(
-                F.broadcast(up_b), "id_b", "left_anti"
-            ),
-            add=pairs.withColumn("since_batch", F.lit(batch_id)),
+        self._pairs.upsert(
+            upd,
+            pairs.withColumn("since_batch", F.lit(batch_id)),
             writer_id="pairs",
             batch_id=batch_id,
+            agg_cols=[
+                F.min("hamming").alias("hamming"),
+                F.min("since_batch").alias("since_batch"),
+            ],
         )
-        self._docs.rewrite(
-            spark,
-            drop_keys=upd,
-            add=upd.withColumn("since_batch", F.lit(batch_id)),
+        self._docs.upsert(
+            upd,
+            upd.withColumn("since_batch", F.lit(batch_id)),
             writer_id="docs",
             batch_id=batch_id,
+            agg_cols=[F.min("since_batch").alias("since_batch")],
         )
-        self._bands.rewrite(
-            spark,
-            dropper=lambda cur: cur.join(F.broadcast(upd), "doc", "left_anti"),
-            add=banded,
+        self._bands.upsert(
+            upd,
+            banded,
             writer_id="bands",
             batch_id=batch_id,
+            agg_cols=[F.min("sh").alias("sh")],
         )
 
     def wave_doc_ids(self, wave: DataFrame) -> DataFrame:

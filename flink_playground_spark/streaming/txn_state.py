@@ -429,22 +429,41 @@ class AppendDeltaState:
     Layout::
 
         path/d<seq>/part-*.parquet   immutable, one dir per append/compaction
+        path/x<seq>/part-*.parquet   immutable DELETION VECTORS (tombstone
+                                     key tuples + __upto seq watermark) —
+                                     committed by ``upsert``, applied by
+                                     readers, settled+cleared at compaction
         path/manifest.json           {"seq": n, "deltas": [seqs...],
+                                      "tombs": [seqs...],
                                       "writers": {"w": batch, ...}}
 
     On a cluster this is the LSM shape every table format implements
-    natively — append = commit a new file set, compact = rewrite-minor —
-    so the same ledger maps onto Delta/Iceberg appends + OPTIMIZE."""
+    natively — append = commit a new file set, ``upsert`` = the
+    merge-on-read DELETE+INSERT commit (deletion vectors), compact =
+    rewrite-minor — so the same ledger maps onto Delta/Iceberg appends,
+    DV deletes, + OPTIMIZE."""
 
     def __init__(
         self,
         path: str,
         keys: Sequence[str],
         compact_every: int = 8,
+        tomb_match: Sequence[Sequence[str]] | None = None,
     ):
+        """``tomb_match`` arms merge-on-read DELETION VECTORS (the
+        ``upsert`` verb): a list of data-column groups, each the same
+        arity as the tombstone key the owner will pass to ``upsert``'s
+        ``drop``. A data row is dead iff ANY group's tuple equals a
+        committed tombstone tuple whose ``__upto`` watermark is >= the
+        row's delta seq — so a key re-added AFTER its tombstone (the
+        update re-ingest) survives by construction. E.g. a pair ledger
+        passes ``[["id_a"], ["id_b"]]`` against single-column doc
+        tombstones; a doc-keyed ledger passes ``[["doc"]]``. None
+        (default) disables ``upsert``; every other verb is unchanged."""
         self.path = path
         self.keys = list(keys)
         self.compact_every = compact_every
+        self.tomb_match = [list(g) for g in tomb_match] if tomb_match else None
         os.makedirs(path, exist_ok=True)
 
     def _manifest(self) -> dict:
@@ -509,13 +528,102 @@ class AppendDeltaState:
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Union of the live deltas (UNFOLDED partials — callers
-        aggregate by ``keys``), or None before the first append."""
-        manifest = self._manifest()
-        if not manifest["deltas"]:
+        aggregate by ``keys``) with any pending deletion vectors
+        applied, or None before the first append. The common no-
+        tombstone state pays NOTHING extra — one multi-path parquet
+        scan, exactly as before ``upsert`` existed."""
+        return self._read_live(spark, self._manifest())
+
+    def _read_live(self, spark: SparkSession, manifest: dict) -> DataFrame | None:
+        deltas = manifest["deltas"]
+        if not deltas:
             return None
-        return spark.read.parquet(
-            *[f"{self.path}/d{s}" for s in manifest["deltas"]]
-        )
+        tombs = manifest.get("tombs", [])
+        if not tombs:
+            return spark.read.parquet(*[f"{self.path}/d{s}" for s in deltas])
+        # merge-on-read: tag each delta's rows with its seq (the union
+        # fan-in is bounded by compact_every), then anti-join the
+        # tombstone set per match group with the watermark condition —
+        # rows appended AFTER a tombstone (seq > __upto) survive, which
+        # is what lets one atomic upsert drop a key and re-add it.
+        data = None
+        for s in deltas:
+            part = spark.read.parquet(f"{self.path}/d{s}").withColumn(
+                "__seq", F.lit(int(s))
+            )
+            data = part if data is None else data.unionByName(part)
+        tomb = spark.read.parquet(*[f"{self.path}/x{s}" for s in tombs])
+        tcols = [c for c in tomb.columns if c != "__upto"]
+        for grp in self.tomb_match or [tcols]:
+            d = data.alias("__d")
+            t = tomb.alias("__t")
+            cond = F.col("__d.__seq") <= F.col("__t.__upto")
+            for dcol, tcol in zip(grp, tcols):
+                cond = cond & (F.col(f"__d.{dcol}") == F.col(f"__t.{tcol}"))
+            data = d.join(t, cond, "left_anti")
+        return data.drop("__seq")
+
+    def upsert(
+        self,
+        drop: DataFrame | None,
+        add: DataFrame | None,
+        writer_id: str | None = None,
+        batch_id: int | None = None,
+        agg_cols: Sequence[F.Column] | None = None,
+    ) -> bool:
+        """Merge-on-read UPSERT in ONE atomic manifest commit: every
+        data row matching ``drop`` on any ``tomb_match`` group (in
+        deltas no newer than now) is dead, and ``add``'s rows are live
+        — the deletion-vector form of ``rewrite``. Write IO ∝ drop +
+        add rows, NEVER the ledger: ``drop`` lands as an immutable
+        tombstone delta (key tuple + ``__upto`` = the current seq
+        watermark) and ``add`` as a normal data delta, with the replay
+        mark in the same commit. This is what makes a per-wave doc
+        UPDATE affordable at corpus scale — the rewrite verb's one
+        honest weakness was cost ∝ live state per wave (r12 ADVICE
+        named it; every update docstring carried the 'batch your
+        waves' caveat). Readers apply tombstones on the fly
+        (``read``'s anti-join, fan-in bounded by ``compact_every``);
+        compaction — auto-triggered here once deltas OR tombstones
+        reach ``compact_every`` when ``agg_cols`` is given — folds them
+        in physically and clears them, so steady-state reads stay one
+        parquet scan. On a cluster this is exactly the table formats'
+        deletion-vector / merge-on-read DELETE+INSERT commit. Same
+        raw-facts caveat as ``prune``. Returns False on a replayed
+        (writer, batch) — exactly-once under at-least-once redelivery."""
+        if self.tomb_match is None:
+            raise ValueError("upsert needs tomb_match declared at construction")
+        with _writer_lock(self.path):
+            manifest = self._manifest()
+            if writer_id is not None and batch_id is not None:
+                last = manifest["writers"].get(writer_id)
+                if last is not None and batch_id <= last:
+                    return False  # replay of a committed upsert: skip
+            spark = (drop if drop is not None else add).sparkSession
+            # a tombstone against an EMPTY ledger kills nothing — skip
+            # it (also avoids locking in a tombstone schema early)
+            if drop is not None and manifest["deltas"]:
+                upto = manifest["seq"]
+                s1 = manifest["seq"] + 1
+                drop.distinct().withColumn("__upto", F.lit(int(upto))).write.mode(
+                    "overwrite"
+                ).parquet(f"{self.path}/x{s1}")
+                manifest.setdefault("tombs", []).append(s1)
+                manifest["seq"] = s1
+            if add is not None:
+                s2 = manifest["seq"] + 1
+                add.write.mode("overwrite").parquet(f"{self.path}/d{s2}")
+                manifest["deltas"].append(s2)
+                manifest["seq"] = s2
+            if writer_id is not None and batch_id is not None:
+                manifest["writers"][writer_id] = batch_id
+            self._commit(manifest)
+            if agg_cols is not None and (
+                len(manifest["deltas"]) >= self.compact_every
+                or len(manifest.get("tombs", [])) >= self.compact_every
+            ):
+                self._compact_locked(spark, manifest, agg_cols)
+            return True
 
     def compact(self, spark: SparkSession, agg_cols: Sequence[F.Column]) -> bool:
         """Fold all live deltas into one (read fan-in back to 1). Crash-
@@ -527,15 +635,18 @@ class AppendDeltaState:
     def _compact_locked(
         self, spark: SparkSession, manifest: dict, agg_cols: Sequence[F.Column]
     ) -> bool:
-        if len(manifest["deltas"]) <= 1:
+        if len(manifest["deltas"]) <= 1 and not manifest.get("tombs"):
             return False
-        cur = spark.read.parquet(*[f"{self.path}/d{s}" for s in manifest["deltas"]])
+        # tombstones are applied PHYSICALLY here and cleared — the
+        # merge-on-read debt is settled, reads go back to one scan
+        cur = self._read_live(spark, manifest)
         cols = cur.columns
         seq = manifest["seq"] + 1
         cur.groupBy(*self.keys).agg(*agg_cols).select(*cols).write.mode(
             "overwrite"
         ).parquet(f"{self.path}/d{seq}")
         manifest["deltas"] = [seq]
+        manifest["tombs"] = []
         manifest["seq"] = seq
         self._commit(manifest)
         self.vacuum()
@@ -564,20 +675,19 @@ class AppendDeltaState:
             manifest = self._manifest()
             if not manifest["deltas"]:
                 return 0
-            cur = spark.read.parquet(
-                *[f"{self.path}/d{s}" for s in manifest["deltas"]]
-            )
+            cur = self._read_live(spark, manifest)
             # NULL predicate rows are KEPT (a delete must be affirmative)
             pred = F.coalesce(predicate.cast("boolean"), F.lit(False))
             agg = cur.select(
                 F.count(F.lit(1)).alias("total"), F.sum(pred.cast("long")).alias("hits")
             ).first()
             removed = int(agg["hits"] or 0)
-            if removed == 0:
+            if removed == 0 and not manifest.get("tombs"):
                 return 0
             seq = manifest["seq"] + 1
             cur.filter(~pred).write.mode("overwrite").parquet(f"{self.path}/d{seq}")
             manifest["deltas"] = [seq]
+            manifest["tombs"] = []
             manifest["seq"] = seq
             self._commit(manifest)
             self.vacuum()
@@ -631,11 +741,7 @@ class AppendDeltaState:
                 last = manifest["writers"].get(writer_id)
                 if last is not None and batch_id <= last:
                     return None  # replay of a committed rewrite: skip
-            cur = (
-                spark.read.parquet(*[f"{self.path}/d{s}" for s in manifest["deltas"]])
-                if manifest["deltas"]
-                else None
-            )
+            cur = self._read_live(spark, manifest)
             kept = cur
             obs_in = obs_out = None
             if cur is not None and (drop_keys is not None or dropper is not None):
@@ -657,6 +763,7 @@ class AppendDeltaState:
                 seq = manifest["seq"] + 1
                 out.write.mode("overwrite").parquet(f"{self.path}/d{seq}")
                 manifest["deltas"] = [seq]
+                manifest["tombs"] = []  # full rewrite settles any pending vectors
                 manifest["seq"] = seq
             if writer_id is not None and batch_id is not None:
                 # even a no-op rewrite must advance the replay mark —
@@ -680,33 +787,53 @@ class AppendDeltaState:
         to alert on ledger growth before it becomes a problem."""
         import pyarrow.dataset as ds
 
+        def _files(dirs):
+            return [
+                p
+                for d in dirs
+                if os.path.isdir(d)
+                for p in (os.path.join(d, f) for f in os.listdir(d))
+                if p.endswith(".parquet")
+            ]
+
         manifest = self._manifest()
-        live = [f"{self.path}/d{s}" for s in manifest["deltas"]]
-        files = [
-            p
-            for d in live
-            if os.path.isdir(d)
-            for p in (os.path.join(d, f) for f in os.listdir(d))
-            if p.endswith(".parquet")
-        ]
+        files = _files(f"{self.path}/d{s}" for s in manifest["deltas"])
+        tomb_files = _files(f"{self.path}/x{s}" for s in manifest.get("tombs", []))
         rows = sum(ds.dataset(f, format="parquet").count_rows() for f in files)
-        return {
+        out = {
             "live_deltas": len(manifest["deltas"]),
             "compact_every": self.compact_every,
             "seq": manifest["seq"],
             "files": len(files),
             "bytes": sum(os.path.getsize(f) for f in files),
+            # physical rows: includes rows a pending deletion vector
+            # has already killed logically (settled at compaction)
             "rows": rows,
             "writers": dict(manifest["writers"]),
         }
+        if manifest.get("tombs") or self.tomb_match is not None:
+            out["tombstones"] = {
+                "live": len(manifest.get("tombs", [])),
+                "rows": sum(
+                    ds.dataset(f, format="parquet").count_rows() for f in tomb_files
+                ),
+            }
+        return out
 
     def vacuum(self) -> int:
-        """Delete delta dirs the manifest no longer references (shadowed
-        by compaction, or orphans of crashed appends)."""
-        live = {f"d{s}" for s in self._manifest()["deltas"]}
+        """Delete delta/tombstone dirs the manifest no longer references
+        (shadowed by compaction, or orphans of crashed commits)."""
+        manifest = self._manifest()
+        live = {f"d{s}" for s in manifest["deltas"]} | {
+            f"x{s}" for s in manifest.get("tombs", [])
+        }
         removed = 0
         for entry in os.listdir(self.path):
-            if entry.startswith("d") and entry[1:].isdigit() and entry not in live:
+            if (
+                entry[:1] in ("d", "x")
+                and entry[1:].isdigit()
+                and entry not in live
+            ):
                 shutil.rmtree(f"{self.path}/{entry}", ignore_errors=True)
                 removed += 1
         return removed

@@ -121,12 +121,12 @@ def test_update_crash_between_index_ledgers_converges(spark, tmp_path):
     any doc absent from the index."""
     pipe = _ingested_pipe(spark, tmp_path)
     idx = pipe.index
-    orig = idx._docs.rewrite
+    orig = idx._docs.upsert
 
     def boom(*a, **k):
-        raise RuntimeError("simulated crash after pairs rewrite")
+        raise RuntimeError("simulated crash after pairs upsert")
 
-    idx._docs.rewrite = boom
+    idx._docs.upsert = boom
     with pytest.raises(RuntimeError, match="simulated crash"):
         pipe.update(_fp(spark, _UPD), batch_id=3)
     # pairs committed, docs/bands did not — the mid-update crash window
@@ -134,7 +134,7 @@ def test_update_crash_between_index_ledgers_converges(spark, tmp_path):
     # every base doc still present in SOME generation (nothing vanished)
     docs_now = {r["doc"] for r in idx._docs.read(spark).select("doc").collect()}
     assert {d for d, _ in _BASE} <= docs_now
-    idx._docs.rewrite = orig
+    idx._docs.upsert = orig
     pipe.update(_fp(spark, _UPD), batch_id=3)  # redelivery heals
     assert _drain(spark, pipe) == (_POST_PAIRS, _POST_COMP)
 
@@ -277,6 +277,99 @@ def test_cc_forget_prunes_edges_on_both_endpoints(spark, tmp_path):
         cc.forget(spark, [1], surviving_edges=surv)
         comp = {r["node"]: r["comp"] for r in cc.mapping(spark).collect()}
         assert comp == {2: 2, 7: 2}, (name, comp)
+
+
+def test_upsert_deletion_vectors(spark, tmp_path):
+    """AppendDeltaState.upsert: tombstone + data delta + replay mark in
+    ONE commit; the watermark lets a key re-added after its tombstone
+    survive; stacked vectors compose; compaction settles them
+    physically and clears the manifest; vacuum spares live tombstone
+    dirs; metrics reports the merge-on-read debt."""
+    import os
+
+    st = AppendDeltaState(
+        str(tmp_path / "dv"), keys=["k"], compact_every=99, tomb_match=[["k"]]
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    st.append(mk([(1, 10), (2, 20)]), writer_id="w", batch_id=0)
+    # upsert: kill k=1's old row, re-add it with new content — one commit
+    assert st.upsert(mk([(1, 0)]).select("k"), mk([(1, 11)]), writer_id="w", batch_id=1)
+    assert {(r["k"], r["v"]) for r in st.read(spark).collect()} == {(1, 11), (2, 20)}
+    # replay of the committed upsert: skipped whole
+    assert st.upsert(mk([(2, 0)]).select("k"), mk([(2, 99)]), writer_id="w", batch_id=1) is False
+    assert {(r["k"], r["v"]) for r in st.read(spark).collect()} == {(1, 11), (2, 20)}
+    # stacked vectors compose: now replace k=2 too
+    st.upsert(mk([(2, 0)]).select("k"), mk([(2, 21)]), writer_id="w", batch_id=2)
+    assert {(r["k"], r["v"]) for r in st.read(spark).collect()} == {(1, 11), (2, 21)}
+    m = st.metrics()
+    assert m["tombstones"]["live"] == 2 and m["tombstones"]["rows"] == 2
+    # physical rows still include the dead generations until compaction
+    assert m["rows"] == 4
+    # live tombstone dirs survive vacuum
+    st.vacuum()
+    assert any(e.startswith("x") for e in os.listdir(str(tmp_path / "dv")))
+    # compaction settles the debt: vectors applied, cleared, content same
+    st.compact(spark, [F.min("v").alias("v")])
+    m2 = st.metrics()
+    assert m2["tombstones"]["live"] == 0 and m2["live_deltas"] == 1 and m2["rows"] == 2
+    assert {(r["k"], r["v"]) for r in st.read(spark).collect()} == {(1, 11), (2, 21)}
+    assert not any(e.startswith("x") for e in os.listdir(str(tmp_path / "dv")))
+
+
+def test_update_write_io_is_wave_sized(spark, tmp_path):
+    """THE point of the deletion-vector upsert: updating 1 doc out of
+    60 appends exactly the wave's rows on every ledger (tombstone +
+    new rows), never a rewrite of accumulated state — on the index
+    ledgers AND the cluster mapping. Asserted in PHYSICAL ROWS (byte
+    deltas at this scale are dominated by the per-file parquet floor)."""
+    work = tmp_path / "io"
+    pipe = StreamingNearDupPipeline(
+        str(work), StreamingHammingIndex(str(work / "idx"))
+    )
+    big = [(i, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(60)]
+    big[1] = (1, big[0][1])  # doc 0's class: {0, 1}
+    for k in range(5, 25):  # 20 more planted classes: {10,11}, {12,13}, ...
+        big[2 * k + 1] = (2 * k + 1, big[2 * k][1])
+    pipe.ingest(_fp(spark, big), batch_id=0)
+    rows0 = (
+        pipe.index._bands.metrics()["rows"],
+        pipe.clusters._state.metrics()["rows"],
+    )
+    assert rows0[1] == 42  # 21 planted 2-doc clusters
+    # update doc 5 (unpaired before) to pair with doc 0's class
+    pipe.update(_fp(spark, [(5, big[0][1] ^ 2)]), batch_id=1)
+    rows1 = (
+        pipe.index._bands.metrics()["rows"],
+        pipe.clusters._state.metrics()["rows"],
+    )
+    # bands: +4 rows (one doc's banding); mapping: +3 rows (the ONE
+    # touched component's relabel: 0, 1, 5) — a rewrite-based path
+    # would have re-written all 240 band / 42 mapping rows
+    assert rows1[0] - rows0[0] == 4, (rows0, rows1)
+    assert rows1[1] - rows0[1] == 3, (rows0, rows1)
+    comp = {r["node"]: r["comp"] for r in pipe.mapping(spark).collect()}
+    assert comp[0] == comp[1] == comp[5] == 0 and comp[10] == 10 and len(comp) == 43
+    # the merge-on-read debt is visible on the ops surface
+    pm = pipe.ops_metrics()
+    assert pm["index"]["bands"]["tombstones"]["live"] == 1
+    assert pm["clusters"]["mapping"]["tombstones"]["live"] == 1
+
+
+def test_stacked_updates_converge_to_final_corpus(spark, tmp_path):
+    """Three successive update waves (the same doc updated TWICE among
+    them) drain to the batch answer over the FINAL corpus — stacked
+    deletion vectors across commits compose correctly with the
+    min-fold reads."""
+    pipe = _ingested_pipe(spark, tmp_path, name="stk")
+    pipe.update(_fp(spark, _UPD), batch_id=3)
+    pipe.update(_fp(spark, [(1, 0x123456789ABCDEF)]), batch_id=4)
+    # doc 3 updated AGAIN: back to the {1,2}-class fingerprint
+    pipe.update(_fp(spark, [(3, 0x0F0F)]), batch_id=5)
+    final = {d: s for d, s in _BASE} | {d: s for d, s in _UPD}
+    final[1] = 0x123456789ABCDEF
+    final[3] = 0x0F0F
+    batch_pairs, batch_comp = _batch_truth(spark, sorted(final.items()))
+    assert _drain(spark, pipe) == (batch_pairs, batch_comp)
 
 
 def test_rewrite_v2_dropper_replay_and_count(spark, tmp_path):
