@@ -124,7 +124,7 @@ def _scan_probe(spark, sf_dir: str, reps: int = 3) -> float:
     return round(best, 4)
 
 
-def _pipeline_wave_throughput(spark, sf_dir: str) -> dict:
+def _pipeline_wave_throughput(spark, sf_dir: str, only=None) -> dict:
     """Price the composed pipeline surface (r12 verdict Next #5): its
     parity queries are bench=False correctness gates, so a fixed-
     overhead regression in the per-wave fold was invisible to the
@@ -132,7 +132,18 @@ def _pipeline_wave_throughput(spark, sf_dir: str) -> dict:
     the documents table and reports docs/s as INFO rows (never part of
     headline_total — board membership must not change). Min wall over 2
     runs, each into a FRESH workdir (state dirs can't be reused: a
-    second fold over the same dir replay-skips and would time nothing)."""
+    second fold over the same dir replay-skips and would time nothing).
+
+    ``minhash_update`` prices the +U verb alone (round 13, after the
+    deletion-vector change made update waves write wave-sized): a fresh
+    3-wave index is built UNTIMED per run, then the single update wave
+    (every doc_id % 11 == 7 re-delivered with its predecessor's text)
+    is timed — denominator is the updated-doc count, so the row reads
+    as updated docs/s and a fixed-overhead regression in the tombstone
+    upsert / stale-pair retraction / relabel path is priced directly.
+
+    ``only`` restricts to a subset of row names (the confirm re-roll
+    re-times just the flagged row, not the whole block)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -173,26 +184,52 @@ def _pipeline_wave_throughput(spark, sf_dir: str) -> dict:
             pipe.ingest(fp, batch_id=w)
         return time.perf_counter() - t0
 
-    def run_minhash() -> float:
+    def _minhash_pipe():
         work = tempfile.mkdtemp(prefix="bench_pipe_m_")
-        pipe = StreamingNearDupPipeline(
+        return StreamingNearDupPipeline(
             work,
             StreamingMinHashIndex(f"{work}/idx", k=128, bands=32, n=3, threshold=0.8),
         )
+
+    def run_minhash() -> float:
+        pipe = _minhash_pipe()
         d = docs.select("doc_id", "text")
         t0 = time.perf_counter()
         for w in range(3):
             pipe.ingest(d.filter(F.col("doc_id") % 3 == w), batch_id=w)
         return time.perf_counter() - t0
 
+    def run_minhash_update() -> float:
+        pipe = _minhash_pipe()
+        d = docs.select("doc_id", "text")
+        for w in range(3):  # build untimed — this row prices the +U verb only
+            pipe.ingest(d.filter(F.col("doc_id") % 3 == w), batch_id=w)
+        src = d.select(F.col("doc_id").alias("sid"), F.col("text").alias("stext"))
+        upd = (
+            d.filter(F.col("doc_id") % 11 == 7)
+            .join(src, F.col("sid") == F.col("doc_id") - 1, "left")
+            .select("doc_id", F.coalesce("stext", "text").alias("text"))
+        )
+        t0 = time.perf_counter()
+        pipe.update(upd, batch_id=3)
+        return time.perf_counter() - t0
+
+    n_upd = docs.filter(F.col("doc_id") % 11 == 7).count()
+    specs = [
+        ("hamming", run_hamming, n_docs, 3),
+        ("minhash", run_minhash, n_docs, 3),
+        ("minhash_update", run_minhash_update, n_upd, 1),
+    ]
     out = {}
-    for name, fn in [("hamming", run_hamming), ("minhash", run_minhash)]:
+    for name, fn, n, waves in specs:
+        if only is not None and name not in only:
+            continue
         wall = min(fn() for _ in range(2))
         out[name] = {
-            "n_docs": n_docs,
-            "waves": 3,
+            "n_docs": n,
+            "waves": waves,
             "wall_s": round(wall, 3),
-            "docs_per_s": round(n_docs / wall, 1),
+            "docs_per_s": round(n / wall, 1),
         }
     return out
 
@@ -309,7 +346,7 @@ def main() -> None:
                 # CONFIRM pass (same philosophy as the query flags): a
                 # throughput drop must persist through a re-roll before
                 # the artifact records it as a flag
-                rerun = _pipeline_wave_throughput(spark, sf_dir)[name]
+                rerun = _pipeline_wave_throughput(spark, sf_dir, only={name})[name]
                 row["pre_confirm"] = dict(row)
                 if rerun["docs_per_s"] > row["docs_per_s"]:
                     row.update(rerun)

@@ -81,6 +81,14 @@ PROBES = [
     # r12 addendum: the text member (MinHash index, no rep collapse) —
     # shingle-ledger state and the doc-level banding must stay sublinear
     "streaming_text_neardup_pipeline",
+    # round 13: the +U path — 3 ingest waves plus one deletion-vector
+    # update wave (per-ledger tombstone upsert + touched-component
+    # relabel). The wave-sized-write claim itself is pinned by the
+    # physical-row-count test (test_update_pipeline.py); this probe pins
+    # the END-TO-END composition: the update wave's vector anti-joins,
+    # stale-pair retraction and cluster relabel must not add a
+    # super-linear term on a 10× corpus.
+    "streaming_text_update_pipeline",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
