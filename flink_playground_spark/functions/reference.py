@@ -124,14 +124,13 @@ def cosine_ref(a, b) -> float:
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
-def embedding_neardup_lsh_ref(
-    sf_dir: str, tables: int = 8, planes: int = 4, threshold: float = 0.4
+def _emb_lsh_pairs_ref(
+    vecs: dict, tables: int, planes: int, threshold: float
 ) -> pd.DataFrame:
-    """(id_a, id_b, sim) — equals the embedding_neardup_lsh query: bucket
-    collisions across tables, exact cosine on candidates, round 6,
-    sim >= threshold."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    """(id_a, id_b, sim) over a {vid: vector} dict: bucket collisions
+    across tables, exact cosine on candidates, round 6, sim >=
+    threshold — the shared pair core of embedding_neardup_lsh_ref and
+    streaming_embedding_update_ref."""
     buckets: dict[tuple[int, int], list[int]] = {}
     for vid, vec in vecs.items():
         for tb in lsh_bucket_ref(vec, tables, planes):
@@ -150,6 +149,40 @@ def embedding_neardup_lsh_ref(
     return pd.DataFrame(out, columns=["id_a", "id_b", "sim"]).astype(
         {"id_a": "int64", "id_b": "int64", "sim": "float64"}
     )
+
+
+def _emb_vecs_ref(sf_dir: str) -> dict:
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+
+
+def embedding_neardup_lsh_ref(
+    sf_dir: str, tables: int = 8, planes: int = 4, threshold: float = 0.4
+) -> pd.DataFrame:
+    """(id_a, id_b, sim) — equals the embedding_neardup_lsh query: bucket
+    collisions across tables, exact cosine on candidates, round 6,
+    sim >= threshold."""
+    return _emb_lsh_pairs_ref(_emb_vecs_ref(sf_dir), tables, planes, threshold)
+
+
+def streaming_embedding_update_ref(
+    sf_dir: str, tables: int = 8, planes: int = 4, threshold: float = 0.4
+) -> pd.DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) — the drained
+    answer of the EMBEDDING pipeline AFTER the update wave (queries.py
+    streaming_embedding_update_pipeline): vectors with vec_id % 11 == 7
+    carry the embedding of vec_id - 1 (when it exists), everything else
+    their own. Same pair core as embedding_neardup_lsh_ref over the
+    POST-update vectors + the shared union-find tail — updates are
+    implementation, the drained state is pure batch semantics over the
+    final corpus."""
+    vecs = _emb_vecs_ref(sf_dir)
+    post = {
+        vid: (vecs[vid - 1] if vid % 11 == 7 and (vid - 1) in vecs else v)
+        for vid, v in vecs.items()
+    }
+    pairs = _emb_lsh_pairs_ref(post, tables, planes, threshold)
+    return _unionfind_clusters(pairs[["id_a", "id_b"]])
 
 
 # ---------------------------------------------------------------------------

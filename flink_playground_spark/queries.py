@@ -5782,6 +5782,104 @@ def streaming_update_pipeline(spark, sf_dir):
     )
 
 
+def _emb_stream_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import embedding_neardup_lsh_ref
+
+    return embedding_neardup_lsh_ref(sf_dir)
+
+
+@register_extra(
+    "streaming_embedding_neardup",
+    None,
+    tags=("ext-sim", "ext-dedup", "T6"),
+    bench=False,
+    py_oracle=_emb_stream_py_oracle,
+)
+def streaming_embedding_neardup(spark, sf_dir):
+    """The EMBEDDING member of the streaming index family
+    (streaming/cosine_index.py — the fifth modality on the shared
+    pipeline surface): the embeddings table replayed in three
+    deterministic waves through StreamingCosineLSHIndex, whose drained
+    pair set must equal the batch embedding_neardup_lsh answer —
+    value-checked bit-exactly against the same independent Python
+    reference (xxh64 hyperplanes + sequential-fold cosine), proving
+    incremental hyperplane-LSH over touched buckets only loses nothing
+    vs the one-shot batch join. Reference intent: the stream/batch
+    duality the reference's jobs exercise per operator (SURVEY §2),
+    applied to vector near-dup."""
+    import tempfile
+
+    from flink_playground_spark.streaming.cosine_index import StreamingCosineLSHIndex
+
+    v = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = StreamingCosineLSHIndex(tempfile.mkdtemp(prefix="fps_cosidx_"))
+    for w in range(3):
+        idx.ingest(v.filter(F.col("vec_id") % 3 == w), batch_id=w)
+    return idx.pairs(spark)
+
+
+def _emb_update_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import (
+        streaming_embedding_update_ref,
+    )
+
+    return streaming_embedding_update_ref(sf_dir)
+
+
+@register_extra(
+    "streaming_embedding_update_pipeline",
+    None,
+    tags=("ext-sim", "ext-dedup", "T6", "W2"),
+    bench=False,
+    py_oracle=_emb_update_py_oracle,
+)
+def streaming_embedding_update_pipeline(spark, sf_dir):
+    """The update path (+U) on the EMBEDDING modality, composed
+    through StreamingNearDupPipeline: three ingest waves build the
+    cosine index + clusters, then ONE update wave replaces every
+    vec_id % 11 == 7 vector with its predecessor's embedding
+    (``pipe.update`` — per-ledger atomic deletion-vector upserts under
+    one batch id: stale pairs retracted, new pairs emitted, clusters
+    relabeled with raises and merges both possible). The drained
+    mapping is value-checked bit-exactly against an independent Python
+    reference over the POST-update corpus (reference.py
+    streaming_embedding_update_ref: the shared LSH pair core +
+    union-find tail) — proving the update verb on a third index family
+    whose verification payload is a stored VECTOR, not a fingerprint.
+    Reference intent: WithStateTtlJob.java:73-77 PK upsert;
+    WithDeduplicateJoinJob.java:88-104 keep-latest."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from flink_playground_spark.streaming.cosine_index import StreamingCosineLSHIndex
+    from flink_playground_spark.streaming.dedup_pipeline import (
+        StreamingNearDupPipeline,
+    )
+
+    v = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="fps_updemb_")
+    pipe = StreamingNearDupPipeline(work, StreamingCosineLSHIndex(f"{work}/idx"))
+    for w in range(3):
+        pipe.ingest(v.filter(F.col("vec_id") % 3 == w), batch_id=w)
+    src = v.select(F.col("vec_id").alias("sid"), F.col("embedding").alias("semb"))
+    upd = (
+        v.filter(F.col("vec_id") % 11 == 7)
+        .join(src, F.col("sid") == F.col("vec_id") - 1, "left")
+        .select("vec_id", F.coalesce("semb", "embedding").alias("embedding"))
+    )
+    pipe.update(upd, batch_id=3)
+    return (
+        pipe.mapping(spark)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def _streaming_corpus_sim_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import corpus_similarity_ref
 

@@ -89,6 +89,11 @@ PROBES = [
     # stale-pair retraction and cluster relabel must not add a
     # super-linear term on a 10× corpus.
     "streaming_text_update_pipeline",
+    # round 13 addendum: the EMBEDDING member (hyperplane-LSH cosine
+    # index) — per-wave work must track wave × touched buckets with
+    # verification reading only candidate docs' stored vectors, never
+    # the whole vector ledger.
+    "streaming_embedding_neardup",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
