@@ -165,6 +165,65 @@ def embedding_neardup_lsh_ref(
     return _emb_lsh_pairs_ref(_emb_vecs_ref(sf_dir), tables, planes, threshold)
 
 
+def streaming_embedding_capped_ref(
+    sf_dir: str,
+    tables: int = 8,
+    planes: int = 4,
+    threshold: float = 0.4,
+    max_bucket: int = 48,
+    waves: int = 3,
+) -> pd.DataFrame:
+    """(id_a, id_b, sim) — the drained answer of StreamingCosineLSHIndex
+    with the bucket cap ARMED (queries.py streaming_embedding_neardup_
+    capped), under the documented cap semantics: per wave, a touched
+    bucket whose accumulated distinct-doc occupancy (stored docs ∪ wave
+    docs) first crosses ``max_bucket`` overflows from that wave on —
+    the wave's rows in overflowed buckets are excluded BEFORE candidate
+    generation and never stored, pairs emitted before the crossing are
+    never retracted, and stored rows of earlier waves stay (they are
+    excluded from candidate joins, not rewritten). An independent
+    simulation of that contract (dict-of-sets wave fold, not the
+    ledger machinery) — the first ORACLE-grade pin of the cap protocol
+    (the other families pin it in unit tests only)."""
+    vecs = _emb_vecs_ref(sf_dir)
+    committed: dict[tuple[int, int], list[int]] = {}
+    overflowed: set[tuple[int, int]] = set()
+    pairs: dict[tuple[int, int], float] = {}
+    for w in range(waves):
+        wave_ids = sorted(v for v in vecs if v % waves == w)
+        wave_buckets: dict[tuple[int, int], list[int]] = {}
+        for vid in wave_ids:
+            for tb in lsh_bucket_ref(vecs[vid], tables, planes):
+                wave_buckets.setdefault(tb, []).append(vid)
+        # crossing detection over touched, not-yet-overflowed buckets
+        for tb, members in wave_buckets.items():
+            if tb in overflowed:
+                continue
+            if len(set(committed.get(tb, ())) | set(members)) > max_bucket:
+                overflowed.add(tb)
+        # candidates from surviving buckets: within-wave + wave x state
+        for tb, members in wave_buckets.items():
+            if tb in overflowed:
+                continue
+            cohort = sorted(members)
+            for i in range(len(cohort)):
+                for j in range(i + 1, len(cohort)):
+                    pairs.setdefault((cohort[i], cohort[j]), 0.0)
+            for m in cohort:
+                for s in committed.get(tb, ()):
+                    if s != m:
+                        pairs.setdefault((min(m, s), max(m, s)), 0.0)
+            committed.setdefault(tb, []).extend(cohort)
+    out = []
+    for ida, idb in sorted(pairs):
+        sim = spark_round(cosine_ref(vecs[ida], vecs[idb]), 6)
+        if sim >= threshold:
+            out.append((ida, idb, sim))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "sim"]).astype(
+        {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+    )
+
+
 def streaming_embedding_update_ref(
     sf_dir: str, tables: int = 8, planes: int = 4, threshold: float = 0.4
 ) -> pd.DataFrame:

@@ -5818,6 +5818,52 @@ def streaming_embedding_neardup(spark, sf_dir):
     return idx.pairs(spark)
 
 
+def _emb_capped_py_oracle(sf_dir):
+    from flink_playground_spark.functions.reference import (
+        streaming_embedding_capped_ref,
+    )
+
+    return streaming_embedding_capped_ref(sf_dir)
+
+
+@register_extra(
+    "streaming_embedding_neardup_capped",
+    None,
+    tags=("ext-sim", "ext-dedup", "T6"),
+    bench=False,
+    py_oracle=_emb_capped_py_oracle,
+)
+def streaming_embedding_neardup_capped(spark, sf_dir):
+    """The cosine index's DEGENERATE-DENSITY scale path: same three
+    waves as streaming_embedding_neardup but with the bucket cap ARMED
+    (max_bucket=48 — small enough that this corpus's dense label-
+    cluster buckets cross it mid-stream at EVERY test SF, so the
+    oracle exercises real crossings, not the cap-untouched regime). This is the config a 100 TB
+    deployment runs when near-dup pair volume is super-linear in the
+    corpus (10 fixed clusters here make TRUE sim>=0.4 pairs Θ(n²) —
+    ~920 at 2k vecs, ~92k at 20k; NO implementation can emit them in
+    sublinear time, so the uncapped operator is probed for correctness,
+    and THIS one for scale): per-bucket work is bounded, crossings are
+    loud and the swallowed volume quantified. Value-checked against an
+    independent Python simulation of the documented cap contract
+    (reference.py streaming_embedding_capped_ref) — the first
+    ORACLE-grade pin of the cap semantics (the other families pin them
+    in unit tests only): pairs emitted before a crossing survive, a
+    bucket overflows exactly when stored ∪ wave occupancy first
+    exceeds the cap, and excluded rows never pair."""
+    import tempfile
+
+    from flink_playground_spark.streaming.cosine_index import StreamingCosineLSHIndex
+
+    v = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = StreamingCosineLSHIndex(
+        tempfile.mkdtemp(prefix="fps_cosidxcap_"), max_bucket=48
+    )
+    for w in range(3):
+        idx.ingest(v.filter(F.col("vec_id") % 3 == w), batch_id=w)
+    return idx.pairs(spark)
+
+
 def _emb_update_py_oracle(sf_dir):
     from flink_playground_spark.functions.reference import (
         streaming_embedding_update_ref,

@@ -90,10 +90,18 @@ PROBES = [
     # super-linear term on a 10× corpus.
     "streaming_text_update_pipeline",
     # round 13 addendum: the EMBEDDING member (hyperplane-LSH cosine
-    # index) — per-wave work must track wave × touched buckets with
-    # verification reading only candidate docs' stored vectors, never
-    # the whole vector ledger.
-    "streaming_embedding_neardup",
+    # index). The UNCAPPED parity query is deliberately NOT probed:
+    # this corpus has 10 fixed label clusters, so its TRUE sim>=0.4
+    # pair count is Θ(n²) (~920 at 2k vecs → ~92k at 20k) — no
+    # implementation, batch or streaming, can emit quadratic output in
+    # sublinear time, and a first probe of it measured exactly that
+    # (ratio 10.55 at 10× while pairs grew ~100×, i.e. per-pair cost
+    # FELL; see PERF.md r13). What scale_proof must pin is the
+    # PROTOCOL's designed degenerate-density lever instead: the capped
+    # config (max_bucket=48, oracle-checked against an independent cap
+    # simulation), whose per-bucket work is bounded so per-wave cost
+    # tracks hashing + accounting, not cluster density.
+    "streaming_embedding_neardup_capped",
 ]
 
 ALL = {**REGISTRY, **EXTRA_REGISTRY}
