@@ -57,9 +57,17 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     """Inverted index: (shingle-hash, doc id) + per-doc distinct count.
 
     Codegen shape: posexplode tokens → lead() window builds the n-grams →
-    distinct + countDistinct. Shingles are keyed by xxhash64 (8-byte
+    per-doc dedup + count. Shingles are keyed by xxhash64 (8-byte
     shuffle keys instead of strings; a collision would need 2^64 shingles).
-    The per-doc count joins back broadcast-style (one row per doc)."""
+
+    Single-exchange pass: the lead window already hash-partitions by
+    ``doc``, which satisfies both the (doc, shingle) dedup's clustering
+    requirement (hash on a key subset) and the per-doc count window —
+    so dedup inserts no Exchange and the count is a sort-only window.
+    The previous ``distinct + groupBy().count + join`` shape planned the
+    gram subtree TWICE (one execution per branch) and paid two more
+    exchanges; ``n_sh`` over the deduped frame equals the old
+    count_distinct by construction."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("j", "tok"))
@@ -76,8 +84,11 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
             F.xxhash64(F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)])).alias("shingle"),
         )
     )
-    counts = grams.groupBy("doc").agg(F.count_distinct("shingle").alias("n_sh"))
-    return grams.distinct().join(counts, "doc").select("doc", "n_sh", "shingle")
+    return (
+        grams.dropDuplicates(["doc", "shingle"])
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+        .select("doc", "n_sh", "shingle")
+    )
 
 
 def verify_pairs(idx: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
@@ -252,12 +263,18 @@ def minhash_signatures(
     with map-side partial combine (state per doc = K longs, one shuffle).
 
     Pass ``index`` to reuse an already-built (possibly persisted) shingle
-    index instead of rebuilding it."""
+    index instead of rebuilding it.
+
+    The K min-aggregates build from ONE parsed SQL string folding the
+    array in the aggregate itself: the per-column py4j construction
+    (~4 round-trips × K) plus the K-column analysis pass measured ~1.5s
+    of driver-side gap per call at k=128 (round-13 event-log profile).
+    SQL integer literals and ``F.lit(int)`` both type as INT, so the
+    hash inputs — and the signatures — are bit-identical (pinned by
+    test_minhash_expr_string_parity)."""
     idx = index if index is not None else shingle_index(df, id_col, text_col, n)
-    mins = idx.groupBy("doc").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}") for i in range(k)]
-    )
-    return mins.select("doc", F.array(*[f"s{i}" for i in range(k)]).alias("sig"))
+    sig = "array(" + ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(k)) + ") AS sig"
+    return idx.groupBy("doc").agg(F.expr(sig))
 
 
 # Per-(band, bucket) membership cap for the LSH self-join. After exact

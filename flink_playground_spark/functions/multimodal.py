@@ -419,6 +419,21 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
+def _splitmix64_bits(start: int, count: int):
+    """LSBs of ``_splitmix64(start + t)`` for ``t in range(count)`` as a
+    uint8 numpy array — the vectorized bit source the synth generators
+    share. np.uint64 arithmetic wraps mod 2^64 exactly like the masked
+    scalar version (pinned by test_synth_numpy_byte_parity)."""
+    import numpy as np
+
+    x = np.arange(start, start + count, dtype=np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x & np.uint64(1)).astype(np.uint8)
+
+
 _SYNTH_DIMS = ((32, 32), (16, 16), (24, 24))
 
 
@@ -431,18 +446,22 @@ def synth_block_image(doc_id: int) -> bytes:
     members 0/1 hash IDENTICALLY despite different resolutions, and
     member 2 sits at a planted Hamming distance of exactly ``class % 4``
     — a ground-truth resized-copy corpus for perceptual-hash dedup."""
+    import numpy as np
+
     cls, member = doc_id // 3, doc_id % 3
-    bits = [(_splitmix64(cls * 64 + t)) & 1 for t in range(64)]
+    bits = _splitmix64_bits(cls * 64, 64)
     if member == 2:
         for t in range(cls % 4):
             bits[(cls + 17 * t) % 64] ^= 1
     w, h = _SYNTH_DIMS[member]
-    rows = bytearray()
-    for y in range(h):
-        for x in range(w):
-            v = 255 if bits[(y * 8 // h) * 8 + (x * 8 // w)] else 0
-            rows += bytes((v, v, v))
-    return f"P6\n{w} {h}\n255\n".encode() + bytes(rows)
+    # vectorized render, byte-identical to the per-pixel loop (round 13;
+    # pinned by test_synth_numpy_byte_parity): pixel (y, x) reads block
+    # bit (y*8//h)*8 + (x*8//w), scaled to 0/255, replicated to 3 channels
+    grid = (bits * np.uint8(255)).reshape(8, 8)
+    ridx = (np.arange(h) * 8) // h
+    cidx = (np.arange(w) * 8) // w
+    rows = np.repeat(grid[np.ix_(ridx, cidx)][:, :, None], 3, axis=2)
+    return f"P6\n{w} {h}\n255\n".encode() + rows.tobytes()
 
 
 def _wav_pcm16(blob: bytes):
@@ -531,18 +550,20 @@ def synth_envelope_wav(doc_id: int) -> bytes:
     import io
     import wave as wave_mod
 
+    import numpy as np
+
     cls, member = doc_id // 3, doc_id % 3
-    bits = [(_splitmix64((1 << 32) + cls * 64 + t)) & 1 for t in range(64)]
+    bits = _splitmix64_bits((1 << 32) + cls * 64, 64)
     if member == 2:
         for t in range(cls % 4):
             bits[(cls + 17 * t) % 64] ^= 1
     seg = _SYNTH_AUDIO_SEG[member]
-    pcm = bytearray()
-    for t in range(64):
-        amp = 12000 if bits[t] else 2000
-        for s in range(seg):
-            v = amp if s % 2 == 0 else -amp
-            pcm += v.to_bytes(2, "little", signed=True)
+    # vectorized render, byte-identical to the per-sample loop (round
+    # 13; pinned by test_synth_numpy_byte_parity): segment amplitude
+    # 12000/2000, sign alternating per sample, int16 little-endian
+    amps = np.where(bits.astype(bool), np.int32(12000), np.int32(2000))
+    sign = np.where(np.arange(seg) % 2 == 0, np.int32(1), np.int32(-1))
+    pcm = (amps[:, None] * sign[None, :]).astype("<i2").tobytes()
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -652,15 +673,15 @@ def synth_scene_video(doc_id: int) -> bytes:
     sampling); member 2 replaces scene ``class % 16`` with the class's
     alternate pattern (slot 16). Members 0/1 have IDENTICAL distinct
     frame-hash sets; member 2 shares 15 of 16 scenes: Jaccard 15/17."""
+    import numpy as np
+
     cls, member = doc_id // 3, doc_id % 3
-    scenes = []
-    for s in range(17):  # 16 scenes + 1 alternate
-        bits = [(_splitmix64((1 << 33) + (cls * 17 + s) * 64 + t)) & 1 for t in range(64)]
-        px = bytearray()
-        for b in bits:
-            v = 255 if b else 0
-            px += bytes((v, v, v))
-        scenes.append(bytes(px))
+    # 16 scenes + 1 alternate, all 17×64 bits from one vectorized
+    # splitmix pass; byte-identical to the per-pixel loop (round 13;
+    # pinned by test_synth_numpy_byte_parity)
+    bits = _splitmix64_bits((1 << 33) + cls * 17 * 64, 17 * 64).reshape(17, 64)
+    px = np.repeat((bits * np.uint8(255))[:, :, None], 3, axis=2)
+    scenes = [px[s].tobytes() for s in range(17)]
     order = list(range(16))
     if member == 2:
         order[cls % 16] = 16  # the alternate scene

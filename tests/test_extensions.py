@@ -813,6 +813,54 @@ def test_ivf_assign_expr_string_parity(spark):
     assert got == want and len(got) == corpus.count() - 2  # 2 dirty rows dropped
 
 
+def test_minhash_expr_string_parity(spark):
+    """Round 13: shingle_index's ``distinct + countDistinct + join`` was
+    reshaped to ``dropDuplicates + window count`` (one exchange, no
+    duplicated gram subtree) and minhash_signatures' K min-aggregates
+    now parse from ONE SQL string folding the array in the aggregate
+    (SQL int literals type like ``F.lit(int)``). This pins both against
+    the pre-round-13 Column-API trees bit for bit — including a doc
+    shorter than n tokens (no rows either way) and a NULL text."""
+    from pyspark.sql import Window
+
+    from flink_playground_spark.functions.dedupe import minhash_signatures, shingle_index
+    from flink_playground_spark.functions.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dirty = spark.createDataFrame(
+        [(900001, "one two"), (900002, None), (900003, "")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(dirty)
+    n, k = 3, 128
+
+    # the pre-round-13 trees, verbatim
+    toks = docs.select(F.col("doc_id").alias("doc"), F.posexplode(tokens("text")).alias("j", "tok"))
+    w = Window.partitionBy("doc").orderBy("j")
+    with_leads = toks.select(
+        "doc", "tok", *[F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, n)]
+    )
+    grams = with_leads.filter(F.col(f"__t{n-1}").isNotNull()).select(
+        "doc",
+        F.xxhash64(F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)])).alias("shingle"),
+    )
+    counts = grams.groupBy("doc").agg(F.count_distinct("shingle").alias("n_sh"))
+    old_idx = grams.distinct().join(counts, "doc").select("doc", "n_sh", "shingle")
+    old_sigs = old_idx.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"s{i}") for i in range(k)]
+    ).select("doc", F.array(*[f"s{i}" for i in range(k)]).alias("sig"))
+
+    new_idx = shingle_index(docs, "doc_id", "text", n)
+    assert new_idx.schema == old_idx.schema
+    assert new_idx.exceptAll(old_idx).isEmpty() and old_idx.exceptAll(new_idx).isEmpty()
+
+    new_sigs = minhash_signatures(None, "doc", None, k, n, index=new_idx)
+    assert new_sigs.schema == old_sigs.schema
+    assert new_sigs.exceptAll(old_sigs).isEmpty() and old_sigs.exceptAll(new_sigs).isEmpty()
+
+
 def test_kmeans_memo_distinct_paths_do_not_collide(spark, tmp_path):
     """The kmeans memo is keyed by canonical plan + BACKING FILES: two
     same-schema parquet corpora at different paths must train separate
@@ -933,6 +981,84 @@ def test_perceptual_hash_resize_robust_golden(spark):
         for r in hamming_band_pairs(fp_df, max_hamming=3).collect()
     }
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}, pairs
+
+
+def test_synth_numpy_byte_parity():
+    """Round 13: the three synthetic-media generators render via
+    vectorized numpy instead of per-pixel/per-sample Python loops. The
+    blobs are the SPEC the queries and their bit-exact oracles share,
+    so this pins the numpy renders byte-for-byte against the original
+    loops (verbatim below), across members 0/1/2, small and large class
+    ids, and every class%4 / class%16 flip arity."""
+    import io
+    import wave as wave_mod
+
+    from flink_playground_spark.functions.multimodal import (
+        _SYNTH_AUDIO_SEG,
+        _SYNTH_DIMS,
+        _SYNTH_SCENE_DUR,
+        _splitmix64,
+        synth_block_image,
+        synth_envelope_wav,
+        synth_scene_video,
+    )
+
+    def old_image(doc_id):
+        cls, member = doc_id // 3, doc_id % 3
+        bits = [(_splitmix64(cls * 64 + t)) & 1 for t in range(64)]
+        if member == 2:
+            for t in range(cls % 4):
+                bits[(cls + 17 * t) % 64] ^= 1
+        w, h = _SYNTH_DIMS[member]
+        rows = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = 255 if bits[(y * 8 // h) * 8 + (x * 8 // w)] else 0
+                rows += bytes((v, v, v))
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(rows)
+
+    def old_wav(doc_id):
+        cls, member = doc_id // 3, doc_id % 3
+        bits = [(_splitmix64((1 << 32) + cls * 64 + t)) & 1 for t in range(64)]
+        if member == 2:
+            for t in range(cls % 4):
+                bits[(cls + 17 * t) % 64] ^= 1
+        seg = _SYNTH_AUDIO_SEG[member]
+        pcm = bytearray()
+        for t in range(64):
+            amp = 12000 if bits[t] else 2000
+            for s in range(seg):
+                v = amp if s % 2 == 0 else -amp
+                pcm += v.to_bytes(2, "little", signed=True)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(bytes(pcm))
+        return buf.getvalue()
+
+    def old_video(doc_id):
+        cls, member = doc_id // 3, doc_id % 3
+        scenes = []
+        for s in range(17):
+            bits = [(_splitmix64((1 << 33) + (cls * 17 + s) * 64 + t)) & 1 for t in range(64)]
+            px = bytearray()
+            for b in bits:
+                v = 255 if b else 0
+                px += bytes((v, v, v))
+            scenes.append(bytes(px))
+        order = list(range(16))
+        if member == 2:
+            order[cls % 16] = 16
+        dur = _SYNTH_SCENE_DUR[member]
+        return b"".join(scenes[s] * dur for s in order)
+
+    ids = [c * 3 + m for c in (0, 1, 2, 3, 7, 18, 101, 10**6, 2**40 // 3) for m in (0, 1, 2)]
+    for i in ids:
+        assert synth_block_image(i) == old_image(i), i
+        assert synth_envelope_wav(i) == old_wav(i), i
+        assert synth_scene_video(i) == old_video(i), i
 
 
 def test_synth_block_corpus_planted_distances(spark):
