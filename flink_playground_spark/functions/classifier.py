@@ -52,17 +52,25 @@ def train_logreg(
     if n == 0:
         raise ValueError("empty training set")
     w = [0.0] * (len(feature_cols) + 1)
+    # each step's aggregate builds from ONE parsed SQL string — the
+    # Column-API chain cost ~40 py4j round-trips per iteration, paid
+    # iters× in a driver loop (round 13). CAST('<repr>' AS DOUBLE)
+    # reproduces F.lit(float) exactly (repr round-trips), so the
+    # Catalyst tree — and the bit-exact oracle replay — are unchanged.
     for _ in range(iters):
-        err = _sigma(_z(feature_cols, w)) - F.col(label_col).cast("double")
-        aggs = [
-            F.sum(err.cast("decimal(30,12)")).cast("double").alias("g0")
-        ] + [
-            F.sum((err * F.col(c).cast("double")).cast("decimal(30,12)"))
-            .cast("double")
-            .alias(f"g{i + 1}")
+        z = f"CAST('{w[0]!r}' AS DOUBLE)" + "".join(
+            f" + CAST('{w[i + 1]!r}' AS DOUBLE) * CAST(`{c}` AS DOUBLE)"
+            for i, c in enumerate(feature_cols)
+        )
+        err = (
+            f"(round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z}))), 9)"
+            f" - CAST(`{label_col}` AS DOUBLE))"
+        )
+        aggs = [f"CAST(SUM(CAST({err} AS DECIMAL(30,12))) AS DOUBLE) AS g0"] + [
+            f"CAST(SUM(CAST(({err} * CAST(`{c}` AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS g{i + 1}"
             for i, c in enumerate(feature_cols)
         ]
-        g = df.agg(*aggs).collect()[0]
+        g = df.agg(*[F.expr(a) for a in aggs]).collect()[0]
         w = [wi - lr * g[f"g{i}"] / n for i, wi in enumerate(w)]
     return w
 

@@ -832,10 +832,24 @@ def exact_substring_spans(
     pos_c = (
         pos.withColumn("__gh", h("__g")).join(cand, "__gh").drop("__gh")
     )
-    first = pos_c.groupBy("__g").agg(
-        F.min(F.struct("__d", "__p")).alias("__f"), F.count(F.lit(1)).alias("__n")
+    # first-occurrence + count as WINDOWS over the candidate positions,
+    # not groupBy + join-back: the join-back consumed pos_c twice, so
+    # the stride-1 gram generation ran a third full pass (round 13).
+    # One exchange on __g (the same candidate bytes the groupBy moved),
+    # same worst-gram skew bound, identical duplicated-position set —
+    # every occurrence of a candidate gram shares its hash, so window
+    # counts equal the old candidate-set aggregate's.
+    wg = Window.partitionBy("__g")
+    dup = (
+        pos_c.withColumn("__f", F.min(F.struct("__d", "__p")).over(wg))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .filter(
+            (F.col("__n") > 1)
+            & ((F.col("__d") != F.col("__f.__d")) | (F.col("__p") != F.col("__f.__p")))
+        )
+        .select("__d", F.col("__p").alias("__s"), (F.col("__p") + min_len).alias("__e"))
     )
-    return _spans_against_firsts(pos_c, first, id_col, min_len)
+    return _merge_spans(dup, id_col)
 
 
 def _gram_positions(df: DataFrame, id_col: str, text_col: str, min_len: int) -> DataFrame:
@@ -873,6 +887,14 @@ def _spans_against_firsts(
         .filter((F.col("__d") != F.col("__f.__d")) | (F.col("__p") != F.col("__f.__p")))
         .select("__d", F.col("__p").alias("__s"), (F.col("__p") + min_len).alias("__e"))
     )
+    return _merge_spans(dup, id_col)
+
+
+def _merge_spans(dup: DataFrame, id_col: str) -> DataFrame:
+    """Interval-union of duplicated windows ``(__d, __s, __e)`` into
+    maximal per-document spans — the shared tail of the batch operator
+    (dup from the candidate-window pass) and the streaming ledger (dup
+    from state joins)."""
     w_order = Window.partitionBy("__d").orderBy("__s", "__e")
     w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
     seg = (

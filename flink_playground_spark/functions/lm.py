@@ -67,9 +67,17 @@ def bigram_lm_scores(
     dramatically smaller than the corpus, and Catalyst/AQE broadcasts
     them once they fit.
     """
+    from pyspark.sql import Window
+
     bg = doc_bigrams(df, id_col, text_col)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    # c(w1,·) = Σ_w2 c(w1,w2): the history count rides the bigram-count
+    # relation as a window sum instead of a second full pass + shuffle
+    # over the corpus-sized bigram stream — one model relation, ONE join
+    # back to bg instead of two (round 13; counts identical by
+    # definition, and the window sums exact small-integer doubles)
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    ).withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
     vocab = (
         df.select(F.explode(_tok_array(text_col)).alias("w"))
         .agg(F.count_distinct("w").cast("double").alias("v"))
@@ -77,7 +85,6 @@ def bigram_lm_scores(
     a = float(alpha)
     scored = (
         bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "lp",

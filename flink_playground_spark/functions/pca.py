@@ -215,10 +215,18 @@ def _centered(vec_col: str, mean: list[float], d: int) -> Column:
 
 
 def _score(vec_col: str, mean: list[float], v: list[float], dim: int) -> Column:
-    s: Column = F.lit(0.0)
-    for d in range(dim):
-        s = s + _centered(vec_col, mean, d) * F.lit(v[d])
-    return s
+    """The projection chain as ONE parsed SQL string: the Column-API
+    fold cost ~4 py4j round-trips per dimension per component (round-13
+    profile: most of the query's driver gap at dim=64). The string
+    parses to the identical left-associative double fold —
+    ``CAST('<repr>' AS DOUBLE)`` reproduces ``F.lit(float)`` exactly
+    and SQL ``arr[d]`` is the same 0-based GetArrayItem."""
+    terms = "".join(
+        f" + (CAST(`{vec_col}`[{d}] AS DOUBLE) - CAST('{mean[d]!r}' AS DOUBLE))"
+        f" * CAST('{v[d]!r}' AS DOUBLE)"
+        for d in range(dim)
+    )
+    return F.expr(f"CAST(0.0 AS DOUBLE){terms}")
 
 
 def pca_project(

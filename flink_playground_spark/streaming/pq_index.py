@@ -117,12 +117,38 @@ class StreamingPQIndex:
         """Freeze a newly trained geometry: persist the durable parquet
         copy and cache the driver-side dict — taken straight from
         pq_train when available (it holds the book driver-side across
-        Lloyd rounds), else collected from the bounded local relation."""
-        book_df.write.mode("overwrite").parquet(self.book_path)
+        Lloyd rounds), else collected from the bounded local relation.
+
+        The durable parquet copy is written DRIVER-SIDE (pyarrow, same
+        pattern as _write_metric): the geometry is m × n_codes tiny
+        rows, and the former ``book_df.write.parquet`` cost a ~0.7s
+        Spark job per index build (round-13 profile) to move a few KB."""
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
         self._book_dict = book_dict or {
             (int(r["sub"]), int(r["code"])): [float(x) for x in r["codeword"]]
             for r in book_df.collect()
         }
+        rows = sorted(self._book_dict.items())
+        if os.path.isdir(self.book_path):
+            shutil.rmtree(self.book_path)  # overwrite semantics (retrain)
+        os.makedirs(self.book_path, exist_ok=True)
+        papq.write_table(
+            pa.table(
+                {
+                    "sub": pa.array([s for (s, _), _ in rows], pa.int32()),
+                    "code": pa.array([c for (_, c), _ in rows], pa.int32()),
+                    "codeword": pa.array(
+                        [cw for _, cw in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            f"{self.book_path}/book.parquet",
+        )
         self._trained = True
 
     def _encode_wave(self, batch: DataFrame, book: dict) -> DataFrame:
