@@ -37,7 +37,15 @@ def _tok_array(text_col: str) -> Column:
 
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per (doc, bigram occurrence): ``(id, w1, w2)`` over the
-    empty-filtered whitespace tokens. Scan-local (array zip, no window)."""
+    empty-filtered whitespace tokens. Scan-local (array zip, no window).
+
+    The input is ``_spread`` (round 13): the zip_with/slice/filter
+    lambdas are interpreted per row, and one local parquet split = one
+    task running all of it serially — a no-op at real scale, where
+    splits exceed parallelism."""
+    from flink_playground_spark.functions.similarity import _spread
+
+    df = _spread(df, id_col)
     t = _tok_array(text_col)
     pairs = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
@@ -69,6 +77,11 @@ def bigram_lm_scores(
     """
     from pyspark.sql import Window
 
+    from flink_playground_spark.functions.similarity import _spread
+
+    # spread once here so both the bigram stream and the vocabulary
+    # branch tokenize in parallel (doc_bigrams' own guard then no-ops)
+    df = _spread(df, id_col)
     bg = doc_bigrams(df, id_col, text_col)
     # c(w1,·) = Σ_w2 c(w1,w2): the history count rides the bigram-count
     # relation as a window sum instead of a second full pass + shuffle

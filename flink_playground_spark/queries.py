@@ -1615,10 +1615,16 @@ def text_analysis(spark, sf_dir):
     WholeStageCodegen span over the parquet scan. (Absorbed the former
     standalone token_counts registry entry — same granularity, same
     scan — freeing a driver-gate slot; the standalone survives as a
-    bench-extra.)"""
-    from flink_playground_spark.functions import text as tx
+    bench-extra.)
 
-    docs = _t(spark, sf_dir, "documents")
+    The scan is ``_spread`` (round 13): the rolling-hash fold and the
+    marker regexes are interpreted per row, and one local parquet split
+    = one task serializing all of it — a no-op at real scale, where
+    splits exceed parallelism."""
+    from flink_playground_spark.functions import text as tx
+    from flink_playground_spark.functions.similarity import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = tx.tokens("text")
     per_token = F.transform(toks, lambda t: (F.length(t) * 131 + F.ascii(t)).cast("long"))
     rolling = F.aggregate(
@@ -4411,8 +4417,12 @@ def quality_signals(spark, sf_dir):
     crafted-fixture goldens in tests/test_quality.py pin the non-trivial
     redaction behavior."""
     from flink_playground_spark.functions.quality import pii_redact, repetition_signals
+    from flink_playground_spark.functions.similarity import _spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the PII regexes and the explode fan-out are scan-stage
+    # work, and one local parquet split = one task running all of it
+    # serially — a no-op at real scale (round 13)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     rep = repetition_signals(docs, "doc_id", "text")
     pii = pii_redact(docs, "text").select(
         "doc_id",
