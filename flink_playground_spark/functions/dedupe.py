@@ -273,6 +273,13 @@ def minhash_signatures(
     hash inputs — and the signatures — are bit-identical (pinned by
     test_minhash_expr_string_parity)."""
     idx = index if index is not None else shingle_index(df, id_col, text_col, n)
+    # _spread: the K×rows hash work is the kernel's CPU, and a
+    # checkpointed/coalesced index arrives in a handful of partitions
+    # locally — partial aggregation would run K×|index| hashes on 2-3
+    # cores. A no-op at real scale (partitions already ≥ parallelism).
+    from flink_playground_spark.functions.similarity import _spread
+
+    idx = _spread(idx, "doc")
     sig = "array(" + ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(k)) + ") AS sig"
     return idx.groupBy("doc").agg(F.expr(sig))
 
