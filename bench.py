@@ -391,7 +391,29 @@ def main() -> None:
         "pipeline_docs_per_s": {n: r["docs_per_s"] for n, r in pipe_tp.items()},
         "full": sidecar.name,
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    # Round 14 (r13 verdict Next #1): per-query seconds IN the compact
+    # machine line — without them the driver's PERF comparison has no
+    # per-query ground truth (PERF_r13: per_query {}, geomean null). The
+    # driver's tail capture is bounded at 2000 chars (BENCH_r13.json's
+    # "tail" is exactly 2000), so the whole compact line must fit the
+    # capture or nothing parses (round 2's lesson). Deterministic
+    # degradation ladder: 2dp map -> 1dp map -> drop the two most
+    # redundant scalar fields (both live in BENCH_FULL.json) -> no map.
+    # At the current 57-query board the first rung fits (~1820 chars).
+    line = None
+    for ndigits, slim in ((2, False), (1, False), (1, True)):
+        cand = dict(compact)
+        if slim:
+            cand.pop("cal_probe", None)
+            cand.pop("pipeline_docs_per_s", None)
+        cand["queries"] = {n: round(t, ndigits) for n, t in times.items()}
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) <= 1900:
+            line = s
+            break
+    if line is None:
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
