@@ -42,11 +42,18 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def _run(label: str, cmd: list[str], timeout_s: int) -> dict:
+def _run(label: str, cmd: list[str], timeout_s: int, env: dict | None = None) -> dict:
     t0 = time.time()
     try:
+        import os
+
         proc = subprocess.run(
-            cmd, cwd=HERE, capture_output=True, text=True, timeout=timeout_s
+            cmd,
+            cwd=HERE,
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env={**os.environ, **(env or {})},
         )
         tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-15:])
         return {
@@ -92,8 +99,14 @@ def main() -> int:
             3600,
         )
     else:
+        # the FULL suite, slow marks suppressed (round 14: the default
+        # gate deselects the 118 slowest tests to fit the verify
+        # driver's budget — preflight is where the whole suite runs)
         result["gates"]["pytest"] = _run(
-            "pytest", [py, "-m", "pytest", "tests/", "-q", "-x"], 5400
+            "pytest",
+            [py, "-m", "pytest", "tests/", "-q", "-x"],
+            5400,
+            env={"SPARK_GRAFT_FULL_TESTS": "1"},
         )
     result["gates"]["check"] = _run(
         "check", [py, "tools/check.py", "/root/testdata/sf0.01"], 3600
