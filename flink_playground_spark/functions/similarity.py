@@ -177,6 +177,34 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
+def _materialize_no_wscg(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` (localCheckpoint) with WHOLE-STAGE
+    codegen off for exactly this materialization — for stages built
+    from very large unrolled expression chains (the dim-sized
+    ``_dot_fixed_sql`` folds).
+
+    Why (guide §7.2 / §1.2, round-14 profile): whole-stage codegen fuses
+    a block-grid pair stage's join condition + projection — each
+    carrying a 64-term chain — into ONE consume() method far beyond the
+    JVM JIT's ~8 KB bytecode budget (HotSpot's DontCompileHugeMethods),
+    so the hot stage runs in the BYTECODE INTERPRETER; and because
+    fresh expression ids change the generated source every run, the
+    ~64 KB janino compile is also re-paid per execution. With
+    whole-stage codegen off, each operator compiles its projections
+    into small JIT-able methods: the embedding_neardup pair stage
+    measured 2.4x faster (0.70s vs 1.66s warm at sf0.1). Scoped
+    set -> materialize -> restore, so no other query's planning ever
+    sees the flag. Results are bit-identical either way (same IEEE
+    expression tree, different execution strategy)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

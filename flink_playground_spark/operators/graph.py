@@ -185,7 +185,11 @@ def connected_components(
     )
 
     if local_max_edges:
-        one_dir = e.distinct().localCheckpoint(eager=True)
+        # LAZY checkpoint + count: the count() action is what executes
+        # the (distinct'd) edge plan AND stores the checkpoint blocks —
+        # one job where eager-then-count was two (guide §5: fewer
+        # actions; the blocks and the count come from the same pass).
+        one_dir = e.distinct().localCheckpoint(eager=False)
         n_edges = one_dir.count()
         if n_edges == 0:
             if stats is not None:
@@ -291,11 +295,20 @@ def duplicate_clusters(
     deterministic keep-one rule), ``is_canonical`` marks it. A dedup
     pipeline anti-joins the corpus against the non-canonical rows.
     """
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, id_a, id_b, max_iter=max_iter)
-    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "comp").select(
+    # cluster_size as a WINDOW over comp, not groupBy + join-back: one
+    # pass over the (node, comp) relation instead of two (guide §2.4),
+    # and no broadcast-size bet — at scale the sizes relation has one
+    # row per cluster, which can exceed the broadcast cap and degrade
+    # the join to a second full shuffle; the window shuffles the 16-byte
+    # rows once. Same counts, same columns (count over the comp
+    # partition == the old groupBy count joined back).
+    w = Window.partitionBy("comp")
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
-        "cluster_size",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )

@@ -2089,11 +2089,21 @@ def embedding_neardup(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
     )
     sim = F.expr(f"ROUND({_dot_fixed_sql('ea', 'eb', dim)} / (na * nb), 6)")
-    return (
+    out = (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", "sim")
     )
+    # materialize the pair stage with whole-stage codegen OFF (round 14,
+    # guide §7.2): Catalyst pushes the sim filter into the BHJ condition,
+    # fusing TWO 64-term dot chains into one consume() method beyond the
+    # JIT's bytecode budget — the stage ran interpreted and re-paid the
+    # ~64 KB janino compile per run. Per-operator codegen measured 2.4x
+    # faster; the checkpointed result is the bounded pair set (<= |caps|²
+    # rows), the same bits either way (see _materialize_no_wscg).
+    from flink_playground_spark.functions.similarity import _materialize_no_wscg
+
+    return _materialize_no_wscg(out)
 
 
 def _emb_lsh_py_oracle(sf_dir):
@@ -2237,9 +2247,21 @@ def corpus_sampling(spark, sf_dir):
         bernoulli_hash_sample,
         stratified_topk_sample,
     )
+    from flink_playground_spark.functions.similarity import _spread
     from flink_playground_spark.functions.tfidf import tfidf_top_terms
 
-    docs = _t(spark, sf_dir, "documents")
+    # ONE shared, projected, spread scan for all four branches (round
+    # 14, guide §6/§5): the union used to re-scan documents per branch —
+    # 4x read amplification at corpus scale for identical bytes — and
+    # each branch's interpreted tokenize work sat on the single local
+    # split. The persist is the deliberate trade: the cached relation is
+    # the PROJECTED corpus (doc_id, lang, text — the only columns any
+    # branch touches), spilled to executor disk where it outgrows
+    # memory; recomputing it means re-reading the corpus three more
+    # times.
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    ).persist()
     strat = stratified_topk_sample(docs.select("doc_id", "lang"), ["lang"], "doc_id", 10).select(
         F.lit("stratified").alias("branch"),
         "doc_id",

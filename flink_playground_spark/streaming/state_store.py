@@ -43,6 +43,9 @@ class BucketedKeyState:
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        # known full state schema (incl. bucket col) — lets reads skip
+        # the distributed mergeSchema footer job (see _read_state)
+        self._schema = None
         # a restarted job reattaches to state a previous run left on disk
         self._has_state = os.path.isdir(path) and bool(
             glob.glob(f"{path}/{BUCKET_COL}=*")
@@ -67,6 +70,24 @@ class BucketedKeyState:
 
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int")
+
+    def _read_state(self, spark: SparkSession) -> DataFrame:
+        """Current state WITH the bucket column. When this instance has
+        already written (or read) the state once, the read passes the
+        KNOWN schema instead of ``mergeSchema`` — schema merging runs a
+        distributed footer-scan job over every state file on EVERY
+        merge (round-14 profile: one 8-task job per wave moving zero
+        data). Reading older bucket files with the current (additively
+        evolved) schema is equivalent: parquet fills absent columns
+        with null, exactly what mergeSchema produced. First contact
+        with reattached on-disk state still pays one mergeSchema pass
+        (the instance cannot know what columns history holds)."""
+        if self._schema is not None:
+            df = spark.read.schema(self._schema).parquet(self.path)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(self.path)
+            self._schema = df.schema
+        return df
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Full current state (no bucket column), or None before first merge."""
@@ -111,8 +132,7 @@ class BucketedKeyState:
             # touched buckets, not total state. mergeSchema: bucket files
             # written before a column existed still read (as nulls).
             old_touched = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
+                self._read_state(spark)
                 .filter(F.col(BUCKET_COL).isin(touched))
                 .localCheckpoint(eager=True)
             )
@@ -137,11 +157,11 @@ class BucketedKeyState:
             .parquet(self.path)
         )
         self._has_state = True
+        self._schema = merged.schema
         if not return_contents:
             return None
         new_touched = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(self.path)
+            self._read_state(spark)
             .filter(F.col(BUCKET_COL).isin(touched))
             .localCheckpoint(eager=True)
         )
@@ -171,8 +191,7 @@ class BucketedKeyState:
         touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
         if self._has_state:
             old_touched = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
+                self._read_state(spark)
                 .filter(F.col(BUCKET_COL).isin(touched))
                 .localCheckpoint(eager=True)
             )
@@ -193,6 +212,7 @@ class BucketedKeyState:
             .parquet(self.path)
         )
         self._has_state = True
+        self._schema = merged.schema
         return (
             spark.read.parquet(self.path)
             .filter(F.col(BUCKET_COL).isin(touched))
@@ -232,8 +252,7 @@ class BucketedKeyState:
         touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
         if self._has_state:
             old_touched = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
+                self._read_state(spark)
                 .filter(F.col(BUCKET_COL).isin(touched))
                 .localCheckpoint(eager=True)
                 # stored rows re-enter the contest as upserts at their
@@ -268,6 +287,7 @@ class BucketedKeyState:
         for b in set(touched) - surviving:
             shutil.rmtree(f"{self.path}/{BUCKET_COL}={b}", ignore_errors=True)
         self._has_state = True
+        self._schema = merged.schema
         return (
             spark.read.parquet(self.path)
             .filter(F.col(BUCKET_COL).isin(touched))

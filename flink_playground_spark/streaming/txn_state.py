@@ -221,10 +221,23 @@ class TransactionalKeyState:
         # the wave is read TWICE (touched-bucket discovery, then the
         # merge write) — persist it so the second pass reads the cached
         # wave instead of recomputing the caller's pre-aggregation from
-        # the source (wave-sized, bounded by the micro-batch)
-        tagged = batch.withColumn(BUCKET_COL, self._bucket()).persist()
+        # the source (wave-sized, bounded by the micro-batch). The
+        # discovery rides the cache materialization as an OBSERVATION
+        # (round 14, guide §5): collect_set(__bucket) — bounded by
+        # n_buckets — is computed inside the one noop pass that fills
+        # the cache, where the old distinct().collect() paid a second
+        # job and an extra exchange per wave.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        tagged = (
+            batch.withColumn(BUCKET_COL, self._bucket())
+            .observe(obs, F.collect_set(F.col(BUCKET_COL)).alias("b"))
+            .persist()
+        )
         try:
-            touched = [r[0] for r in tagged.select(BUCKET_COL).distinct().collect()]
+            tagged.write.mode("overwrite").format("noop").save()
+            touched = sorted(int(b) for b in obs.get["b"])
             old = self._read_buckets(spark, manifest, set(touched))
             base = (
                 tagged.drop(BUCKET_COL)
