@@ -88,9 +88,20 @@ def bigram_lm_scores(
     # over the corpus-sized bigram stream — one model relation, ONE join
     # back to bg instead of two (round 13; counts identical by
     # definition, and the window sums exact small-integer doubles)
-    c2 = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
-    ).withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    # explicit partition count on the window's exchange: the window
+    # needs hashpartitioning(w1) anyway, but AQE coalesced the tiny
+    # local model relation to ONE partition, serializing the whole
+    # vocabulary's sort+window on one core (round-14 profile: a 0.37s
+    # single-task stage). REPARTITION_BY_NUM pins the count so the
+    # coalescer leaves it alone; at scale this replaces — not adds to —
+    # the window's own exchange (hash on w1 satisfies partitionBy(w1)).
+    n_part = bg.sparkSession.sparkContext.defaultParallelism
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .repartition(n_part, "w1")
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    )
     vocab = (
         df.select(F.explode(_tok_array(text_col)).alias("w"))
         .agg(F.count_distinct("w").cast("double").alias("v"))

@@ -236,6 +236,13 @@ def ivf_assign(
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     keep = ["vid", "vec", "centroid_id"] + (["csim"] if keep_sim else [])
     if nprobe == 1:
+        # corpus-side path: the per-row argmax fold is INTERPRETED (HOF
+        # lambda over the centroid array) and runs in the scan stage —
+        # on the single local split that serialized the whole corpus's
+        # n_centroids x dim fold onto one core (round-14 profile:
+        # semantic_clusters' 0.7s one-task stage). _spread is a no-op at
+        # real scale (guide §2.5 / similarity._spread).
+        v = _spread(v, "vid")
         # one-row build side: the scalar-broadcast BNLJ class the plan
         # guard recognizes structurally (grouping-key-free aggregate —
         # constant-size, never corpus-by-corpus)

@@ -148,6 +148,12 @@ class BucketedKeyState:
             tiebreakers,
         ).withColumn(BUCKET_COL, self._bucket())
         cols = [c for c in merged.columns if c != BUCKET_COL]
+        # cluster by bucket before the partitioned write (round 14, guide
+        # §6): one writer task and one file per touched bucket, instead of
+        # every shuffle partition emitting a file per bucket it holds (and
+        # locally, instead of one AQE-coalesced task writing all buckets
+        # serially).
+        merged = merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
         # Dynamic overwrite replaces only the partitions present in
         # `merged` (= the touched buckets); other buckets' files survive.
         (
@@ -204,6 +210,9 @@ class BucketedKeyState:
             .agg(*agg_cols)
             .select(*cols)
             .withColumn(BUCKET_COL, self._bucket())
+            # one writer task / one file per touched bucket (see
+            # merge_keep_latest)
+            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
         )
         (
             merged.write.mode("overwrite")
@@ -276,6 +285,9 @@ class BucketedKeyState:
             .drop(op_col)
             .select(*out_cols)
             .withColumn(BUCKET_COL, self._bucket())
+            # one writer task / one file per touched bucket (see
+            # merge_keep_latest)
+            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
         )
         (
             merged.write.mode("overwrite")

@@ -245,6 +245,14 @@ class TransactionalKeyState:
                 else old.unionByName(tagged.drop(BUCKET_COL))
             )
             merged = combine(base, cols).withColumn(BUCKET_COL, self._bucket())
+            # cluster by bucket before the partitioned write (round 14,
+            # guide §6): without it every shuffle partition holding a
+            # bucket's rows emits its own file — up to partitions ×
+            # touched-buckets small files per txn at scale — and locally
+            # AQE coalesced the tiny merge output to ONE task that wrote
+            # every bucket's file serially. One task per touched bucket
+            # = one file per touched bucket per txn, writers in parallel.
+            merged = merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
             # brand-new immutable directory; nothing existing is touched
             merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
                 f"{self.path}/t{txn}"

@@ -92,6 +92,16 @@ def _parse_jobs(log_dir: str, t0_ms: float, t1_ms: float) -> list[dict]:
                     sub = ev.get("Submission Time")
                     if sub is None or not (t0_ms <= sub <= t1_ms):
                         continue
+                    scopes = []
+                    for ri in ev.get("RDD Info", []):
+                        sc = ri.get("Scope")
+                        if sc:
+                            try:
+                                nm = json.loads(sc).get("name", "")
+                            except Exception:
+                                nm = ""
+                            if nm and nm not in scopes:
+                                scopes.append(nm)
                     stages.append(
                         {
                             "stage": ev["Stage ID"],
@@ -100,8 +110,7 @@ def _parse_jobs(log_dir: str, t0_ms: float, t1_ms: float) -> list[dict]:
                                 (ev["Completion Time"] - sub) / 1000.0, 3
                             ),
                             "n_tasks": ev.get("Number of Tasks", 0),
-                            "name": ev.get("Details", "").split("\n")[0][:60]
-                            or ev.get("Name", "")[:60],
+                            "name": " ".join(scopes[:8])[:100],
                         }
                     )
     out = []
