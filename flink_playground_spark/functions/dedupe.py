@@ -836,36 +836,43 @@ def exact_substring_spans(
         .filter(F.col("__c") > 1)
         .select("__gh")
     )
-    # Candidate positions are materialized ONCE (eager localCheckpoint:
-    # bytes ∝ the candidate subset, the same bytes round 13's window
-    # exchange moved), then first-occurrence + count run as a MAP-SIDE-
-    # COMBINED aggregate over them (round 14, guide §2.5/§2.3). Round
-    # 13's single window on __g put EVERY occurrence of a gram in one
-    # task — a boilerplate 40-gram repeated 10^9 times at corpus scale
-    # is a straggler no AQE feature can split (skew handling applies to
-    # joins, not windows) — and it shuffled every candidate byte. The
-    # two-level hash aggregate's partial pass folds each map partition's
-    # occurrences locally (min/count are distributive), so the exchange
-    # carries one row per (gram, map task) and no reducer ever sees a
-    # hot gram's full row set; the per-position verdict is then a
-    # join-back against the bounded duplicated-gram firsts (AQE
-    # broadcasts it while it fits and can skew-split it when it does
-    # not). The checkpoint is what keeps this at ONE stride-1 gram pass
-    # — round 12's un-materialized join-back shape paid a third.
-    # Identical duplicated-position set: same per-gram min/count, same
-    # not-the-first filter (_spans_against_firsts, shared with the
-    # streaming ledger).
     pos_c = (
-        pos.withColumn("__gh", h("__g"))
-        .join(cand, "__gh")
-        .drop("__gh")
-        .localCheckpoint(eager=True)
+        pos.withColumn("__gh", h("__g")).join(cand, "__gh").drop("__gh")
     )
-    firsts = pos_c.groupBy("__g").agg(
-        F.min(F.struct("__d", "__p")).alias("__f"),
-        F.count(F.lit(1)).alias("__n"),
+    # first-occurrence + count as WINDOWS over the candidate positions,
+    # not groupBy + join-back: the join-back consumed pos_c twice, so
+    # the stride-1 gram generation ran a third full pass (round 13).
+    # One exchange on __g (the same candidate bytes the groupBy moved),
+    # same worst-gram skew bound, identical duplicated-position set —
+    # every occurrence of a candidate gram shares its hash, so window
+    # counts equal the old candidate-set aggregate's.
+    #
+    # Round 14 measured (and rejected) two skew-safe two-level shapes
+    # for the r13 verdict's hot-gram item: (a) per-(gram, salt) window
+    # partials + per-gram merge + join-back — the doubled lvl-1
+    # consumption defeats exchange reuse (different column pruning per
+    # branch), +86% at sf0.1; (b) eager-checkpointed candidates +
+    # map-side-combined groupBy firsts + AQE-skew-splittable join-back
+    # — ~parity at sf0.1 but 3.4x SLOWER at the 10x step-up fixture
+    # (plans/r14/sf1_probe.json session: 20.2s vs 5.9s), because the
+    # candidate-set materialization scales with the corpus while the
+    # window streams through its one exchange. The hot-gram straggler
+    # bound therefore stays a documented exposure: a single gram
+    # repeated B times costs one task O(B) — the mitigation at that
+    # point is the cand pass's per-hash counts (already computed), which
+    # an operator can threshold to divert pathological grams, not a
+    # blanket two-level rewrite that taxes every healthy corpus.
+    wg = Window.partitionBy("__g")
+    dup = (
+        pos_c.withColumn("__f", F.min(F.struct("__d", "__p")).over(wg))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .filter(
+            (F.col("__n") > 1)
+            & ((F.col("__d") != F.col("__f.__d")) | (F.col("__p") != F.col("__f.__p")))
+        )
+        .select("__d", F.col("__p").alias("__s"), (F.col("__p") + min_len).alias("__e"))
     )
-    return _spans_against_firsts(pos_c, firsts, id_col, min_len)
+    return _merge_spans(dup, id_col)
 
 
 def _gram_positions(df: DataFrame, id_col: str, text_col: str, min_len: int) -> DataFrame:
