@@ -70,7 +70,16 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     count_distinct by construction."""
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("j", "tok"))
+    from flink_playground_spark.functions.similarity import _spread
+
+    # _spread before tokenize/explode (round 14, guide §2.5): the
+    # split+posexplode fan-out otherwise runs on the scan's partition
+    # count — locally one split, one core (~0.4s of the LSH build's lead
+    # stage). The lead window's exchange on doc follows either way; a
+    # no-op at real scale.
+    toks = _spread(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    ).select("doc", F.posexplode(tokens("__t")).alias("j", "tok"))
     w = Window.partitionBy("doc").orderBy("j")
     # materialize every lead BEFORE filtering — window exprs in a
     # post-filter projection would re-evaluate over the filtered frame
